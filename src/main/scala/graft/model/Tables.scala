@@ -1,0 +1,67 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed row of the reference's candle wire record
+  * (/root/reference/services/data-ingestion/app/ingest.py:89-97, decode
+  * schema consumer.py:235-243).
+  */
+case class Candle(
+    stock_symbol: String,
+    local_time: java.sql.Timestamp,
+    open: Double,
+    high: Double,
+    low: Double,
+    close: Double,
+    volume: Double)
+
+/** Enriched record — candle + 10 indicator columns + signal, mirroring the
+  * reference's `stock_data` table (/root/reference/db/init_questdb.sql:1-21).
+  */
+case class EnrichedCandle(
+    stock_symbol: String,
+    local_time: java.sql.Timestamp,
+    open: Double,
+    high: Double,
+    low: Double,
+    close: Double,
+    volume: Double,
+    sma_5: Option[Double],
+    ema_10: Option[Double],
+    delta: Option[Double],
+    gain: Option[Double],
+    loss: Option[Double],
+    avg_gain_10: Option[Double],
+    avg_loss_10: Option[Double],
+    rs: Option[Double],
+    rsi_10: Option[Double],
+    signal: String)
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md). All reads
+  * are plain parquet scans so Catalyst can push filters/prune columns.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read it as raw nanos (legacy long mode) and truncate to
+    * microseconds — exactly what DuckDB does when it surfaces the column as
+    * TIMESTAMP, so oracle comparisons agree bit-for-bit.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Training-data pipeline operators over `documents` / `embeddings` / `events`
+  * (builder brief + SURVEY.md §7 step 7): exact and approximate dedup,
+  * text statistics / language scoring / fingerprinting, ANN similarity
+  * search, sessionization, and ML feature prep.
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical in
+  * Spark and DuckDB) reduced mod 2^31-1 so all subsequent arithmetic stays
+  * exactly representable in int64; folds are left-folds in both engines
+  * (Spark `aggregate` with explicit zero == DuckDB `list_reduce` with a
+  * prepended seed); all float reductions are either exact (decimal sums,
+  * integer counts) or element-ordered identical (dot products fold in array
+  * order).
+  */
+object DataPrepQueries {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** md5-based word/shingle hash, identical formula in both engines. */
+  private val sparkHash = (x: String) =>
+    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint) % $P"
+  private val duckHash = (x: String) =>
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
+
+  // 16 minhash permutations h_j(x) = (a_j*x + b_j) mod P, grouped in 4 bands
+  private val perms: Seq[(Long, Long)] =
+    (1 to 16).map(j => (1000003L * j + 12345L, 7919L * j + 271L))
+
+  import Num.dsum
+
+  // ---------------------------------------------------------------- shingles
+  /** Word 3-gram shingles; docs with <3 tokens have none. */
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 2), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("shingle"))
+
+  private val shingleSql: String =
+    """sh_raw AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+      |  )) AS shingle
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+      |)""".stripMargin
+
+  /** Per-doc minhash signature (16 mins) + 4 LSH band hashes. */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleDf(s, d)
+      .select(col("doc_id"), expr(sparkHash("shingle")).as("h"))
+    val mins = hashed.groupBy(col("doc_id")).agg(
+      min(expr(s"(h * ${perms.head._1} + ${perms.head._2}) % $P")).as("m0"),
+      perms.zipWithIndex.tail.map { case ((a, b), j) =>
+        min(expr(s"(h * $a + $b) % $P")).as(s"m$j")
+      }: _*)
+    val bands = (0 until 4).map { k =>
+      val cs = (0 until 4).map(i => s"m${k * 4 + i}").mkString(", ")
+      s"$k, concat_ws('-', $cs)"
+    }
+    mins.selectExpr(
+      "doc_id",
+      s"stack(4, ${bands.mkString(", ")}) as (band_id, band_hash)")
+  }
+
+  private val minhashBandsSql: String = {
+    val minCols = perms.zipWithIndex
+      .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS m$j" }
+      .mkString(",\n    ")
+    val bandSelects = (0 until 4)
+      .map { k =>
+        val cs = (0 until 4).map(i => s"m${k * 4 + i}").mkString(", ")
+        s"SELECT doc_id, $k AS band_id, concat_ws('-', $cs) AS band_hash FROM sig"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shingleSql, hashed AS (
+       |  SELECT doc_id, ${duckHash("shingle")} AS h FROM sh_raw
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hashed GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ queries
+  val all: Seq[QueryDef] = Seq(
+    // ---- exact dedup: content-hash grouping ----
+    QueryDef.sql(
+      "q_dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---- MinHash signatures + LSH bands ----
+    QueryDef.sql(
+      "q_minhash_bands",
+      s"$minhashBandsSql\nSELECT doc_id, band_id, band_hash FROM bands"
+    )(minhashBands),
+
+    // ---- LSH candidate near-dup pairs (may legitimately be empty) ----
+    QueryDef.sql(
+      "q_minhash_pairs",
+      s"""$minhashBandsSql
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id""".stripMargin
+    ) { (s, d) =>
+      val bands = minhashBands(s, d)
+      val a = bands.select(
+        col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+      val b = bands.select(
+        col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
+        col("band_hash").as("band_hash_b"))
+      a.join(
+          b,
+          col("band_id") === col("band_id_b") &&
+            col("band_hash") === col("band_hash_b") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    },
+
+    // ---- n-gram Jaccard similarity on a deterministic pair sample ----
+    QueryDef.sql(
+      "q_jaccard_pairs",
+      s"""WITH $shingleSql, sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM sh_raw
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0
+         |), inter AS (
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+         |  FROM sh sa JOIN sh sb
+         |    ON sa.shingle = sb.shingle AND sb.doc_id = sa.doc_id + 1
+         |  WHERE sa.doc_id % 10 = 0
+         |  GROUP BY sa.doc_id, sb.doc_id
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |  COALESCE(i.ni, 0) * 1e0 / (ca.n + cb.n - COALESCE(i.ni, 0)) AS jaccard
+         |FROM pairs p
+         |JOIN cnt ca ON ca.doc_id = p.doc_a
+         |JOIN cnt cb ON cb.doc_id = p.doc_b
+         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin
+    ) { (s, d) =>
+      val sh = shingleDf(s, d).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val docs = Tables.documents(s, d).select("doc_id")
+      val pairs = docs
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + 1)
+      val inter = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("ia"), col("shingle"))
+        .join(
+          sh.select(col("doc_id").as("ib"), col("shingle").as("shingle_b")),
+          col("shingle") === col("shingle_b") && col("ib") === col("ia") + 1)
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("ni"))
+      pairs
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .join(inter, col("ia") === col("doc_a") && col("ib") === col("doc_b"), "left")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          (coalesce(col("ni"), lit(0L)) * lit(1.0) /
+            (col("na") + col("nb") - coalesce(col("ni"), lit(0L)))).as("jaccard"))
+    },
+
+    // ---- text quality statistics ----
+    QueryDef.sql(
+      "q_text_stats",
+      """SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+        |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1e0 / length(text) AS punct_ratio,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) * 1e0
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  CAST(ceil(length(text) / 4e0) AS BIGINT) AS n_tokens_bpe_est
+        |FROM documents""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_uniq_tokens"),
+        (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") *
+          lit(1.0) / length(col("text"))).as("punct_ratio"),
+        (expr(
+          "size(filter(split(text, ' '), " +
+            "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))")
+          .cast("double") * lit(1.0) /
+          size(split(col("text"), " "))).as("stopword_ratio"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_bpe_est")
+      )
+    },
+
+    // ---- language-ID scoring (stopword-list n-gram heuristic) ----
+    QueryDef.sql(
+      "q_lang_scores", {
+        def score(words: String) =
+          s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
+        val en = score("'the', 'a', 'of', 'and', 'to'")
+        val de = score("'der', 'die', 'das', 'und', 'ist'")
+        val es = score("'el', 'la', 'de', 'y', 'que'")
+        s"""SELECT doc_id, lang,
+           |  $en AS en_score, $de AS de_score, $es AS es_score,
+           |  CASE WHEN $en >= $de AND $en >= $es THEN 'en'
+           |       WHEN $de >= $es THEN 'de' ELSE 'es' END AS pred_lang
+           |FROM documents""".stripMargin
+      }
+    ) { (s, d) =>
+      def score(words: String) =
+        expr(s"size(filter(split(text, ' '), t -> t IN ($words)))").cast("long")
+      val en = score("'the', 'a', 'of', 'and', 'to'")
+      val de = score("'der', 'die', 'das', 'und', 'ist'")
+      val es = score("'el', 'la', 'de', 'y', 'que'")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        en.as("en_score"),
+        de.as("de_score"),
+        es.as("es_score"),
+        when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
+          .as("pred_lang"))
+    },
+
+    // ---- rolling-hash document fingerprint ----
+    QueryDef.sql(
+      "q_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '), t -> ${duckHash("t")})),
+         |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+         |FROM documents""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr(
+          s"aggregate(transform(split(text, ' '), t -> ${sparkHash("t")}), " +
+            "cast(0 as bigint), (acc, x) -> (acc * 131 + x) % 1000000007)")
+          .as("fingerprint"))
+    },
+
+    // ---- brute-force cosine top-k ANN baseline ----
+    QueryDef.sql(
+      "q_knn_brute", {
+        def dot(a: String, b: String) =
+          s"""list_reduce(list_prepend(0e0, list_transform(
+             |      range(1, len($a) + 1),
+             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+             |    (acc, v) -> acc + v)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           |  WHERE vec_id < 10
+           |), c AS (
+           |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+           |), p AS (
+           |  SELECT q_id, c_id,
+           |    ${dot("q_emb", "c_emb")}
+           |    / (sqrt(${dot("q_emb", "q_emb")}) * sqrt(${dot("c_emb", "c_emb")}))
+           |    AS cosine
+           |  FROM q, c WHERE q_id <> c_id
+           |)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, d) =>
+      def dot(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      cand
+        .crossJoin(broadcast(qv))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn(
+          "cosine",
+          expr(dot("q_emb", "c_emb")) /
+            (sqrt(expr(dot("q_emb", "q_emb"))) * sqrt(expr(dot("c_emb", "c_emb")))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "cosine", "rank")
+    },
+
+    // ---- gap-based sessionization over the event stream ----
+    QueryDef.sql(
+      "q_sessions",
+      """WITH o AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |            THEN 1 ELSE 0 END AS new_sess
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), t AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM s
+        |)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(floor((value) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
+        |FROM t GROUP BY user_id, session_seq""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn(
+          "new_sess",
+          when(
+            lag(col("ts"), 1).over(w).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+                1800000000L,
+            1).otherwise(0))
+        .withColumn(
+          "session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          dsum(col("value")).as("sum_value"))
+    },
+
+    // ---- M1: per-key min-max normalization ----
+    QueryDef.sql(
+      "q_minmax_norm",
+      """SELECT event_id, event_type, value,
+        |  (value - min(value) OVER w) /
+        |  (CASE WHEN max(value) OVER w <> min(value) OVER w
+        |        THEN max(value) OVER w - min(value) OVER w END) AS value_norm
+        |FROM events WINDOW w AS (PARTITION BY event_type)""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+      val mn = min(col("value")).over(w)
+      val mx = max(col("value")).over(w)
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        ((col("value") - mn) / when(mx =!= mn, mx - mn)).as("value_norm"))
+    },
+
+    // ---- M2: sliding-window feature extraction (60-step lookback) ----
+    QueryDef.sql(
+      "q_sliding_features",
+      """SELECT event_id, event_type, ts, value AS target, lookback FROM (
+        |  SELECT *,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS lookback,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn > 60""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("lookback", collect_list(col("value")).over(w.rowsBetween(-60, -1)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 60)
+        .select(
+          col("event_id"), col("event_type"), col("ts"),
+          col("value").as("target"), col("lookback"))
+    }
+  )
+}
