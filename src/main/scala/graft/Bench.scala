@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench contract: one JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Runs every SparkEntry query (count() action) plus a streaming replay of
+  * the indicator pipeline (MemoryStream-fed, measured as wall seconds; the
+  * replayed record rate is printed to stderr for BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,78 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    results("stream_indicators") = streamReplay(spark, sfDir)
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Replay the events table through the incremental streaming pipeline
+    * (dedup gate + flatMapGroupsWithState) in micro-batches; returns wall
+    * seconds for the whole replay.
+    */
+  def streamReplay(spark: SparkSession, sfDir: String): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+
+    val candles = graft.model.Tables.events(spark, sfDir)
+      .select(
+        col("event_type").as("stock_symbol"),
+        col("ts").as("local_time"),
+        col("value").as("open"),
+        col("value").as("high"),
+        col("value").as("low"),
+        col("value").as("close"),
+        lit(1.0).as("volume"))
+      .as[graft.model.Candle]
+      .orderBy("local_time")
+      .collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.model.Candle]
+    val queryName = "bench_stream"
+    // state-store partition count is fixed at query start from
+    // shuffle.partitions; with a handful of symbols, 32 partitions is pure
+    // per-batch commit overhead. 8 keeps headroom without the fan-out cost.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t0 = System.nanoTime()
+    val query = graft.streaming.StreamingIndicators
+      .pipeline(input.toDS(), watermark = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    val batchSize = math.max(1000, candles.length / 20)
+    candles.grouped(batchSize).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      query.processAllAvailable()
+    }
+    val n = spark.table(queryName).count()
+    query.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val secs = (System.nanoTime() - t0) / 1e9
+    System.err.println(
+      f"[bench] stream_indicators: $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")
+    secs
   }
 }

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{Candle, EnrichedCandle}
+
+/** Streaming replacement for the reference's driver-side recompute-all loop
+  * (/root/reference/services/stream-processing/app/consumer.py:160-223).
+  *
+  * The reference appends every micro-batch to an unbounded pandas DataFrame
+  * and recomputes ALL indicators over the FULL history each batch — O(total
+  * history) per batch on one process, state lost on restart. Here the same
+  * emitted values come from O(1)-per-key incremental state on Spark's
+  * checkpointed state store:
+  *
+  *   - state per symbol = previous close, EMA accumulator, observation
+  *     count, last-5 closes, last-10 defined gains/losses — a few hundred
+  *     bytes regardless of history length;
+  *   - `withWatermark` + `dropDuplicates` replaces the reference's in-memory
+  *     `already_sent` set (consumer.py:27-28,199-205) with a bounded,
+  *     fault-tolerant dedup (the reference re-emits everything after
+  *     restart; we do not);
+  *   - partitioned by symbol via `groupByKey` — scales horizontally with
+  *     executors, unlike the single-process pandas loop.
+  *
+  * CONTRACT (golden-tested): for ordered, on-time input the streaming output
+  * is bit-identical to the batch `graft.ops.Indicators.enrich` pipeline.
+  */
+object StreamingIndicators {
+
+  /** Per-symbol incremental state. `gains`/`losses` hold only *defined*
+    * gains (the first row of a key has null delta, hence no gain); pandas'
+    * rolling(10, min_periods=10) over the gain column is null exactly while
+    * the 10-row window still covers that first row, i.e. until obs >= 11.
+    */
+  case class IndState(
+      prevClose: Option[Double],
+      ema: Option[Double],
+      obs: Int,
+      closes: Array[Double],
+      gains: Array[Double],
+      losses: Array[Double])
+
+  private val alpha = 2.0 / 11.0
+
+  /** Advance state by one candle, producing the enriched row. */
+  def step(st: IndState, c: Candle): (IndState, EnrichedCandle) = {
+    val x = c.close
+    val obs = st.obs + 1
+    val closes = (st.closes :+ x).takeRight(5)
+    val sma5 = if (closes.length == 5) Some(closes.sum / 5.0) else None
+    val emaAcc = st.ema match {
+      case None    => x
+      case Some(e) => (1 - alpha) * e + alpha * x
+    }
+    val ema10 = if (obs >= 10) Some(emaAcc) else None
+    val delta = st.prevClose.map(x - _)
+    val gain = delta.map(d => math.max(d, 0.0))
+    val loss = delta.map(d => math.max(-d, 0.0))
+    val gains = (st.gains ++ gain).takeRight(10)
+    val losses = (st.losses ++ loss).takeRight(10)
+    val avgGain = if (obs >= 11) Some(gains.sum / 10.0) else None
+    val avgLoss = if (obs >= 11) Some(losses.sum / 10.0) else None
+    val rs = for (g <- avgGain; l <- avgLoss if l != 0.0) yield g / l
+    val rsi = rs.map(r => 100.0 - 100.0 / (1.0 + r))
+    val signal = (sma5, ema10, rsi) match {
+      case (Some(s), Some(e), Some(r)) =>
+        if (s > e && r < 70.0) "BUY"
+        else if (s < e && r > 30.0) "SELL"
+        else "HOLD"
+      case _ => "HOLD"
+    }
+    val out = EnrichedCandle(
+      c.stock_symbol, c.local_time, c.open, c.high, c.low, c.close, c.volume,
+      sma5, ema10, delta, gain, loss, avgGain, avgLoss, rs, rsi, signal)
+    (IndState(Some(x), Some(emaAcc), obs, closes, gains, losses), out)
+  }
+
+  val emptyState: IndState =
+    IndState(None, None, 0, Array.empty, Array.empty, Array.empty)
+
+  private def advanceGroup(
+      key: String,
+      rows: Iterator[Candle],
+      state: GroupState[IndState]): Iterator[EnrichedCandle] = {
+    // rows within a micro-batch arrive unordered; sort this batch's slice.
+    // (cross-batch order is the source's responsibility; late rows are
+    // handled by the watermarked dedup upstream.)
+    val sorted = rows.toSeq.sortBy(c => (c.local_time.getTime, c.stock_symbol))
+    var st = state.getOption.getOrElse(emptyState)
+    val out = sorted.map { c =>
+      val (next, enriched) = step(st, c)
+      st = next
+      enriched
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Candle stream -> enriched stream (append mode), incremental state. */
+  def enrichStream(candles: Dataset[Candle]): Dataset[EnrichedCandle] = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles
+      .groupByKey(_.stock_symbol)
+      .flatMapGroupsWithState[IndState, EnrichedCandle](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(advanceGroup)
+  }
+
+  /** Watermarked dedup gate (replaces the reference's `already_sent` set,
+    * K6): at-most-one row per (symbol, local_time) within the watermark
+    * horizon, state evicted as the watermark advances.
+    */
+  def dedupGate(candles: Dataset[Candle], watermark: String): Dataset[Candle] = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles
+      .withWatermark("local_time", watermark)
+      .dropDuplicates("stock_symbol", "local_time")
+      .as[Candle]
+  }
+
+  /** Full pipeline: dedup gate -> incremental enrichment. */
+  def pipeline(candles: Dataset[Candle], watermark: String = "1 hour")
+      : Dataset[EnrichedCandle] =
+    enrichStream(dedupGate(candles, watermark))
+
+  /** Kafka-sink projection: key = symbol, value = JSON of all 17 fields —
+    * the reference's output_topic record shape (consumer.py:211-219).
+    */
+  def toKafkaFrame(enriched: Dataset[EnrichedCandle]): DataFrame =
+    enriched.select(
+      col("stock_symbol").as("key"),
+      to_json(struct(col("*"))).as("value"))
+
+  /** The reference's input decode (S3): Kafka value bytes -> Candle columns
+    * (consumer.py:254-256 with the schema at consumer.py:235-243).
+    */
+  def decodeCandleJson(raw: DataFrame): Dataset[Candle] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[Candle].schema
+    raw
+      .select(from_json(col("value").cast("string"), schema).as("data"))
+      .select("data.*")
+      .as[Candle]
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.Candle
+import graft.ops.Indicators
+
+class StreamingIndicatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkCandles(sym: String, closes: Seq[Double]): Seq[Candle] =
+    closes.zipWithIndex.map { case (c, i) =>
+      Candle(sym, Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        c - 0.5, c + 1.0, c - 1.0, c, 100.0 + i)
+    }
+
+  private val symA = mkCandles("AAA",
+    Seq(10.0, 12.0, 11.0, 13.0, 12.5, 14.0, 13.0, 15.0, 14.5, 16.0,
+      15.0, 17.0, 16.5, 18.0, 17.0, 16.0, 15.5, 14.0, 14.5, 13.0))
+  private val symB = mkCandles("BBB",
+    Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0,
+      5.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0, 13.0))
+
+  test("streaming output is identical to the batch window pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Candle]
+    val query = StreamingIndicators
+      .enrichStream(input.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_golden")
+      .start()
+    // interleave the two symbols across 3 uneven, ordered batches
+    val all = (symA ++ symB).sortBy(c => (c.local_time.getTime, c.stock_symbol))
+    input.addData(all.take(7))
+    query.processAllAvailable()
+    input.addData(all.slice(7, 23))
+    query.processAllAvailable()
+    input.addData(all.drop(23))
+    query.processAllAvailable()
+    val got = spark.table("stream_golden")
+      .orderBy("stock_symbol", "local_time")
+      .collect()
+    query.stop()
+
+    val batch = Indicators
+      .enrich(
+        (symA ++ symB).toDF(),
+        col("stock_symbol"), col("local_time"), col("close"))
+      .orderBy("stock_symbol", "local_time")
+      .collect()
+
+    assert(got.length == batch.length)
+    val numCols = Seq("sma_5", "ema_10", "delta", "gain", "loss",
+      "avg_gain_10", "avg_loss_10", "rs", "rsi_10")
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getAs[String]("stock_symbol") == b.getAs[String]("stock_symbol"))
+      assert(g.getAs[Timestamp]("local_time") == b.getAs[Timestamp]("local_time"))
+      numCols.foreach { c =>
+        val gv = Option(g.getAs[Any](c)).map(_.asInstanceOf[Double])
+        val bv = Option(b.getAs[Any](c)).map(_.asInstanceOf[Double])
+        assert(gv.isDefined == bv.isDefined,
+          s"$c null-ness at ${g.getAs[Timestamp]("local_time")}: stream=$gv batch=$bv")
+        for (x <- gv; y <- bv)
+          assert(x == y, s"$c not bit-identical: stream=$x batch=$y")
+      }
+      assert(g.getAs[String]("signal") == b.getAs[String]("signal"))
+    }
+  }
+
+  test("dedup gate suppresses re-delivered (symbol, time) rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Candle]
+    val query = StreamingIndicators
+      .pipeline(input.toDS(), watermark = "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .start()
+    input.addData(symA.take(6))
+    query.processAllAvailable()
+    // re-deliver rows 2-5 (same keys, possibly mutated payload) + 2 new rows
+    input.addData(symA.slice(2, 6) ++ symA.slice(6, 8))
+    query.processAllAvailable()
+    val got = spark.table("stream_dedup").collect()
+    query.stop()
+    assert(got.length == 8, s"expected 8 unique rows, got ${got.length}")
+    // values must match a clean ordered run (first-delivery wins)
+    val clean = symA.take(8).foldLeft(
+      (StreamingIndicators.emptyState, List.empty[Double])) {
+      case ((st, acc), c) =>
+        val (n, e) = StreamingIndicators.step(st, c)
+        (n, acc ++ e.sma_5.toList)
+    }._2
+    val gotSma = got.sortBy(_.getAs[Timestamp]("local_time").getTime)
+      .flatMap(r => Option(r.getAs[Any]("sma_5")).map(_.asInstanceOf[Double]))
+    assert(gotSma.toSeq == clean)
+  }
+
+  test("kafka frame + json decode round-trip preserves the candle") {
+    val df = StreamingIndicators.toKafkaFrame(
+      spark.createDataset(Seq(
+        graft.model.EnrichedCandle("AAA",
+          Timestamp.valueOf("2024-01-01 00:00:00"), 1, 2, 0.5, 1.5, 100,
+          None, None, None, None, None, None, None, None, None, "HOLD"))))
+    val row = df.collect().head
+    assert(row.getAs[String]("key") == "AAA")
+    assert(row.getAs[String]("value").contains("\"signal\":\"HOLD\""))
+
+    val raw = Seq(
+      """{"stock_symbol":"BBB","local_time":"2024-01-01 00:01:00","open":1.0,"high":2.0,"low":0.5,"close":1.5,"volume":7.0}""")
+      .toDF("value")
+    val decoded = StreamingIndicators.decodeCandleJson(raw).collect().head
+    assert(decoded.stock_symbol == "BBB")
+    assert(decoded.close == 1.5)
+  }
+}
