@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Beyond-reference operator coverage: time-bar resampling, rollup
+  * aggregation, as-of join, SQL-surface indicators, SimHash near-dup,
+  * LSH-bucketed approximate nearest neighbours.
+  */
+object ExtQueries {
+
+  import Num.{dsumSql, dsum}
+
+  private val P = 2147483647L
+
+  private val sparkHash = (x: String) =>
+    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint) % $P"
+  private val duckHash = (x: String) =>
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
+
+  /** 16-bit SimHash signature per doc (shared by q_simhash / q_simhash_pairs). */
+  private def simhashSig(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), expr(sparkHash("tok")).as("h"))
+    val bitAggs = (0 until 16).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1))
+        .as(s"s$j"))
+    val combine = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    toks
+      .groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .selectExpr("doc_id", s"CAST($combine AS BIGINT) AS simhash")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // ---- OHLC bar resampling (1-hour bars per symbol) ----
+    QueryDef.sql(
+      "q_ohlc_bars",
+      s"""WITH b AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |      ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |      ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM events
+         |)
+         |SELECT event_type, bar_ts,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  count(*) AS n_ticks,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM b GROUP BY event_type, bar_ts""".stripMargin
+    ) { (s, d) =>
+      val bar = date_trunc("hour", col("ts"))
+      val wa = Window.partitionBy(col("event_type"), bar)
+        .orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), bar)
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("bar_ts", bar)
+        .withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy(col("event_type"), col("bar_ts"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_ticks"),
+          dsum(col("value")).as("sum_value"))
+    },
+
+    // ---- ROLLUP aggregation (subtotals + grand total) ----
+    QueryDef.sql(
+      "q_rollup_lineitem",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ---- as-of join: each event matched to the latest hourly snapshot ----
+    // Spark has no ASOF JOIN; composed as union + last-observation-carry-
+    // forward over ONE window (single shuffle+sort per key) — the plan a
+    // native AsOfJoinExec would produce, with no O(n*m) range explosion.
+    QueryDef.sql(
+      "q_asof_join",
+      """WITH snaps AS (
+        |  SELECT event_type, ts AS snap_ts, value AS snap_value FROM (
+        |    SELECT event_type, ts, value,
+        |      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn_d
+        |    FROM events) WHERE rn_d = 1
+        |)
+        |SELECT p.event_type, p.ts, p.event_id, p.value, b.snap_ts, b.snap_value
+        |FROM events p ASOF LEFT JOIN snaps b
+        |  ON p.event_type = b.event_type AND p.ts >= b.snap_ts""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val wd = Window
+        .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val snaps = ev
+        .withColumn("rn_d", row_number().over(wd))
+        .filter(col("rn_d") === 1)
+        .select(col("event_type"), col("ts"), col("value"))
+      // union probe (side=1) and build (side=0) rows; at equal ts the build
+      // row sorts first so the probe sees it (ASOF's inclusive >=)
+      val probe = ev.select(
+        col("event_type"), col("ts"), col("event_id"), col("value"),
+        lit(null).cast("timestamp").as("b_ts"),
+        lit(null).cast("double").as("b_value"),
+        lit(1).as("side"))
+      val build = snaps.select(
+        col("event_type"), col("ts"), lit(-1L).as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("ts").as("b_ts"), col("value").as("b_value"), lit(0).as("side"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      probe.unionByName(build)
+        .withColumn("snap_ts", last(col("b_ts"), ignoreNulls = true).over(w))
+        .withColumn("snap_value", last(col("b_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("event_type", "ts", "event_id", "value", "snap_ts", "snap_value")
+    },
+
+    // ---- SQL-surface parity: the indicator pipeline in pure spark.sql,
+    //      exercising the registered ewm_avg window function ----
+    QueryDef.sql(
+      "q_indicators_sql",
+      s"""${FinanceQueries.enrichedSql}
+         |SELECT event_id, event_type, ts, value, sma_5, ema_10, delta, gain,
+         |       loss, avg_gain_10, avg_loss_10, rs, rsi_10, signal
+         |FROM enriched""".stripMargin
+    ) { (s, d) =>
+      graft.functions.EwmAvg.register(s)
+      Tables.events(s, d).createOrReplaceTempView("graft_events_v")
+      s.sql(
+        """WITH base AS (
+          |  SELECT event_id, event_type, ts, value FROM graft_events_v
+          |), s1 AS (
+          |  SELECT *,
+          |    CASE WHEN count(value) OVER w5 = 5 THEN avg(value) OVER w5 END AS sma_5,
+          |    ewm_avg(value, 10) OVER wo AS ema_10,
+          |    value - lag(value, 1) OVER wo AS delta
+          |  FROM base
+          |  WINDOW
+          |    wo AS (PARTITION BY event_type ORDER BY ts, event_id),
+          |    w5 AS (PARTITION BY event_type ORDER BY ts, event_id
+          |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+          |), s2 AS (
+          |  SELECT *,
+          |    CASE WHEN delta IS NOT NULL THEN greatest(delta, 0e0) END AS gain,
+          |    CASE WHEN delta IS NOT NULL THEN greatest(-delta, 0e0) END AS loss
+          |  FROM s1
+          |), s3 AS (
+          |  SELECT *,
+          |    CASE WHEN count(gain) OVER w10 = 10 THEN avg(gain) OVER w10 END AS avg_gain_10,
+          |    CASE WHEN count(loss) OVER w10 = 10 THEN avg(loss) OVER w10 END AS avg_loss_10
+          |  FROM s2
+          |  WINDOW w10 AS (PARTITION BY event_type ORDER BY ts, event_id
+          |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+          |), s4 AS (
+          |  SELECT *, avg_gain_10 / (CASE WHEN avg_loss_10 <> 0e0 THEN avg_loss_10 END) AS rs
+          |  FROM s3
+          |), s5 AS (
+          |  SELECT *, 100e0 - 100e0/(1e0 + rs) AS rsi_10 FROM s4
+          |)
+          |SELECT event_id, event_type, ts, value, sma_5, ema_10, delta, gain,
+          |       loss, avg_gain_10, avg_loss_10, rs,  rsi_10,
+          |  CASE WHEN rsi_10 IS NULL OR sma_5 IS NULL OR ema_10 IS NULL THEN 'HOLD'
+          |       WHEN sma_5 > ema_10 AND rsi_10 < 70e0 THEN 'BUY'
+          |       WHEN sma_5 < ema_10 AND rsi_10 > 30e0 THEN 'SELL'
+          |       ELSE 'HOLD' END AS signal
+          |FROM s5""".stripMargin)
+    },
+
+    // ---- SimHash (16-bit) document fingerprint ----
+    QueryDef.sql(
+      "q_simhash", {
+        val bits = (0 until 16)
+          .map(j =>
+            s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(",\n    ")
+        val combine = (0 until 16)
+          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           |), hashed AS (
+           |  SELECT doc_id, ${duckHash("tok")} AS h FROM toks
+           |), bits AS (
+           |  SELECT doc_id,
+           |    $bits
+           |  FROM hashed GROUP BY doc_id
+           |)
+           |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits""".stripMargin
+      }
+    )(simhashSig),
+
+    // ---- SimHash near-dup pairs (hamming distance <= 3) ----
+    QueryDef.sql(
+      "q_simhash_pairs", {
+        val bits = (0 until 16)
+          .map(j =>
+            s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(",\n    ")
+        val combine = (0 until 16)
+          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           |), hashed AS (
+           |  SELECT doc_id, ${duckHash("tok")} AS h FROM toks
+           |), bits AS (
+           |  SELECT doc_id,
+           |    $bits
+           |  FROM hashed GROUP BY doc_id
+           |), sig AS (
+           |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+      }
+    ) { (s, d) =>
+      val sig = simhashSig(s, d)
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          expr("bit_count(sig_a ^ sig_b)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    },
+
+    // ---- LSH-bucketed ANN (random-hyperplane signs), the scale path for
+    //      similarity search: probes compare only within their bucket ----
+    QueryDef.sql(
+      "q_knn_lsh", {
+        def hcompDuck(j: Int) =
+          s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
+        def planeDotDuck(v: String, j: Int) =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($v) + 1),
+             |      i -> CAST($v[i] AS DOUBLE) * (${hcompDuck(j)}))), (acc, x) -> acc + x)""".stripMargin
+        val bucketDuck = (0 until 8)
+          .map(j => s"(CASE WHEN ${planeDotDuck("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        def dotDuck(a: String, b: String) =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
+             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
+        s"""WITH sig AS (
+           |  SELECT vec_id, embedding, CAST($bucketDuck AS BIGINT) AS bucket
+           |  FROM embeddings
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sig WHERE vec_id < 10
+           |), c AS (
+           |  SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM sig
+           |), p AS (
+           |  SELECT q_id, c_id,
+           |    ${dotDuck("q_emb", "c_emb")}
+           |    / (sqrt(${dotDuck("q_emb", "q_emb")}) * sqrt(${dotDuck("c_emb", "c_emb")}))
+           |    AS cosine
+           |  FROM q JOIN c USING (bucket) WHERE q_id <> c_id
+           |)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, d) =>
+      def hcompSpark(j: Int) =
+        s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
+      def planeDot(v: String, j: Int) =
+        s"aggregate(zip_with($v, sequence(1, size($v)), " +
+          s"(x, i) -> cast(x as double) * (${hcompSpark(j)})), " +
+          "cast(0 as double), (acc, x) -> acc + x)"
+      val bucketExpr = (0 until 8)
+        .map(j => s"(CASE WHEN ${planeDot("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"
+      val sig = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+      val q = sig.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val c = sig.select(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn(
+          "cosine",
+          expr(dot("q_emb", "c_emb")) /
+            (sqrt(expr(dot("q_emb", "q_emb"))) * sqrt(expr(dot("c_emb", "c_emb")))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "cosine", "rank")
+    }
+  )
+}
