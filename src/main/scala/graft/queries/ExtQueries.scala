@@ -308,6 +308,71 @@ object ExtQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "cosine", "rank")
+    },
+
+    // ---- embedding-cosine near-dup dedup: LSH bucket -> in-bucket pairs
+    //      above threshold -> min-id representative per vector. The bucket
+    //      join bounds the candidate set (no all-pairs cross join), so the
+    //      shuffle is on the 8-bit bucket key and scales linearly in rows. ----
+    QueryDef.sql(
+      "q_dedup_embedding", {
+        def hcompDuck(j: Int) =
+          s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
+        def planeDotDuck(v: String, j: Int) =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($v) + 1),
+             |      i -> CAST($v[i] AS DOUBLE) * (${hcompDuck(j)}))), (acc, x) -> acc + x)""".stripMargin
+        val bucketDuck = (0 until 8)
+          .map(j => s"(CASE WHEN ${planeDotDuck("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        def dotDuck(a: String, b: String) =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
+             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
+        s"""WITH sig AS (
+           |  SELECT vec_id, embedding, CAST($bucketDuck AS BIGINT) AS bucket
+           |  FROM embeddings
+           |), pairs AS (
+           |  SELECT a.vec_id AS v_a, b.vec_id AS v_b
+           |  FROM sig a JOIN sig b USING (bucket)
+           |  WHERE a.vec_id <> b.vec_id
+           |    AND ${dotDuck("a.embedding", "b.embedding")}
+           |      / (sqrt(${dotDuck("a.embedding", "a.embedding")})
+           |         * sqrt(${dotDuck("b.embedding", "b.embedding")})) >= 9e-1
+           |)
+           |SELECT e.vec_id,
+           |  least(e.vec_id, coalesce(min(p.v_b), e.vec_id)) AS keep_vec_id,
+           |  least(e.vec_id, coalesce(min(p.v_b), e.vec_id)) < e.vec_id AS is_dup
+           |FROM embeddings e LEFT JOIN pairs p ON p.v_a = e.vec_id
+           |GROUP BY e.vec_id""".stripMargin
+      }
+    ) { (s, d) =>
+      def hcompSpark(j: Int) =
+        s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
+      def planeDot(v: String, j: Int) =
+        s"aggregate(zip_with($v, sequence(1, size($v)), " +
+          s"(x, i) -> cast(x as double) * (${hcompSpark(j)})), " +
+          "cast(0 as double), (acc, x) -> acc + x)"
+      val bucketExpr = (0 until 8)
+        .map(j => s"(CASE WHEN ${planeDot("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"
+      val sig = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+      val a = sig.select(col("vec_id").as("v_a"), col("embedding").as("e_a"), col("bucket"))
+      val b = sig.select(col("vec_id").as("v_b"), col("embedding").as("e_b"), col("bucket"))
+      val pairs = a.join(b, Seq("bucket"))
+        .filter(col("v_a") =!= col("v_b"))
+        .filter(
+          (expr(dot("e_a", "e_b")) /
+            (sqrt(expr(dot("e_a", "e_a"))) * sqrt(expr(dot("e_b", "e_b"))))) >= 0.9)
+        .select("v_a", "v_b")
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(pairs, col("v_a") === col("vec_id"), "left")
+        .groupBy(col("vec_id"))
+        .agg(least(col("vec_id"), coalesce(min(col("v_b")), col("vec_id")))
+          .as("keep_vec_id"))
+        .withColumn("is_dup", col("keep_vec_id") < col("vec_id"))
     }
   )
 }
