@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan quality gates: these assert the *shape* that keeps each
+  * operator viable at 100 TB — broadcast joins for small dims (no shuffle
+  * of the fact table), filter/column pushdown into the parquet scan, and
+  * no redundant shuffles in the window pipeline. A regression here means a
+  * plan that still passes correctness but would fall over at scale.
+  */
+class PlanQualitySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame) = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll[T](df: DataFrame)(pf: PartialFunction[Any, T]): Seq[T] = {
+    val plan = executed(df)
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // collect recurses through AQE-wrapped subtrees via transformDown
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    def walk(node: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      if (pf.isDefinedAt(node)) buf += pf(node)
+      node match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.children.foreach(walk)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(finalPlan)
+    buf.toSeq
+  }
+
+  test("q5-shape join broadcasts every dimension (fact table never shuffled for the joins)") {
+    val df = SparkEntry.queries("q5_local_supplier")(spark, sfDir)
+    val bhj = collectAll(df) { case j: BroadcastHashJoinExec => j }
+    bhj.size should be >= 4 // region, nation, supplier, customer/orders side
+  }
+
+  test("indicator pipeline is ONE shuffle: all window functions share the symbol partitioning") {
+    val df = SparkEntry.queries("q_indicators")(spark, sfDir)
+    val shuffles = collectAll(df) { case s: ShuffleExchangeExec => s }
+    // one hash-partitioning by symbol feeds every window stage
+    shuffles.size shouldBe 1
+    val windows = collectAll(df) { case w: WindowExec => w }
+    windows should not be empty
+  }
+
+  test("filtered aggregate pushes predicate and prunes columns at the scan") {
+    val df = SparkEntry.queries("q_agg_avg")(spark, sfDir)
+    val scans = collectAll(df) { case s: FileSourceScanExec => s }
+    val ev = scans.find(_.metadata("Location").contains("events")).get
+    ev.metadata("PushedFilters") should include("EqualTo(event_type,click)")
+    // only the 3 referenced columns are read from the 5+-column table
+    ev.metadata("ReadSchema") should not include "user_id"
+  }
+
+  test("top-1-per-key avoids a global sort (TakeOrdered or window, never Sort+Limit on all rows)") {
+    val df = SparkEntry.queries("q_top_orders")(spark, sfDir)
+    val plan = executed(df).toString
+    withClue(plan) {
+      (plan.contains("TakeOrderedAndProject") || plan.contains("Window")) shouldBe true
+    }
+  }
+
+  test("ANN probe set is broadcast: candidate side streams, no cross-shuffle") {
+    val df = SparkEntry.queries("q_knn_lsh")(spark, sfDir)
+    val bhj = collectAll(df) { case j: BroadcastHashJoinExec => j }
+    bhj should not be empty
+  }
+
+  test("whole-stage codegen covers the indicator expressions") {
+    val df = SparkEntry.queries("q_indicators")(spark, sfDir)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    formatted should include("codegen id")
+  }
+}
