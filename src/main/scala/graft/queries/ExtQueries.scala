@@ -236,10 +236,27 @@ object ExtQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
       }
     ) { (s, d) =>
+      // Scale path: hamming<=3 over 16 bits means at least one of the 4
+      // 4-bit bands matches exactly (pigeonhole), so candidates come from
+      // an equality join on (band_id, band_value) — a linear shuffle — and
+      // only candidates pay the hamming verify. Identical results to the
+      // all-pairs formulation with no O(n^2) nested-loop join.
       val sig = simhashSig(s, d)
-      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val banded = sig.select(
+        col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), j -> (simhash div shiftleft(1, j * 4)) % 16)"))
+          .as(Seq("band_id", "band_val")))
+      val a = banded.select(
+        col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+        col("band_id"), col("band_val"))
+      val b = banded.select(
+        col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+        col("band_id"), col("band_val"))
+      a.join(b, Seq("band_id", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
         .withColumn("hamming",
           expr("bit_count(sig_a ^ sig_b)").cast("long"))
         .filter(col("hamming") <= 3)

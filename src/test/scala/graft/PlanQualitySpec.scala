@@ -85,6 +85,15 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     bhj should not be empty
   }
 
+  test("simhash near-dup pairs avoid the O(n^2) nested-loop join (band LSH instead)") {
+    val df = SparkEntry.queries("q_simhash_pairs")(spark, sfDir)
+    val plan = executed(df).toString
+    withClue(plan) {
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+    }
+  }
+
   test("whole-stage codegen covers the indicator expressions") {
     val df = SparkEntry.queries("q_indicators")(spark, sfDir)
     df.collect()
