@@ -21,21 +21,56 @@ object ExtQueries {
   private val duckHash = (x: String) =>
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
 
-  /** 16-bit SimHash signature per doc (shared by q_simhash / q_simhash_pairs). */
+  /** SimHash width: 60 bits (15 hex chars of md5 per token = 60 unbiased
+    * bits, and the signature stays positive in a signed int64 for both
+    * engines). 4 bands x 15 bits drive the near-dup candidate join: 32k
+    * values per band keeps buckets sparse at scale.
+    */
+  private val SimBits = 60
+  private val BandBits = 15
+  private val NumBands = SimBits / BandBits
+
+  /** 60-bit SimHash signature per doc (shared by q_simhash / q_simhash_pairs).
+    * Per-token hash = the full 60-bit md5 prefix (no mod-P reduction — every
+    * bit position must be an independent coin flip).
+    */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), expr(sparkHash("tok")).as("h"))
-    val bitAggs = (0 until 16).map(j =>
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+    val bitAggs = (0 until SimBits).map(j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1))
         .as(s"s$j"))
-    val combine = (0 until 16)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+    val combine = (0 until SimBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     toks
       .groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .selectExpr("doc_id", s"CAST($combine AS BIGINT) AS simhash")
+  }
+
+  /** DuckDB twin of [[simhashSig]], as a CTE chain ending in `sig`. */
+  private val simhashSigSql: String = {
+    val bits = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val combine = (0 until SimBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bits
+       |  FROM hashed GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits
+       |)""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -186,58 +221,23 @@ object ExtQueries {
           |FROM s5""".stripMargin)
     },
 
-    // ---- SimHash (16-bit) document fingerprint ----
+    // ---- SimHash (60-bit) document fingerprint ----
     QueryDef.sql(
-      "q_simhash", {
-        val bits = (0 until 16)
-          .map(j =>
-            s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-          .mkString(",\n    ")
-        val combine = (0 until 16)
-          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-           |), hashed AS (
-           |  SELECT doc_id, ${duckHash("tok")} AS h FROM toks
-           |), bits AS (
-           |  SELECT doc_id,
-           |    $bits
-           |  FROM hashed GROUP BY doc_id
-           |)
-           |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits""".stripMargin
-      }
+      "q_simhash",
+      s"WITH $simhashSigSql\nSELECT doc_id, simhash FROM sig"
     )(simhashSig),
 
     // ---- SimHash near-dup pairs (hamming distance <= 3) ----
     QueryDef.sql(
-      "q_simhash_pairs", {
-        val bits = (0 until 16)
-          .map(j =>
-            s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-          .mkString(",\n    ")
-        val combine = (0 until 16)
-          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-           |), hashed AS (
-           |  SELECT doc_id, ${duckHash("tok")} AS h FROM toks
-           |), bits AS (
-           |  SELECT doc_id,
-           |    $bits
-           |  FROM hashed GROUP BY doc_id
-           |), sig AS (
-           |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits
-           |)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
-      }
+      "q_simhash_pairs",
+      s"""WITH $simhashSigSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     ) { (s, d) =>
-      // Scale path: hamming<=3 over 16 bits means at least one of the 4
-      // 4-bit bands matches exactly (pigeonhole), so candidates come from
+      // Scale path: hamming<=3 over 60 bits means at least one of the 4
+      // 15-bit bands matches exactly (pigeonhole), so candidates come from
       // an equality join on (band_id, band_value) — a linear shuffle — and
       // only candidates pay the hamming verify. Identical results to the
       // all-pairs formulation with no O(n^2) nested-loop join.
@@ -245,7 +245,8 @@ object ExtQueries {
       val banded = sig.select(
         col("doc_id"), col("simhash"),
         posexplode(expr(
-          "transform(sequence(0, 3), j -> (simhash div shiftleft(1, j * 4)) % 16)"))
+          s"transform(sequence(0, ${NumBands - 1}), " +
+            s"j -> shiftright(simhash, j * $BandBits) & ${(1 << BandBits) - 1})"))
           .as(Seq("band_id", "band_val")))
       val a = banded.select(
         col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
