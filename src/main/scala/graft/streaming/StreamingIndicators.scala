@@ -135,6 +135,35 @@ object StreamingIndicators {
       col("stock_symbol").as("key"),
       to_json(struct(col("*"))).as("value"))
 
+  /** Watermarked tumbling-window OHLC resampling on the live stream — the
+    * streaming twin of the batch `q_ohlc_bars` operator. Late rows beyond
+    * the watermark are dropped; each bar is emitted once, when the
+    * watermark passes its end (append mode). `min_by`/`max_by` on event
+    * time give open/close without a per-window sort, so the whole thing is
+    * one shuffled streaming aggregation with bounded state (open windows
+    * only).
+    */
+  def windowedOhlc(
+      candles: Dataset[Candle],
+      barWidth: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    candles
+      .withWatermark("local_time", watermark)
+      .groupBy(
+        col("stock_symbol"),
+        window(col("local_time"), barWidth).as("bar"))
+      .agg(
+        min_by(col("open"), col("local_time")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("local_time")).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(
+        col("stock_symbol"), col("bar.start").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_ticks"))
+
   /** The reference's input decode (S3): Kafka value bytes -> Candle columns
     * (consumer.py:254-256 with the schema at consumer.py:235-243).
     */

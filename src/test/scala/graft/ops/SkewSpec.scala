@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class SkewSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val skewed = {
+    val s = spark
+    import s.implicits._
+    // one hot key with 10k rows, 50 cold keys with 10 each
+    val hot = (1 to 10000).map(i => ("HOT", i.toLong, i.toDouble))
+    val cold = for (k <- 1 to 50; i <- 1 to 10)
+      yield (s"cold_$k", i.toLong, i.toDouble)
+    (hot ++ cold).toDF("key", "n", "v")
+  }
+
+  test("salted aggregation equals the plain groupBy result") {
+    val expected = skewed.groupBy("key")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("count"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    val got = Skew.saltedAgg(
+      skewed, Seq("key"), salts = 8,
+      Seq(
+        "v" -> Skew.sumAgg("sum_v"),
+        "v" -> Skew.countAgg,
+        "v" -> Skew.minAgg("min_v"),
+        "v" -> Skew.maxAgg("max_v")))
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Double]("sum_v"), r.getAs[Long]("count"),
+          r.getAs[Double]("min_v"), r.getAs[Double]("max_v"))).toMap
+
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (k, (s1, c, mn, mx)) =>
+      val (es, ec, emn, emx) = expected(k)
+      withClue(k) {
+        s1 shouldBe es +- 1e-6 // sum order differs across salts
+        c shouldBe ec
+        mn shouldBe emn
+        mx shouldBe emx
+      }
+    }
+  }
+
+  test("phase 1 shuffles on (key, salt): the hot key spreads across reducers") {
+    val df = Skew.saltedAgg(skewed, Seq("key"), salts = 8,
+      Seq("v" -> Skew.sumAgg("sum_v")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    // two exchanges: (key, __salt) then (key)
+    plan should include("__salt")
+  }
+
+  test("salt is deterministic: same input row always lands in the same salt") {
+    val a = skewed.withColumn("s",
+      pmod(hash(skewed.columns.map(col): _*), lit(8))).collect()
+    val b = skewed.withColumn("s",
+      pmod(hash(skewed.columns.map(col): _*), lit(8))).collect()
+    a.map(_.toSeq) shouldBe b.map(_.toSeq)
+  }
+}

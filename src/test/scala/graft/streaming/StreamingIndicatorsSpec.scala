@@ -160,6 +160,50 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     assert(got.drop(12).forall(r => r.getAs[Any]("ema_10") != null))
   }
 
+  test("windowed OHLC bars: watermarked tumbling aggregation, late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    def candle(sym: String, t: String, o: Double, h: Double, l: Double,
+        c: Double, v: Double) =
+      Candle(sym, Timestamp.valueOf(t), o, h, l, c, v)
+    val input = MemoryStream[Candle]
+    val query = StreamingIndicators
+      .windowedOhlc(input.toDS(), barWidth = "1 hour", watermark = "30 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_ohlc")
+      .start()
+
+    // hour-10 bar for AAA: open=first by time, close=last by time
+    input.addData(Seq(
+      candle("AAA", "2024-01-01 10:05:00", 10, 12, 9, 11, 1),
+      candle("AAA", "2024-01-01 10:45:00", 11, 15, 10, 14, 2),
+      candle("AAA", "2024-01-01 10:20:00", 11, 13, 8, 12, 4)))
+    query.processAllAvailable()
+    // nothing emitted yet: watermark has not passed the window end
+    assert(spark.table("stream_ohlc").count() == 0)
+
+    // an hour-13 row pushes the watermark past 11:30 -> hour-10 bar closes
+    input.addData(Seq(candle("AAA", "2024-01-01 13:00:00", 20, 20, 20, 20, 1)))
+    query.processAllAvailable()
+    val bars = spark.table("stream_ohlc").collect()
+    assert(bars.length == 1)
+    val bar = bars.head
+    assert(bar.getAs[Timestamp]("bar_ts") == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(bar.getAs[Double]("open") == 10.0) // 10:05 row
+    assert(bar.getAs[Double]("high") == 15.0)
+    assert(bar.getAs[Double]("low") == 8.0)
+    assert(bar.getAs[Double]("close") == 14.0) // 10:45 row
+    assert(bar.getAs[Double]("volume") == 7.0)
+    assert(bar.getAs[Long]("n_ticks") == 3L)
+
+    // a late hour-10 row behind the watermark is dropped, not re-aggregated
+    input.addData(Seq(candle("AAA", "2024-01-01 10:59:00", 99, 99, 99, 99, 99)))
+    query.processAllAvailable()
+    assert(spark.table("stream_ohlc").count() == 1)
+    query.stop()
+  }
+
   test("kafka frame + json decode round-trip preserves the candle") {
     val df = StreamingIndicators.toKafkaFrame(
       spark.createDataset(Seq(
