@@ -294,9 +294,9 @@ object DataPrepQueries {
            |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
       }
     ) { (s, d) =>
-      def dot(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-          "cast(0 as double), (acc, v) -> acc + v)"
+      // native codegen'd dot product (graft.functions.VecDot) — same left-
+      // fold semantics as the aggregate(zip_with(...)) formulation and the
+      // DuckDB list_reduce oracle, without the per-row HOF interpreter cost
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -307,8 +307,7 @@ object DataPrepQueries {
         .filter(col("q_id") =!= col("c_id"))
         .withColumn(
           "cosine",
-          expr(dot("q_emb", "c_emb")) /
-            (sqrt(expr(dot("q_emb", "q_emb"))) * sqrt(expr(dot("c_emb", "c_emb")))))
+          graft.functions.VecOps.cosine(col("q_emb"), col("c_emb")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "cosine", "rank")

@@ -21,6 +21,20 @@ object ExtQueries {
   private val duckHash = (x: String) =>
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
 
+  /** 8-bit random-hyperplane LSH bucket over an embedding column, via the
+    * native codegen'd [[graft.functions.VecPlaneDot]] projections. Plane
+    * family (a_j, b_j) matches the DuckDB oracle formula exactly.
+    */
+  private def lshBucket(emb: Column): Column = {
+    import graft.functions.VecOps.planeDot
+    (0 until 8)
+      .map(j =>
+        when(planeDot(emb, 1000003 + j * 7919, j * 271 + 17) >= 0.0,
+          lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+      .cast("long")
+  }
+
   /** SimHash width: 60 bits (15 hex chars of md5 per token = 60 unbiased
     * bits, and the signature stays positive in a signed int64 for both
     * engines). 4 bands x 15 bits drive the near-dup candidate join: 32k
@@ -298,20 +312,9 @@ object ExtQueries {
            |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
       }
     ) { (s, d) =>
-      def hcompSpark(j: Int) =
-        s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
-      def planeDot(v: String, j: Int) =
-        s"aggregate(zip_with($v, sequence(1, size($v)), " +
-          s"(x, i) -> cast(x as double) * (${hcompSpark(j)})), " +
-          "cast(0 as double), (acc, x) -> acc + x)"
-      val bucketExpr = (0 until 8)
-        .map(j => s"(CASE WHEN ${planeDot("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      def dot(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-          "cast(0 as double), (acc, v) -> acc + v)"
+      import graft.functions.VecOps
       val sig = Tables.embeddings(s, d)
-        .withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+        .withColumn("bucket", lshBucket(col("embedding")))
       val q = sig.filter(col("vec_id") < 10).select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
       val c = sig.select(
@@ -319,10 +322,7 @@ object ExtQueries {
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
       c.join(broadcast(q), Seq("bucket"))
         .filter(col("q_id") =!= col("c_id"))
-        .withColumn(
-          "cosine",
-          expr(dot("q_emb", "c_emb")) /
-            (sqrt(expr(dot("q_emb", "q_emb"))) * sqrt(expr(dot("c_emb", "c_emb")))))
+        .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "cosine", "rank")
@@ -363,27 +363,14 @@ object ExtQueries {
            |GROUP BY e.vec_id""".stripMargin
       }
     ) { (s, d) =>
-      def hcompSpark(j: Int) =
-        s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
-      def planeDot(v: String, j: Int) =
-        s"aggregate(zip_with($v, sequence(1, size($v)), " +
-          s"(x, i) -> cast(x as double) * (${hcompSpark(j)})), " +
-          "cast(0 as double), (acc, x) -> acc + x)"
-      val bucketExpr = (0 until 8)
-        .map(j => s"(CASE WHEN ${planeDot("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      def dot(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-          "cast(0 as double), (acc, v) -> acc + v)"
+      import graft.functions.VecOps
       val sig = Tables.embeddings(s, d)
-        .withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+        .withColumn("bucket", lshBucket(col("embedding")))
       val a = sig.select(col("vec_id").as("v_a"), col("embedding").as("e_a"), col("bucket"))
       val b = sig.select(col("vec_id").as("v_b"), col("embedding").as("e_b"), col("bucket"))
       val pairs = a.join(b, Seq("bucket"))
         .filter(col("v_a") =!= col("v_b"))
-        .filter(
-          (expr(dot("e_a", "e_b")) /
-            (sqrt(expr(dot("e_a", "e_a"))) * sqrt(expr(dot("e_b", "e_b"))))) >= 0.9)
+        .filter(VecOps.cosine(col("e_a"), col("e_b")) >= 0.9)
         .select("v_a", "v_b")
       Tables.embeddings(s, d).select(col("vec_id"))
         .join(pairs, col("v_a") === col("vec_id"), "left")
