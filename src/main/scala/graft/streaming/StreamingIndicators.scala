@@ -57,8 +57,11 @@ object StreamingIndicators {
     }
     val ema10 = if (obs >= 10) Some(emaAcc) else None
     val delta = st.prevClose.map(x - _)
-    val gain = delta.map(d => math.max(d, 0.0))
-    val loss = delta.map(d => math.max(-d, 0.0))
+    // greatest(d, 0.0) in Spark/DuckDB keeps the FIRST arg on ties, so a
+    // zero delta yields loss = -0.0 (like pandas -delta.clip(upper=0));
+    // math.max would normalize to +0.0 and break bit-parity with batch
+    val gain = delta.map(d => if (d >= 0.0) d else 0.0)
+    val loss = delta.map { d => val n = -d; if (n >= 0.0) n else 0.0 }
     val gains = (st.gains ++ gain).takeRight(10)
     val losses = (st.losses ++ loss).takeRight(10)
     val avgGain = if (obs >= 11) Some(gains.sum / 10.0) else None
