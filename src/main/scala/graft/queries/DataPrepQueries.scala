@@ -373,6 +373,35 @@ object DataPrepQueries {
         ((col("value") - mn) / when(mx =!= mn, mx - mn)).as("value_norm"))
     },
 
+    // ---- M3: inverse min-max transform (round-trip back to raw scale) ----
+    QueryDef.sql(
+      "q_minmax_denorm",
+      """WITH n AS (
+        |  SELECT event_id, event_type, value,
+        |    (value - min(value) OVER w) /
+        |    (CASE WHEN max(value) OVER w <> min(value) OVER w
+        |          THEN max(value) OVER w - min(value) OVER w END) AS value_norm,
+        |    min(value) OVER w AS v_min, max(value) OVER w AS v_max
+        |  FROM events WINDOW w AS (PARTITION BY event_type)
+        |)
+        |SELECT event_id, event_type, value,
+        |  value_norm * (v_max - v_min) + v_min AS value_denorm
+        |FROM n""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+      val mn = min(col("value")).over(w)
+      val mx = max(col("value")).over(w)
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("event_type"), col("value"),
+          ((col("value") - mn) / when(mx =!= mn, mx - mn)).as("value_norm"),
+          mn.as("v_min"), mx.as("v_max"))
+        .select(
+          col("event_id"), col("event_type"), col("value"),
+          (col("value_norm") * (col("v_max") - col("v_min")) + col("v_min"))
+            .as("value_denorm"))
+    },
+
     // ---- M2: sliding-window feature extraction (60-step lookback) ----
     QueryDef.sql(
       "q_sliding_features",

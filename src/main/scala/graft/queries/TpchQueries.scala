@@ -165,6 +165,20 @@ object TpchQueries {
           count(lit(1)).as("n_rows"))
     },
 
+    // ---- approximate distinct (HLL sketch) — the scale path for
+    //      cardinality when exact count(DISTINCT) would shuffle every
+    //      value. No oracle (DuckDB's HLL differs); ApproxDistinctSpec
+    //      pins the error bound against the exact counts. ----
+    QueryDef.rowsOnly("q_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+            .as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02)
+            .as("approx_parts"))
+    },
+
     // ---- per-group top-k (window rank) ----
     QueryDef.sql(
       "q_topk_lines_per_supplier",

@@ -16,10 +16,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // rows-only queries: imperative per-record compute with no ANSI-SQL
-  // equivalent; each must carry an exact-value unit spec instead
-  // (q_media_features -> MultimodalSpec)
-  private val rowsOnlyAllowed = Set("q_media_features")
+  // rows-only queries: no cross-engine oracle exists; each must carry a
+  // dedicated unit spec instead (q_media_features -> MultimodalSpec,
+  // q_approx_distinct -> ApproxDistinctSpec: DuckDB's HLL sketch differs)
+  private val rowsOnlyAllowed = Set("q_media_features", "q_approx_distinct")
 
   test("every query has either an oracle or a documented reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
