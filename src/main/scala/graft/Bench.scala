@@ -37,6 +37,9 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
     results("stream_indicators") = streamReplay(spark, sfDir)
+    // same pipeline at bulk cadence (4 large batches): shows the per-batch
+    // fixed cost amortizing away — the throughput number that scales
+    results("stream_indicators_bulk") = streamReplay(spark, sfDir, batches = 4)
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
@@ -51,7 +54,7 @@ object Bench {
     * (dedup gate + flatMapGroupsWithState) in micro-batches; returns wall
     * seconds for the whole replay.
     */
-  def streamReplay(spark: SparkSession, sfDir: String): Double = {
+  def streamReplay(spark: SparkSession, sfDir: String, batches: Int = 20): Double = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
@@ -71,7 +74,7 @@ object Bench {
 
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[graft.model.Candle]
-    val queryName = "bench_stream"
+    val queryName = s"bench_stream_$batches"
     // state-store partition count is fixed at query start from
     // shuffle.partitions; with a handful of symbols, 32 partitions is pure
     // per-batch commit overhead. 8 keeps headroom without the fan-out cost.
@@ -85,7 +88,7 @@ object Bench {
       .format("memory")
       .queryName(queryName)
       .start()
-    val batchSize = math.max(1000, candles.length / 20)
+    val batchSize = math.max(1000, candles.length / batches)
     candles.grouped(batchSize).foreach { chunk =>
       input.addData(chunk.toIndexedSeq)
       query.processAllAvailable()
@@ -95,7 +98,7 @@ object Bench {
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val secs = (System.nanoTime() - t0) / 1e9
     System.err.println(
-      f"[bench] stream_indicators: $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")
+      f"[bench] stream_indicators ($batches batches): $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")
     secs
   }
 }
