@@ -328,6 +328,42 @@ object ExtQueries {
         .select("q_id", "c_id", "cosine", "rank")
     },
 
+    // ---- analytic window-function breadth: rank family + offsets over
+    //      the per-symbol ordered series (one shuffle, shared window) ----
+    QueryDef.sql(
+      "q_window_suite",
+      """SELECT event_id, event_type, ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER wv AS value_rank,
+        |  dense_rank() OVER wv AS value_dense_rank,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER wv AS value_pct_rank,
+        |  cume_dist() OVER wv AS value_cume_dist,
+        |  first_value(value) OVER w AS first_val,
+        |  nth_value(value, 3) OVER w AS third_val
+        |FROM events
+        |WINDOW
+        |  w AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |  wv AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("event_type"), col("ts"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(wv).cast("long").as("value_rank"),
+        dense_rank().over(wv).cast("long").as("value_dense_rank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(wv).as("value_pct_rank"),
+        cume_dist().over(wv).as("value_cume_dist"),
+        first(col("value")).over(w).as("first_val"),
+        nth_value(col("value"), 3).over(w).as("third_val"))
+    },
+
     // ---- embedding-cosine near-dup dedup: LSH bucket -> in-bucket pairs
     //      above threshold -> min-id representative per vector. The bucket
     //      join bounds the candidate set (no all-pairs cross join), so the
