@@ -48,5 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.size == 2, "vec_dot(a, b) takes 2 arguments")
         graft.functions.VecDot(exprs.head, exprs(1))
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("md5p60"),
+      new ExpressionInfo(classOf[graft.functions.Md5Prefix60].getName, "md5p60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "md5p60(str) takes 1 argument")
+        graft.functions.Md5Prefix60(exprs.head)
+      }))
   }
 }

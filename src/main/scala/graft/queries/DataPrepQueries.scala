@@ -24,9 +24,11 @@ object DataPrepQueries {
 
   private val P = 2147483647L // 2^31 - 1
 
-  /** md5-based word/shingle hash, identical formula in both engines. */
-  private val sparkHash = (x: String) =>
-    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint) % $P"
+  /** md5-based word/shingle hash, identical value in both engines. Spark
+    * side uses the native [[graft.functions.Md5Prefix60]] (registered as
+    * `md5p60` by the query constructors — no hex-string round-trip).
+    */
+  private val sparkHash = (x: String) => s"md5p60($x) % $P"
   private val duckHash = (x: String) =>
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
 
@@ -38,7 +40,8 @@ object DataPrepQueries {
 
   // ---------------------------------------------------------------- shingles
   /** Word 3-gram shingles; docs with <3 tokens have none. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
+  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(s)
     Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(
@@ -46,6 +49,7 @@ object DataPrepQueries {
         explode(expr(
           "transform(sequence(1, size(split(text, ' ')) - 2), " +
             "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("shingle"))
+  }
 
   private val shingleSql: String =
     """sh_raw AS (
@@ -261,6 +265,7 @@ object DataPrepQueries {
          |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
          |FROM documents""".stripMargin
     ) { (s, d) =>
+      graft.functions.Md5Prefix60.register(s)
       Tables.documents(s, d).select(
         col("doc_id"),
         expr(

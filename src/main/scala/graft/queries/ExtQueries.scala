@@ -16,8 +16,6 @@ object ExtQueries {
 
   private val P = 2147483647L
 
-  private val sparkHash = (x: String) =>
-    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint) % $P"
   private val duckHash = (x: String) =>
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
 
@@ -49,10 +47,10 @@ object ExtQueries {
     * bit position must be an independent coin flip).
     */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(s)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(col("doc_id"), expr("md5p60(tok)").as("h"))
     val bitAggs = (0 until SimBits).map(j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1))
         .as(s"s$j"))
