@@ -160,6 +160,41 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     assert(got.drop(12).forall(r => r.getAs[Any]("ema_10") != null))
   }
 
+  test("dedup state is bounded: watermark advance evicts old keys") {
+    // The reference's `already_sent` set grows forever (consumer.py:27-28).
+    // Our dedup keys live in the state store only within the watermark
+    // horizon; this asserts eviction actually happens via the state
+    // operator metrics.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Candle]
+    val query = StreamingIndicators
+      .dedupGate(input.toDS(), watermark = "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_evict")
+      .start()
+
+    def candleAt(t: String) =
+      Candle("AAA", Timestamp.valueOf(t), 1, 1, 1, 1, 1)
+
+    // 50 keys at hour 10
+    input.addData((0 until 50).map(i => candleAt(f"2024-01-01 10:00:$i%02d")))
+    query.processAllAvailable()
+    val grow = query.lastProgress.stateOperators.head.numRowsTotal
+    assert(grow >= 50, s"expected >=50 state rows, got $grow")
+
+    // jump event time to hour 13: watermark (12:50) passes all hour-10 keys
+    input.addData(Seq(candleAt("2024-01-01 13:00:00")))
+    query.processAllAvailable()
+    // one more batch so eviction metrics settle
+    input.addData(Seq(candleAt("2024-01-01 13:00:01")))
+    query.processAllAvailable()
+    val after = query.lastProgress.stateOperators.head.numRowsTotal
+    query.stop()
+    assert(after < 50, s"state not evicted: $after rows still held")
+  }
+
   test("windowed OHLC bars: watermarked tumbling aggregation, late rows dropped") {
     implicit val sqlCtx = spark.sqlContext
     def candle(sym: String, t: String, o: Double, h: Double, l: Double,
