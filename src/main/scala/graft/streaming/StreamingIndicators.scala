@@ -167,6 +167,32 @@ object StreamingIndicators {
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("n_ticks"))
 
+  /** Watermarked streaming sessionization: activity sessions per key close
+    * after `gap` of event-time silence and emit once the watermark passes
+    * (append mode). The streaming twin of the batch gap-based q_sessions
+    * operator, on Spark's native `session_window` (state = open sessions
+    * only, merged incrementally — no per-event state accumulation).
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String = "stock_symbol",
+      timeCol: String = "local_time",
+      valueCol: String = "close",
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(keyCol), session_window(col(timeCol), gap).as("sess"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(
+        col(keyCol), col("sess.start").as("window_start"),
+        col("sess.end").as("window_end"), col("n_events"),
+        col("session_start"), col("session_end"), col("sum_value"))
+
   /** The reference's input decode (S3): Kafka value bytes -> Candle columns
     * (consumer.py:254-256 with the schema at consumer.py:235-243).
     */

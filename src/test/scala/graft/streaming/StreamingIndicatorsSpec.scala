@@ -239,6 +239,49 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming sessionization: gap split, session merge, watermark emit") {
+    implicit val sqlCtx = spark.sqlContext
+    def candle(t: String, v: Double) =
+      Candle("AAA", Timestamp.valueOf(t), v, v, v, v, 1)
+    val input = MemoryStream[Candle]
+    val query = StreamingIndicators
+      .sessionize(input.toDS().toDF(), gap = "30 minutes",
+        watermark = "30 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_sessions")
+      .start()
+
+    // session 1: 10:00-10:10 (3 events); session 2 starts 11:00 (>30m gap)
+    input.addData(Seq(
+      candle("2024-01-01 10:00:00", 1),
+      candle("2024-01-01 10:10:00", 2),
+      candle("2024-01-01 10:05:00", 3),
+      candle("2024-01-01 11:00:00", 10)))
+    query.processAllAvailable()
+    // push watermark far past session 1's close
+    input.addData(Seq(candle("2024-01-01 13:00:00", 99)))
+    query.processAllAvailable()
+    input.addData(Seq(candle("2024-01-01 15:00:00", 0)))
+    query.processAllAvailable()
+    val out = spark.table("stream_sessions").collect()
+      .sortBy(_.getAs[Timestamp]("window_start").getTime)
+    query.stop()
+
+    assert(out.length >= 2, s"expected >=2 closed sessions, got ${out.length}")
+    val s1 = out.head
+    assert(s1.getAs[Long]("n_events") == 3)
+    assert(s1.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(s1.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 10:10:00"))
+    assert(s1.getAs[Double]("sum_value") == 6.0)
+    // session-window end = last event + gap
+    assert(s1.getAs[Timestamp]("window_end") == Timestamp.valueOf("2024-01-01 10:40:00"))
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_events") == 1)
+    assert(s2.getAs[Double]("sum_value") == 10.0)
+  }
+
   test("kafka frame + json decode round-trip preserves the candle") {
     val df = StreamingIndicators.toKafkaFrame(
       spark.createDataset(Seq(
