@@ -36,7 +36,7 @@ object DataPrepQueries {
   private val perms: Seq[(Long, Long)] =
     (1 to 16).map(j => (1000003L * j + 12345L, 7919L * j + 271L))
 
-  import Num.dsum
+  import Num.{davg, davgSql, dsum}
 
   // ---------------------------------------------------------------- shingles
   /** Word 3-gram shingles; docs with <3 tokens have none. */
@@ -357,6 +357,41 @@ object DataPrepQueries {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           dsum(col("value")).as("sum_value"))
+    },
+
+    // ---- column profiling: completeness / cardinality / range stats,
+    //      one scan, all columns — the data-quality gate a training
+    //      pipeline runs before ingesting a source ----
+    QueryDef.sql(
+      "q_profile_events",
+      s"""SELECT
+         |  count(*) AS n_rows,
+         |  count(event_id) AS nn_event_id,
+         |  count(user_id) AS nn_user_id,
+         |  count(event_type) AS nn_event_type,
+         |  count(ts) AS nn_ts,
+         |  count(value) AS nn_value,
+         |  count(DISTINCT event_type) AS card_event_type,
+         |  count(DISTINCT user_id) AS card_user_id,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  ${davgSql("value")} AS avg_value,
+         |  min(ts) AS min_ts, max(ts) AS max_ts
+         |FROM events""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("event_id")).as("nn_event_id"),
+        count(col("user_id")).as("nn_user_id"),
+        count(col("event_type")).as("nn_event_type"),
+        count(col("ts")).as("nn_ts"),
+        count(col("value")).as("nn_value"),
+        countDistinct(col("event_type")).as("card_event_type"),
+        countDistinct(col("user_id")).as("card_user_id"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        davg(col("value")).as("avg_value"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
     },
 
     // ---- M1: per-key min-max normalization ----

@@ -160,6 +160,37 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     assert(got.drop(12).forall(r => r.getAs[Any]("ema_10") != null))
   }
 
+  test("rows arriving unordered WITHIN a micro-batch are sorted before folding") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Candle]
+    val query = StreamingIndicators
+      .enrichStream(input.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_shuffled")
+      .start()
+    // one batch, deliberately shuffled delivery order
+    val shuffled = new scala.util.Random(7).shuffle(symA.take(12))
+    input.addData(shuffled)
+    query.processAllAvailable()
+    val got = spark.table("stream_shuffled")
+      .orderBy("local_time").collect()
+    query.stop()
+
+    val clean = symA.take(12).foldLeft(
+      (StreamingIndicators.emptyState, Vector.empty[graft.model.EnrichedCandle])) {
+      case ((st, acc), c) =>
+        val (n, e) = StreamingIndicators.step(st, c)
+        (n, acc :+ e)
+    }._2
+    assert(got.length == clean.length)
+    got.zip(clean).foreach { case (g, e) =>
+      assert(Option(g.getAs[Any]("sma_5")).map(_.asInstanceOf[Double]) == e.sma_5)
+      assert(Option(g.getAs[Any]("ema_10")).map(_.asInstanceOf[Double]) == e.ema_10)
+    }
+  }
+
   test("dedup state is bounded: watermark advance evicts old keys") {
     // The reference's `already_sent` set grows forever (consumer.py:27-28).
     // Our dedup keys live in the state store only within the watermark
