@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dump the executed (AQE-final) formatted plans of the headline queries —
+  * the artifact behind "explain, then iterate until it's the plan you'd
+  * want". Usage: `runMain graft.Plans <sfDir> [out.md]`.
+  */
+object Plans {
+
+  val headline: Seq[String] = Seq(
+    "q_indicators", // 1 shuffle, 3 cascaded windows, codegen
+    "q1_pricing", // scan -> partial agg -> exchange -> final agg
+    "q5_local_supplier", // all dims broadcast, fact never re-shuffled
+    "q_agg_avg", // pushdown + column pruning at the scan
+    "q_knn_lsh", // broadcast probes, bucket-equality join
+    "q_minhash_pairs", // ReusedExchange on the signature subtree
+    "q_simhash_pairs", // band LSH join, no nested-loop
+    "q_top_orders", // TakeOrderedAndProject, no global sort
+    "q_media_frames" // codegen'd binary slicing + posexplode
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) Some(args(1)) else None
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append("# Physical plans (AQE-final, formatted) — headline queries\n\n")
+    sb.append(s"Scale dir: `$sfDir`. Regenerate: " +
+      "`sbt 'runMain graft.Plans <sfDir> PLANS.md'`.\n")
+    headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize AQE
+      val plan = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    out match {
+      case Some(path) =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+        println(s"[plans] wrote $path")
+      case None => println(sb.toString)
+    }
+    spark.stop()
+  }
+}

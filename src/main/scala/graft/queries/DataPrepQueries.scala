@@ -143,6 +143,41 @@ object DataPrepQueries {
         .distinct()
     },
 
+    // ---- MinHash near-dup dedup: candidate pairs -> min-id rep per doc ----
+    QueryDef.sql(
+      "q_dedup_minhash",
+      s"""$minhashBandsSql, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id <> b.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(p.doc_b), d.doc_id)) AS keep_doc_id,
+         |  least(d.doc_id, coalesce(min(p.doc_b), d.doc_id)) < d.doc_id AS is_dup
+         |FROM documents d LEFT JOIN pairs p ON p.doc_a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val bands = minhashBands(s, d)
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+      val b = bands.select(
+        col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
+        col("band_hash").as("band_hash_b"))
+      val pairs = a.join(
+          b,
+          col("band_id") === col("band_id_b") &&
+            col("band_hash") === col("band_hash_b") &&
+            col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(pairs, col("doc_a") === col("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(least(col("doc_id"), coalesce(min(col("doc_b")), col("doc_id")))
+          .as("keep_doc_id"))
+        .withColumn("is_dup", col("keep_doc_id") < col("doc_id"))
+    },
+
     // ---- n-gram Jaccard similarity on a deterministic pair sample ----
     QueryDef.sql(
       "q_jaccard_pairs",
