@@ -160,6 +160,50 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     assert(got.drop(12).forall(r => r.getAs[Any]("ema_10") != null))
   }
 
+  test("transformWithState variant matches the flatMapGroupsWithState output") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Candle]
+      val query = StreamingIndicators
+        .enrichStreamTWS(input.toDS())
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("stream_tws")
+        .start()
+      input.addData(symA.take(12))
+      query.processAllAvailable()
+      input.addData(symA.drop(12))
+      query.processAllAvailable()
+      val got = spark.table("stream_tws").orderBy("local_time").collect()
+      query.stop()
+
+      val clean = symA.foldLeft(
+        (StreamingIndicators.emptyState, Vector.empty[graft.model.EnrichedCandle])) {
+        case ((st, acc), c) =>
+          val (n, e) = StreamingIndicators.step(st, c)
+          (n, acc :+ e)
+      }._2
+      assert(got.length == clean.length)
+      got.zip(clean).foreach { case (g, e) =>
+        assert(Option(g.getAs[Any]("ema_10")).map(_.asInstanceOf[Double]) == e.ema_10)
+        assert(Option(g.getAs[Any]("rsi_10")).map(_.asInstanceOf[Double]) == e.rsi_10)
+        assert(g.getAs[String]("signal") == e.signal)
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rows arriving unordered WITHIN a micro-batch are sorted before folding") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Candle]
@@ -268,6 +312,30 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     query.processAllAvailable()
     assert(spark.table("stream_ohlc").count() == 1)
     query.stop()
+  }
+
+  test("stream -> enriched -> day-partitioned store via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Candle]
+    // symA spans one day; add a second-day candle to get 2 partitions
+    val day2 = Candle("AAA", Timestamp.valueOf("2024-01-02 00:00:00"),
+      1, 1, 1, 1, 1)
+    val query = StreamingIndicators.sinkToStore(
+      StreamingIndicators.pipeline(input.toDS()),
+      s"$base/store", s"$base/ck")
+    input.addData(symA.take(10))
+    query.processAllAvailable()
+    input.addData(symA.drop(10) :+ day2)
+    query.processAllAvailable()
+    query.stop()
+
+    val back = graft.sources.PartitionedStore.read(spark, s"$base/store")
+    assert(back.count() == symA.length + 1)
+    assert(back.select("trade_date").distinct().count() == 2)
+    // enrichment columns survived the store round-trip
+    assert(back.columns.contains("signal"))
+    assert(back.filter(col("ema_10").isNotNull).count() > 0)
   }
 
   test("streaming sessionization: gap split, session merge, watermark emit") {
