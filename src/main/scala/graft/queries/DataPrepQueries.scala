@@ -203,7 +203,12 @@ object DataPrepQueries {
          |JOIN cnt cb ON cb.doc_id = p.doc_b
          |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin
     ) { (s, d) =>
-      val sh = shingleDf(s, d).distinct()
+      // only docs with doc_id%10 in {0,1} appear in the sampled pairs, so
+      // prune the shingle frame BEFORE the distinct/count/self-join — the
+      // shuffles downstream shrink ~5x and results are identical
+      val sh = shingleDf(s, d)
+        .filter(col("doc_id") % 10 <= 1)
+        .distinct()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val docs = Tables.documents(s, d).select("doc_id")
       val pairs = docs
