@@ -434,6 +434,27 @@ object DataPrepQueries {
         max(col("ts")).as("max_ts"))
     },
 
+    // ---- exact interpolated quantiles per group (profiling/quality
+    //      thresholds); Spark percentile and DuckDB quantile_cont share
+    //      the p*(n-1) linear-interpolation semantics on doubles ----
+    QueryDef.sql(
+      "q_quantiles",
+      """SELECT event_type,
+        |  quantile_cont(value, 2.5e-1) AS p25,
+        |  quantile_cont(value, 5e-1) AS p50,
+        |  quantile_cont(value, 7.5e-1) AS p75,
+        |  quantile_cont(value, 9.5e-1) AS p95
+        |FROM events GROUP BY event_type""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.25D)").as("p25"),
+          expr("percentile(value, 0.5D)").as("p50"),
+          expr("percentile(value, 0.75D)").as("p75"),
+          expr("percentile(value, 0.95D)").as("p95"))
+    },
+
     // ---- M1: per-key min-max normalization ----
     QueryDef.sql(
       "q_minmax_norm",
