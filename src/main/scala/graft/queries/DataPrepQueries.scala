@@ -36,7 +36,7 @@ object DataPrepQueries {
   private val perms: Seq[(Long, Long)] =
     (1 to 16).map(j => (1000003L * j + 12345L, 7919L * j + 271L))
 
-  import Num.{davg, davgSql, dsum}
+  import Num.{davg, davgSql, dsum, dsumSql}
 
   // ---------------------------------------------------------------- shingles
   /** Word 3-gram shingles; docs with <3 tokens have none. */
@@ -432,6 +432,67 @@ object DataPrepQueries {
         davg(col("value")).as("avg_value"),
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
+    },
+
+    // ---- value histogram per group: fixed bucket arithmetic (identical
+    //      double ops in both engines), integer counts ----
+    QueryDef.sql(
+      "q_histogram",
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    min(value) OVER w AS v_min, max(value) OVER w AS v_max
+        |  FROM events WINDOW w AS (PARTITION BY event_type)
+        |), k AS (
+        |  SELECT event_type,
+        |    CASE WHEN v_max = v_min THEN 0
+        |         ELSE least(9, CAST(floor((value - v_min) / (v_max - v_min) * 1e1) AS BIGINT))
+        |    END AS bucket
+        |  FROM b
+        |)
+        |SELECT event_type, bucket, count(*) AS n
+        |FROM k GROUP BY event_type, bucket""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+      val vMin = min(col("value")).over(w)
+      val vMax = max(col("value")).over(w)
+      Tables.events(s, d)
+        .select(
+          col("event_type"),
+          when(vMax === vMin, 0L).otherwise(
+            least(lit(9L),
+              floor((col("value") - vMin) / (vMax - vMin) * lit(10.0))
+                .cast("long"))).as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- time-trend correlation per group, from order-independent
+    //      fixed-point sums (plain corr() would be summation-order-
+    //      dependent across partitions) ----
+    QueryDef.sql(
+      "q_trend_corr", {
+        val sx = dsumSql("CAST(epoch_us(ts) AS DOUBLE) / 1e6")
+        val sy = dsumSql("value")
+        val sxy = dsumSql("(CAST(epoch_us(ts) AS DOUBLE) / 1e6) * value / 1e6")
+        val sxx = dsumSql(
+          "(CAST(epoch_us(ts) AS DOUBLE) / 1e6) * (CAST(epoch_us(ts) AS DOUBLE) / 1e6) / 1e6")
+        val syy = dsumSql("value * value")
+        s"""SELECT event_type, count(*) AS n,
+           |  $sx AS sum_t, $sy AS sum_v, $sxy AS sum_tv_scaled,
+           |  $sxx AS sum_tt_scaled, $syy AS sum_vv
+           |FROM events GROUP BY event_type""".stripMargin
+      }
+    ) { (s, d) =>
+      val tSec = col("ts").cast("double")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(tSec).as("sum_t"),
+          dsum(col("value")).as("sum_v"),
+          dsum(tSec * col("value") / lit(1e6)).as("sum_tv_scaled"),
+          dsum(tSec * tSec / lit(1e6)).as("sum_tt_scaled"),
+          dsum(col("value") * col("value")).as("sum_vv"))
     },
 
     // ---- exact interpolated quantiles per group (profiling/quality
