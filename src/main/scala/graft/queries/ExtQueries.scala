@@ -362,6 +362,71 @@ object ExtQueries {
         nth_value(col("value"), 3).over(w).as("third_val"))
     },
 
+    // ---- IVF ANN: deterministic coarse codebook (first 8 vectors),
+    //      cells assigned by max cosine, queries probe their nprobe=2
+    //      nearest cells. At scale: the cell assignment is one broadcast
+    //      pass over the corpus, the search shuffles only the probed
+    //      cells' vectors — the standard inverted-file trade of recall
+    //      for a bounded candidate set. ----
+    QueryDef.sql(
+      "q_knn_ivf", {
+        def dotDuck(a: String, b: String) =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
+             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
+        def cosDuck(a: String, b: String) =
+          s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+           |  WHERE vec_id < 8
+           |), scored AS (
+           |  SELECT e.vec_id, e.embedding, c.cent_id,
+           |    ${cosDuck("e.embedding", "c.cent_emb")} AS cs,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
+           |  FROM embeddings e, cent c
+           |), assign AS (
+           |  SELECT vec_id, embedding, cent_id FROM scored WHERE rk = 1
+           |), probes AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS probe_cent
+           |  FROM scored WHERE vec_id < 10 AND rk <= 2
+           |), p AS (
+           |  SELECT pr.q_id, a.vec_id AS c_id,
+           |    ${cosDuck("pr.q_emb", "a.embedding")} AS cosine
+           |  FROM probes pr JOIN assign a ON a.cent_id = pr.probe_cent
+           |  WHERE a.vec_id <> pr.q_id
+           |)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cent_id"))
+      val scored = emb
+        .crossJoin(broadcast(cent))
+        .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
+        .withColumn("rk", row_number().over(wAssign))
+      val assign = scored.filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val probes = scored.filter(col("vec_id") < 10 && col("rk") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cent_id").as("probe_cent"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("c_id"))
+      assign.join(broadcast(probes), col("cent_id") === col("probe_cent"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          col("vec_id").as("c_id"),
+          VecOps.cosine(col("q_emb"), col("embedding")).as("cosine"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "cosine", "rank")
+    },
+
     // ---- embedding-cosine near-dup dedup: LSH bucket -> in-bucket pairs
     //      above threshold -> min-id representative per vector. The bucket
     //      join bounds the candidate set (no all-pairs cross join), so the
