@@ -264,6 +264,30 @@ object StreamingIndicators {
         col("sess.end").as("window_end"), col("n_events"),
         col("session_start"), col("session_end"), col("sum_value"))
 
+  /** Stream-stream interval join: each left-stream event matched to all
+    * right-stream events for the same key within `[t - lookback, t]` —
+    * trade-to-quote matching, order-to-fill correlation, etc. Watermarks
+    * on BOTH sides bound the join state (Spark evicts buffered rows once
+    * they can no longer match), so state stays proportional to the
+    * lookback window, not the stream history.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String = "stock_symbol",
+      timeCol: String = "local_time",
+      lookback: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(timeCol, watermark).alias("l")
+    val r = right.withWatermark(timeCol, watermark).alias("r")
+    l.join(
+      r,
+      expr(
+        s"""l.$keyCol = r.$keyCol AND
+           |r.$timeCol BETWEEN l.$timeCol - INTERVAL $lookback AND l.$timeCol
+           |""".stripMargin))
+  }
+
   /** The reference's input decode (S3): Kafka value bytes -> Candle columns
     * (consumer.py:254-256 with the schema at consumer.py:235-243).
     */

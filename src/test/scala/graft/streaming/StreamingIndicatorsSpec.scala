@@ -381,6 +381,51 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     assert(s2.getAs[Double]("sum_value") == 10.0)
   }
 
+  test("stream-stream interval join: key + time-bounded matches only") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, Timestamp, Double)]
+    val quotes = MemoryStream[(String, Timestamp, Double)]
+    val tDf = trades.toDS().toDF("stock_symbol", "local_time", "price")
+    val qDf = quotes.toDS()
+      .toDF("stock_symbol", "local_time", "quote")
+      .withColumnRenamed("stock_symbol", "q_sym")
+      .withColumnRenamed("local_time", "q_time")
+    // rename key/time on the right to keep output columns unambiguous
+    val joined = StreamingIndicators.intervalJoin(
+      tDf,
+      qDf.withColumnRenamed("q_sym", "stock_symbol")
+        .withColumnRenamed("q_time", "local_time"),
+      lookback = "5 minutes")
+      .select(
+        col("l.stock_symbol"), col("l.local_time").as("trade_time"),
+        col("price"), col("r.local_time").as("quote_time"), col("quote"))
+
+    val query = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_ij")
+      .start()
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    quotes.addData(Seq(
+      ("AAA", ts("2024-01-01 10:00:00"), 99.0), // within 5m of the trade
+      ("AAA", ts("2024-01-01 10:04:00"), 100.0), // within
+      ("AAA", ts("2024-01-01 09:54:00"), 98.0), // too old
+      ("AAA", ts("2024-01-01 10:06:00"), 101.0), // after the trade
+      ("BBB", ts("2024-01-01 10:03:00"), 55.0))) // wrong key
+    trades.addData(Seq(("AAA", ts("2024-01-01 10:05:00"), 100.5)))
+    query.processAllAvailable()
+    // advance both watermarks so results finalize
+    quotes.addData(Seq(("AAA", ts("2024-01-01 11:00:00"), 1.0)))
+    trades.addData(Seq(("ZZZ", ts("2024-01-01 11:00:00"), 1.0)))
+    query.processAllAvailable()
+
+    val got = spark.table("stream_ij")
+      .filter(col("price") === 100.5).collect()
+    query.stop()
+    assert(got.map(_.getAs[Double]("quote")).sorted.toSeq == Seq(99.0, 100.0))
+  }
+
   test("kafka frame + json decode round-trip preserves the candle") {
     val df = StreamingIndicators.toKafkaFrame(
       spark.createDataset(Seq(
