@@ -74,6 +74,42 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     byDoc.contains(3L) shouldBe false
   }
 
+  test("media features flow into the ANN path (thumbnail cosine top-k)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = mediaTable(spark, "/root/testdata/sf0.001").as[MediaRecord]
+    val feats = extractFeatures(media)
+      .select(col("doc_id"), col("thumb_4x4").as("emb"))
+    val q = feats.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("emb").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("doc_id"))
+    val topk = feats.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("cosine",
+        graft.functions.VecOps.cosine(col("q_emb"), col("emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect()
+    // every probe gets 3 neighbors with sane cosine values
+    topk.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      rows should have length 3
+      rows.foreach { r =>
+        val c = r.getAs[Double]("cosine")
+        assert(!c.isNaN && c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9)
+      }
+    }
+    // deterministic across runs (fake codec + deterministic pipeline)
+    val again = feats.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("cosine",
+        graft.functions.VecOps.cosine(col("q_emb"), col("emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect()
+    assert(topk.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("mediaTable: binary column schema with typed metadata") {
     val m = mediaTable(spark, "/root/testdata/sf0.001")
     m.schema("blob").dataType.typeName shouldBe "binary"
