@@ -468,17 +468,21 @@ object DataPrepQueries {
 
     // ---- time-trend correlation per group, from order-independent
     //      fixed-point sums (plain corr() would be summation-order-
-    //      dependent across partitions) ----
+    //      dependent across partitions). Terms are pre-scaled so each
+    //      quantized sum stays below 2^53: above that, the exact-integer
+    //      -> double conversion itself rounds, and DuckDB's int128 path
+    //      rounds differently from the JVM's BigDecimal path (observed
+    //      1-ulp divergence at sf0.1). ----
     QueryDef.sql(
       "q_trend_corr", {
-        val sx = dsumSql("CAST(epoch_us(ts) AS DOUBLE) / 1e6")
+        val t = "(CAST(epoch_us(ts) AS DOUBLE) / 1e6)"
+        val sx = dsumSql(s"$t / 1e6")
         val sy = dsumSql("value")
-        val sxy = dsumSql("(CAST(epoch_us(ts) AS DOUBLE) / 1e6) * value / 1e6")
-        val sxx = dsumSql(
-          "(CAST(epoch_us(ts) AS DOUBLE) / 1e6) * (CAST(epoch_us(ts) AS DOUBLE) / 1e6) / 1e6")
+        val sxy = dsumSql(s"$t * value / 1e8")
+        val sxx = dsumSql(s"$t * $t / 1e14")
         val syy = dsumSql("value * value")
         s"""SELECT event_type, count(*) AS n,
-           |  $sx AS sum_t, $sy AS sum_v, $sxy AS sum_tv_scaled,
+           |  $sx AS sum_t_scaled, $sy AS sum_v, $sxy AS sum_tv_scaled,
            |  $sxx AS sum_tt_scaled, $syy AS sum_vv
            |FROM events GROUP BY event_type""".stripMargin
       }
@@ -488,10 +492,10 @@ object DataPrepQueries {
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          dsum(tSec).as("sum_t"),
+          dsum(tSec / lit(1e6)).as("sum_t_scaled"),
           dsum(col("value")).as("sum_v"),
-          dsum(tSec * col("value") / lit(1e6)).as("sum_tv_scaled"),
-          dsum(tSec * tSec / lit(1e6)).as("sum_tt_scaled"),
+          dsum(tSec * col("value") / lit(1e8)).as("sum_tv_scaled"),
+          dsum(tSec * tSec / lit(1e14)).as("sum_tt_scaled"),
           dsum(col("value") * col("value")).as("sum_vv"))
     },
 

@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.DecimalType
   *
   * The defined semantics are "sum at fixed 6-decimal precision" — stable at
   * any parallelism, any partitioning, any scale factor.
+  *
+  * CALLER CONTRACT: keep the quantized sum below 2^53. The integer
+  * accumulation never overflows, but converting an exact integer above
+  * 2^53 back to double itself rounds — and engines round differently
+  * there (DuckDB int128 vs JVM BigDecimal, observed 1-ulp divergence).
+  * For large-magnitude terms, pre-scale (divide by a power of ten) so
+  * `|sum(term)| * 1e6 < 9e15`, and name the column `*_scaled`.
   */
 object Num {
 
