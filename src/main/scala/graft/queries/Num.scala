@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Num {
 
-  /** Exact fixed-point sum of a double column. */
+  /** Exact fixed-point sum of a double column (6-decimal precision). */
   def dsum(c: Column): Column =
     sum(floor(c * lit(1e6)).cast(DecimalType(38, 0))).cast("double") / lit(1e6)
 
@@ -43,4 +43,20 @@ object Num {
 
   def davgSql(term: String): String =
     s"${dsumSql(term)} / count($term)"
+
+  /** 2-decimal (money) variants for large-magnitude columns: the coarser
+    * quantization keeps `sum * 1e2` under 2^53 through ~sf100 for
+    * TPC-H-style revenue sums, where the 1e6 quantization would cross the
+    * exact-double bound and hit engine-dependent int->double rounding.
+    */
+  def dsum2(c: Column): Column =
+    sum(floor(c * lit(1e2)).cast(DecimalType(38, 0))).cast("double") / lit(1e2)
+
+  def dsum2Sql(term: String): String =
+    s"CAST(sum(CAST(floor(($term) * 1e2) AS BIGINT)) AS DOUBLE) / 1e2"
+
+  def davg2(c: Column): Column = dsum2(c) / count(c)
+
+  def davg2Sql(term: String): String =
+    s"${dsum2Sql(term)} / count($term)"
 }

@@ -19,7 +19,7 @@ import graft.model.Tables
   */
 object TpchQueries {
 
-  import Num.{davg, davgSql, dsum, dsumSql}
+  import Num.{davg, davg2, davg2Sql, davgSql, dsum, dsum2, dsum2Sql, dsumSql}
 
   val all: Seq[QueryDef] = Seq(
     // ---- TPC-H Q1 shape: pricing summary (scan + filter + groupBy agg) ----
@@ -27,11 +27,11 @@ object TpchQueries {
       "q1_pricing",
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
-         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-         |  ${dsumSql("l_extendedprice * (1e0 - l_discount)")} AS sum_disc_price,
-         |  ${dsumSql("l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax)")} AS sum_charge,
+         |  ${dsum2Sql("l_extendedprice")} AS sum_base_price,
+         |  ${dsum2Sql("l_extendedprice * (1e0 - l_discount)")} AS sum_disc_price,
+         |  ${dsum2Sql("l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax)")} AS sum_charge,
          |  ${davgSql("l_quantity")} AS avg_qty,
-         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davg2Sql("l_extendedprice")} AS avg_price,
          |  ${davgSql("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem
@@ -43,13 +43,13 @@ object TpchQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
             (lit(1.0) + col("l_tax"))).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
+          davg2(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order")
         )
@@ -90,7 +90,7 @@ object TpchQueries {
     QueryDef.sql(
       "q5_local_supplier",
       s"""SELECT n_name,
-         |  ${dsumSql("l_extendedprice * (1e0 - l_discount)")} AS revenue
+         |  ${dsum2Sql("l_extendedprice * (1e0 - l_discount)")} AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON l_orderkey = o_orderkey
@@ -118,7 +118,7 @@ object TpchQueries {
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .agg(dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     },
 
