@@ -36,7 +36,7 @@ object DataPrepQueries {
   private val perms: Seq[(Long, Long)] =
     (1 to 16).map(j => (1000003L * j + 12345L, 7919L * j + 271L))
 
-  import Num.{davg, davgSql, dsum, dsumSql}
+  import Num.{davg, davg2, davg2Sql, davgSql, dsum, dsumSql}
 
   // ---------------------------------------------------------------- shingles
   /** Word 3-gram shingles; docs with <3 tokens have none. */
@@ -414,7 +414,7 @@ object DataPrepQueries {
          |  count(DISTINCT event_type) AS card_event_type,
          |  count(DISTINCT user_id) AS card_user_id,
          |  min(value) AS min_value, max(value) AS max_value,
-         |  ${davgSql("value")} AS avg_value,
+         |  ${davg2Sql("value")} AS avg_value,
          |  min(ts) AS min_ts, max(ts) AS max_ts
          |FROM events""".stripMargin
     ) { (s, d) =>
@@ -429,7 +429,7 @@ object DataPrepQueries {
         countDistinct(col("user_id")).as("card_user_id"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        davg(col("value")).as("avg_value"),
+        davg2(col("value")).as("avg_value"),
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
     },
