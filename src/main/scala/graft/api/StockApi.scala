@@ -85,7 +85,11 @@ object StockApi {
       now: Timestamp): AggResult = {
     val f = normalizeField(field)
     val aggCol = aggregation match {
-      case "avg"     => Num.davg(col(f))
+      // cast first: the whitelist admits timestamp/string fields, where a
+      // bare davg would fail analysis (timestamp) — cast averages the
+      // timestamp as epoch seconds and yields null for strings, matching
+      // the permissive SQL the reference issues (views.py:26-35)
+      case "avg"     => Num.davg(col(f).cast("double"))
       case "highest" => max(col(f))
       case "lowest"  => min(col(f))
       case other =>

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   * min_periods=n).mean()` as used by the reference at
   * services/stream-processing/app/consumer.py:114 (`/root/reference`):
   *   - y_0 = x_0; y_t = (1-alpha)*y_{t-1} + alpha*x_t, alpha = 2/(span+1)
-  *   - null inputs are skipped (state carries over)
+  *   - null inputs are skipped (state carries over; the observation count
+  *     does not advance). NOTE: this is pandas' `ignore_na=True` behavior,
+  *     not the `ignore_na=False` default (which re-weights across NaN
+  *     gaps) — the distinction is unobservable on the reference's data
+  *     plane, where candle closes are never null (ingest.py:89-97).
   *   - result is null until `minPeriods` non-null observations were seen.
   *
   * Implemented as a `DeclarativeAggregate` window function (same machinery

@@ -131,7 +131,10 @@ case class VecPlaneDot(child: Expression, a: Int, b: Int)
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val x = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
-      val plane = (((i + 1) * a + b) % 1000) * 1e-3 - 5e-1
+      // 64-bit index arithmetic: DuckDB's range() yields BIGINT, so the
+      // oracle computes (i*a+b) in 64-bit — int32 would wrap for dims
+      // beyond ~2034 and silently diverge
+      val plane = (((i + 1).toLong * a + b) % 1000L) * 1e-3 - 5e-1
       acc += x * plane
       i += 1
     }
@@ -152,7 +155,7 @@ case class VecPlaneDot(child: Expression, a: Int, b: Int)
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($arr.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (${getter(arr, i)}) * (((($i + 1) * $a + $b) % 1000) * 1e-3 - 5e-1);
+         |  $acc += (${getter(arr, i)}) * (((($i + 1L) * ${a}L + ${b}L) % 1000L) * 1e-3 - 5e-1);
          |}
          |if (!${ev.isNull}) ${ev.value} = $acc;
        """.stripMargin

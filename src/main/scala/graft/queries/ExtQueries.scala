@@ -14,11 +14,6 @@ object ExtQueries {
 
   import Num.{dsumSql, dsum}
 
-  private val P = 2147483647L
-
-  private val duckHash = (x: String) =>
-    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
-
   /** 8-bit random-hyperplane LSH bucket over an embedding column, via the
     * native codegen'd [[graft.functions.VecPlaneDot]] projections. Plane
     * family (a_j, b_j) matches the DuckDB oracle formula exactly.

@@ -84,14 +84,23 @@ object StreamingIndicators {
   val emptyState: IndState =
     IndState(None, None, 0, Array.empty, Array.empty, Array.empty)
 
+  /** Total order on candles within a (symbol, batch) slice: time first,
+    * then the payload, so equal-timestamp rows fold in a deterministic
+    * order regardless of shuffle arrival.
+    */
+  private def candleSortKey(c: Candle) =
+    (c.local_time.getTime, c.close, c.open, c.high, c.low, c.volume)
+
   private def advanceGroup(
       key: String,
       rows: Iterator[Candle],
       state: GroupState[IndState]): Iterator[EnrichedCandle] = {
     // rows within a micro-batch arrive unordered; sort this batch's slice.
+    // Tie-break on the payload so duplicate timestamps (possible when the
+    // caller skips the dedup gate) still fold deterministically.
     // (cross-batch order is the source's responsibility; late rows are
     // handled by the watermarked dedup upstream.)
-    val sorted = rows.toSeq.sortBy(c => (c.local_time.getTime, c.stock_symbol))
+    val sorted = rows.toSeq.sortBy(candleSortKey)
     var st = state.getOption.getOrElse(emptyState)
     val out = sorted.map { c =>
       val (next, enriched) = step(st, c)
@@ -141,7 +150,7 @@ object StreamingIndicators {
         rows: Iterator[Candle],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[EnrichedCandle] = {
-      val sorted = rows.toSeq.sortBy(c => (c.local_time.getTime, c.stock_symbol))
+      val sorted = rows.toSeq.sortBy(candleSortKey)
       var st = if (state.exists()) state.get() else emptyState
       val out = sorted.map { c =>
         val (next, enriched) = step(st, c)
@@ -185,20 +194,25 @@ object StreamingIndicators {
 
   /** Persist the enriched stream into the day-partitioned store — the
     * replacement for the reference's row-at-a-time QuestDB sinks (K4/K5,
-    * kafka-to-questdb/consumer.py:60-80): each micro-batch appends whole
-    * columnar files via foreachBatch, exactly-once per epoch under the
-    * query's checkpoint. Returns the started query.
+    * kafka-to-questdb/consumer.py:60-80). Uses the NATIVE parquet
+    * streaming sink (not foreachBatch + blind append, which is only
+    * at-least-once on micro-batch replay): the sink's file manifest
+    * commits atomically with the checkpoint epoch, so replayed batches
+    * never double-write. Returns the started query.
     */
   def sinkToStore(
       enriched: Dataset[EnrichedCandle],
       storePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    enriched.writeStream
+    enriched
+      .withColumn(graft.sources.PartitionedStore.PartitionCol,
+        to_date(col("local_time")))
+      .writeStream
       .outputMode("append")
+      .format("parquet")
+      .option("path", storePath)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[EnrichedCandle], _: Long) =>
-        graft.sources.PartitionedStore.write(batch.toDF(), storePath)
-      }
+      .partitionBy(graft.sources.PartitionedStore.PartitionCol)
       .start()
 
   /** Kafka-sink projection: key = symbol, value = JSON of all 17 fields —
@@ -227,10 +241,12 @@ object StreamingIndicators {
         col("stock_symbol"),
         window(col("local_time"), barWidth).as("bar"))
       .agg(
-        min_by(col("open"), col("local_time")).as("open"),
+        // struct ordering keys make equal-timestamp ticks deterministic
+        // even when the caller skips the dedup gate
+        min_by(col("open"), struct(col("local_time"), col("open"))).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), col("local_time")).as("close"),
+        max_by(col("close"), struct(col("local_time"), col("close"))).as("close"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_ticks"))
       .select(
