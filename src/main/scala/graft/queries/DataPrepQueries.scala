@@ -317,11 +317,7 @@ object DataPrepQueries {
     // ---- brute-force cosine top-k ANN baseline ----
     QueryDef.sql(
       "q_knn_brute", {
-        def dot(a: String, b: String) =
-          s"""list_reduce(list_prepend(0e0, list_transform(
-             |      range(1, len($a) + 1),
-             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-             |    (acc, v) -> acc + v)""".stripMargin
+        def dot(a: String, b: String) = OracleVec.dot(a, b)
         s"""WITH q AS (
            |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
            |  WHERE vec_id < 10

@@ -275,17 +275,8 @@ object ExtQueries {
     //      similarity search: probes compare only within their bucket ----
     QueryDef.sql(
       "q_knn_lsh", {
-        def hcompDuck(j: Int) =
-          s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
-        def planeDotDuck(v: String, j: Int) =
-          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($v) + 1),
-             |      i -> CAST($v[i] AS DOUBLE) * (${hcompDuck(j)}))), (acc, x) -> acc + x)""".stripMargin
-        val bucketDuck = (0 until 8)
-          .map(j => s"(CASE WHEN ${planeDotDuck("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        def dotDuck(a: String, b: String) =
-          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
-             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
+        val bucketDuck = OracleVec.bucket("embedding")
+        def dotDuck(a: String, b: String) = OracleVec.dot(a, b)
         s"""WITH sig AS (
            |  SELECT vec_id, embedding, CAST($bucketDuck AS BIGINT) AS bucket
            |  FROM embeddings
@@ -365,11 +356,7 @@ object ExtQueries {
     //      for a bounded candidate set. ----
     QueryDef.sql(
       "q_knn_ivf", {
-        def dotDuck(a: String, b: String) =
-          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
-             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
-        def cosDuck(a: String, b: String) =
-          s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
         s"""WITH cent AS (
            |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
            |  WHERE vec_id < 8
@@ -428,17 +415,8 @@ object ExtQueries {
     //      shuffle is on the 8-bit bucket key and scales linearly in rows. ----
     QueryDef.sql(
       "q_dedup_embedding", {
-        def hcompDuck(j: Int) =
-          s"(((i * ${1000003 + j * 7919}) + ${j * 271 + 17}) % 1000) * 1e-3 - 5e-1"
-        def planeDotDuck(v: String, j: Int) =
-          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($v) + 1),
-             |      i -> CAST($v[i] AS DOUBLE) * (${hcompDuck(j)}))), (acc, x) -> acc + x)""".stripMargin
-        val bucketDuck = (0 until 8)
-          .map(j => s"(CASE WHEN ${planeDotDuck("embedding", j)} >= 0e0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        def dotDuck(a: String, b: String) =
-          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
-             |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
+        val bucketDuck = OracleVec.bucket("embedding")
+        def dotDuck(a: String, b: String) = OracleVec.dot(a, b)
         s"""WITH sig AS (
            |  SELECT vec_id, embedding, CAST($bucketDuck AS BIGINT) AS bucket
            |  FROM embeddings
