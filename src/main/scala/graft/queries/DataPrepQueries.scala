@@ -476,10 +476,10 @@ object DataPrepQueries {
         val sy = dsumSql("value")
         val sxy = dsumSql(s"$t * value / 1e8")
         val sxx = dsumSql(s"$t * $t / 1e14")
-        val syy = dsumSql("value * value")
+        val syy = dsumSql("value * value / 1e2")
         s"""SELECT event_type, count(*) AS n,
            |  $sx AS sum_t_scaled, $sy AS sum_v, $sxy AS sum_tv_scaled,
-           |  $sxx AS sum_tt_scaled, $syy AS sum_vv
+           |  $sxx AS sum_tt_scaled, $syy AS sum_vv_scaled
            |FROM events GROUP BY event_type""".stripMargin
       }
     ) { (s, d) =>
@@ -492,7 +492,7 @@ object DataPrepQueries {
           dsum(col("value")).as("sum_v"),
           dsum(tSec * col("value") / lit(1e8)).as("sum_tv_scaled"),
           dsum(tSec * tSec / lit(1e14)).as("sum_tt_scaled"),
-          dsum(col("value") * col("value")).as("sum_vv"))
+          dsum(col("value") * col("value") / lit(1e2)).as("sum_vv_scaled"))
     },
 
     // ---- exact interpolated quantiles per group (profiling/quality
