@@ -104,21 +104,9 @@ object StockApi {
       f, stockSymbol)
   }
 
-  private val summaryAggs: Seq[Column] = Seq(
-    Num.davg(col("close")).as("avg_close"),
-    max(col("close")).as("max_close"),
-    min(col("close")).as("min_close"),
-    Num.davg(col("sma_5")).as("avg_sma_5"),
-    max(col("sma_5")).as("max_sma_5"),
-    min(col("sma_5")).as("min_sma_5"),
-    Num.davg(col("ema_10")).as("avg_ema_10"),
-    max(col("ema_10")).as("max_ema_10"),
-    min(col("ema_10")).as("min_ema_10"),
-    Num.davg(col("rsi_10")).as("avg_rsi_10"),
-    max(col("rsi_10")).as("max_rsi_10"),
-    min(col("rsi_10")).as("min_rsi_10"),
-    max(col("gain")).as("max_gain"),
-    max(col("loss")).as("max_loss"))
+  private val summaryAggs: Seq[Column] = graft.queries.SummaryAggs.cols(
+    col("close"), col("sma_5"), col("ema_10"), col("rsi_10"),
+    col("gain"), col("loss"))
 
   private def rowToSummary(r: org.apache.spark.sql.Row): StockSummary = {
     def o(name: String): Option[Double] =

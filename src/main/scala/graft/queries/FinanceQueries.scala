@@ -132,24 +132,12 @@ object FinanceQueries {
          |  max(gain) AS max_gain, max(loss) AS max_loss
          |FROM enriched GROUP BY event_type""".stripMargin
     ) { (s, d) =>
+      val aggs = SummaryAggs.cols(
+        col("value"), col("sma_5"), col("ema_10"), col("rsi_10"),
+        col("gain"), col("loss"))
       enrichedEvents(s, d)
         .groupBy(col("event_type"))
-        .agg(
-          davg(col("value")).as("avg_close"),
-          max(col("value")).as("max_close"),
-          min(col("value")).as("min_close"),
-          davg(col("sma_5")).as("avg_sma_5"),
-          max(col("sma_5")).as("max_sma_5"),
-          min(col("sma_5")).as("min_sma_5"),
-          davg(col("ema_10")).as("avg_ema_10"),
-          max(col("ema_10")).as("max_ema_10"),
-          min(col("ema_10")).as("min_ema_10"),
-          davg(col("rsi_10")).as("avg_rsi_10"),
-          max(col("rsi_10")).as("max_rsi_10"),
-          min(col("rsi_10")).as("min_rsi_10"),
-          max(col("gain")).as("max_gain"),
-          max(col("loss")).as("max_loss")
-        )
+        .agg(aggs.head, aggs.tail: _*)
     },
 
     // ---- A1: filtered scalar AVG over (symbol, closed time range) ----
