@@ -265,6 +265,64 @@ object DataPrepQueries {
       )
     },
 
+    // ---- quality FILTER: Gopher-style keep/drop rules with reasons —
+    //      the decision layer on top of the q_text_stats scores ----
+    QueryDef.sql(
+      "q_quality_filter",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CASE WHEN len(string_split(text, ' ')) = 0 THEN 0e0
+        |         ELSE len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) * 1e0
+        |           / len(string_split(text, ' ')) END AS stop_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0e0
+        |         ELSE length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1e0
+        |           / length(text) END AS punct_ratio,
+        |    CASE WHEN len(string_split(text, ' ')) = 0 THEN 0e0
+        |         ELSE len(list_distinct(string_split(text, ' '))) * 1e0
+        |           / len(string_split(text, ' ')) END AS uniq_ratio
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, uniq_ratio,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN n_tokens > 10000 THEN 'too_long'
+        |       WHEN punct_ratio > 3e-1 THEN 'too_much_punct'
+        |       WHEN uniq_ratio < 2e-1 THEN 'too_repetitive'
+        |       ELSE 'keep' END AS verdict,
+        |  (CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN n_tokens > 10000 THEN 'too_long'
+        |       WHEN punct_ratio > 3e-1 THEN 'too_much_punct'
+        |       WHEN uniq_ratio < 2e-1 THEN 'too_repetitive'
+        |       ELSE 'keep' END) = 'keep' AS kept
+        |FROM s""".stripMargin
+    ) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nTokens = size(toks).cast("long")
+      val stopRatio = when(nTokens === 0, 0.0).otherwise(
+        expr("size(filter(split(text, ' '), " +
+          "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))")
+          .cast("double") / nTokens)
+      val punctRatio = when(length(col("text")) === 0, 0.0).otherwise(
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text")))
+      val uniqRatio = when(nTokens === 0, 0.0).otherwise(
+        size(array_distinct(toks)).cast("double") / nTokens)
+      val verdict = when(nTokens < 5, "too_short")
+        .when(nTokens > 10000, "too_long")
+        .when(punctRatio > 0.3, "too_much_punct")
+        .when(uniqRatio < 0.2, "too_repetitive")
+        .otherwise("keep")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"),
+        uniqRatio.as("uniq_ratio"),
+        verdict.as("verdict"),
+        (verdict === "keep").as("kept"))
+    },
+
     // ---- language-ID scoring (stopword-list n-gram heuristic) ----
     QueryDef.sql(
       "q_lang_scores", {
