@@ -389,6 +389,72 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     assert(back.filter(col("ema_10").isNotNull).count() > 0)
   }
 
+  test("windowed OHLC equals the batch resampling formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic multi-hour series, unique timestamps per symbol
+    val candles = for {
+      sym <- Seq("AAA", "BBB")
+      h <- 9 to 12
+      m <- Seq(1, 17, 43)
+    } yield Candle(sym, Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"),
+      h * 10.0 + m * 0.1, h * 10.0 + m * 0.1 + 1, h * 10.0 + m * 0.1 - 1,
+      h * 10.0 + m * 0.2, 1.0)
+
+    val input = MemoryStream[Candle]
+    val query = StreamingIndicators
+      .windowedOhlc(input.toDS(), barWidth = "1 hour", watermark = "1 minute")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_ohlc_eq")
+      .start()
+    input.addData(candles)
+    query.processAllAvailable()
+    // close all bars by advancing the watermark far ahead
+    input.addData(Seq(Candle("ZZZ",
+      Timestamp.valueOf("2024-01-02 00:00:00"), 1, 1, 1, 1, 1)))
+    query.processAllAvailable()
+    val streamed = spark.table("stream_ohlc_eq")
+      .filter(col("stock_symbol") =!= "ZZZ")
+      .collect()
+      .map(r => (r.getAs[String]("stock_symbol"), r.getAs[Timestamp]("bar_ts")) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Long]("n_ticks")))
+      .toMap
+    query.stop()
+
+    // batch formulation (the q_ohlc_bars shape over the same rows)
+    val s = spark
+    import s.implicits._
+    val df = candles.toDF()
+    val bar = date_trunc("hour", col("local_time"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stock_symbol"), bar).orderBy(col("local_time"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stock_symbol"), bar).orderBy(col("local_time").desc)
+    val batch = df
+      .withColumn("bar_ts", bar)
+      .withColumn("rn_a", org.apache.spark.sql.functions.row_number().over(wa))
+      .withColumn("rn_d", org.apache.spark.sql.functions.row_number().over(wd))
+      .groupBy(col("stock_symbol"), col("bar_ts"))
+      .agg(
+        org.apache.spark.sql.functions.max(when(col("rn_a") === 1, col("open"))).as("open"),
+        org.apache.spark.sql.functions.max(col("high")).as("high"),
+        org.apache.spark.sql.functions.min(col("low")).as("low"),
+        org.apache.spark.sql.functions.max(when(col("rn_d") === 1, col("close"))).as("close"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_ticks"))
+      .collect()
+      .map(r => (r.getAs[String]("stock_symbol"), r.getAs[Timestamp]("bar_ts")) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Long]("n_ticks")))
+      .toMap
+
+    assert(streamed == batch,
+      s"stream bars != batch bars:\n stream=$streamed\n batch=$batch")
+  }
+
   test("streaming sessionization: gap split, session merge, watermark emit") {
     implicit val sqlCtx = spark.sqlContext
     def candle(t: String, v: Double) =
