@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
 
@@ -99,6 +98,28 @@ object DataPrepQueries {
        |)""".stripMargin
   }
 
+  /** In-bucket candidate pairs from the band frame. `ordered = true` keeps
+    * one row per pair (doc_a < doc_b, the pair listing); `false` keeps both
+    * directions (dedup representative selection groups on doc_a).
+    */
+  private def minhashCandidatePairs(
+      s: SparkSession, d: String, ordered: Boolean): DataFrame = {
+    val bands = minhashBands(s, d)
+    val a = bands.select(
+      col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+    val b = bands.select(
+      col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
+      col("band_hash").as("band_hash_b"))
+    val docCond =
+      if (ordered) col("doc_a") < col("doc_b") else col("doc_a") =!= col("doc_b")
+    a.join(
+        b,
+        col("band_id") === col("band_id_b") &&
+          col("band_hash") === col("band_hash_b") && docCond)
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   // ------------------------------------------------------------------ queries
   val all: Seq[QueryDef] = Seq(
     // ---- exact dedup: content-hash grouping ----
@@ -127,21 +148,7 @@ object DataPrepQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id""".stripMargin
-    ) { (s, d) =>
-      val bands = minhashBands(s, d)
-      val a = bands.select(
-        col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
-      val b = bands.select(
-        col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
-        col("band_hash").as("band_hash_b"))
-      a.join(
-          b,
-          col("band_id") === col("band_id_b") &&
-            col("band_hash") === col("band_hash_b") &&
-            col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    },
+    ) { (s, d) => minhashCandidatePairs(s, d, ordered = true) },
 
     // ---- MinHash near-dup dedup: candidate pairs -> min-id rep per doc ----
     QueryDef.sql(
@@ -158,18 +165,7 @@ object DataPrepQueries {
          |FROM documents d LEFT JOIN pairs p ON p.doc_a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin
     ) { (s, d) =>
-      val bands = minhashBands(s, d)
-      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
-      val b = bands.select(
-        col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
-        col("band_hash").as("band_hash_b"))
-      val pairs = a.join(
-          b,
-          col("band_id") === col("band_id_b") &&
-            col("band_hash") === col("band_hash_b") &&
-            col("doc_a") =!= col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+      val pairs = minhashCandidatePairs(s, d, ordered = false)
       Tables.documents(s, d).select(col("doc_id"))
         .join(pairs, col("doc_a") === col("doc_id"), "left")
         .groupBy(col("doc_id"))
