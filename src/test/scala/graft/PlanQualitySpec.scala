@@ -94,6 +94,21 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("NO query plans a cartesian product or accidental nested-loop join") {
+    // broadcast cross joins against a tiny probe/centroid set are the
+    // intended shape for these two; everything else must be an equi join
+    val intendedNestedLoop = Set("q_knn_brute", "q_knn_ivf")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !intendedNestedLoop(name)
+        if (cartesian || bnlj) Some(name) else None
+    }
+    offenders shouldBe empty
+  }
+
   test("whole-stage codegen covers the indicator expressions") {
     val df = SparkEntry.queries("q_indicators")(spark, sfDir)
     df.collect()
