@@ -54,7 +54,11 @@ object Bench {
     * (dedup gate + flatMapGroupsWithState) in micro-batches; returns wall
     * seconds for the whole replay.
     */
-  def streamReplay(spark: SparkSession, sfDir: String, batches: Int = 20): Double = {
+  def streamReplay(
+      spark: SparkSession,
+      sfDir: String,
+      batches: Int = 20,
+      statePartitions: Int = 8): Double = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
@@ -79,7 +83,7 @@ object Bench {
     // shuffle.partitions; with a handful of symbols, 32 partitions is pure
     // per-batch commit overhead. 8 keeps headroom without the fan-out cost.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val t0 = System.nanoTime()
     val query = graft.streaming.StreamingIndicators
       .pipeline(input.toDS(), watermark = "1 hour")
