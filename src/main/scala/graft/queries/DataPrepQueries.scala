@@ -261,6 +261,53 @@ object DataPrepQueries {
       )
     },
 
+    // ---- deterministic stratified sampling: hash-Bernoulli per doc with
+    //      per-language rates — reproducible at any parallelism, unlike
+    //      rand()-based sampling, and exactly repeatable across engines ----
+    QueryDef.sql(
+      "q_sample_docs",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket FROM h
+        |WHERE bucket < (CASE lang WHEN 'en' THEN 20 ELSE 50 END)""".stripMargin
+    ) { (s, d) =>
+      graft.functions.Md5Prefix60.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("md5p60(CAST(doc_id AS STRING)) % 100").as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", 20).otherwise(50))
+    },
+
+    // ---- deterministic shuffle ordering: hash-sharded training order.
+    //      Rank is PER SHARD (dataloaders consume shards independently),
+    //      so there is no global single-partition sort; identical on
+    //      1 core or 1000 (rand() ordering is not) ----
+    QueryDef.sql(
+      "q_shuffle_order",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT doc_id, hv % 16 AS shard,
+        |  row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+        |    AS rank_in_shard
+        |FROM h""".stripMargin
+    ) { (s, d) =>
+      graft.functions.Md5Prefix60.register(s)
+      val w = Window.partitionBy(col("hv") % 16)
+        .orderBy(col("hv"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("md5p60(CAST(doc_id AS STRING))").as("hv"))
+        .select(col("doc_id"), (col("hv") % 16).as("shard"),
+          row_number().over(w).cast("long").as("rank_in_shard"))
+    },
+
     // ---- quality FILTER: Gopher-style keep/drop rules with reasons —
     //      the decision layer on top of the q_text_stats scores ----
     QueryDef.sql(
