@@ -308,6 +308,41 @@ object DataPrepQueries {
           row_number().over(w).cast("long").as("rank_in_shard"))
     },
 
+    // ---- sequence packing: docs -> fixed token-budget training bins.
+    //      Deterministic shard-local packing (cumulative token count over
+    //      the hash order, bin = cumsum div budget): each shard packs
+    //      independently, so the operator scales with shards and needs no
+    //      global sequential pass ----
+    QueryDef.sql(
+      "q_pack_bins",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, hv % 16 AS shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM h
+        |)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  (cum_tokens - 1) // 2048 AS bin_id
+        |FROM c""".stripMargin
+    ) { (s, d) =>
+      graft.functions.Md5Prefix60.register(s)
+      val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("md5p60(CAST(doc_id AS STRING))").as("hv"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard", col("hv") % 16)
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
+          expr("(cum_tokens - 1) div 2048").as("bin_id"))
+    },
+
     // ---- quality FILTER: Gopher-style keep/drop rules with reasons —
     //      the decision layer on top of the q_text_stats scores ----
     QueryDef.sql(
