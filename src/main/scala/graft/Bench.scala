@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,25 +85,29 @@ object Bench {
     // per-batch commit overhead. 8 keeps headroom without the fan-out cost.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val t0 = System.nanoTime()
-    val query = graft.streaming.StreamingIndicators
-      .pipeline(input.toDS(), watermark = "1 hour")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    val batchSize = math.max(1000, candles.length / batches)
-    candles.grouped(batchSize).foreach { chunk =>
-      input.addData(chunk.toIndexedSeq)
-      query.processAllAvailable()
-    }
-    val n = spark.table(queryName).count()
-    query.stop()
-    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val secs = (System.nanoTime() - t0) / 1e9
-    System.err.println(
-      f"[bench] stream_indicators ($batches batches): $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")
-    secs
+    // restore in finally: an exception mid-replay must not leave the shared
+    // session at the reduced partition count for subsequent bench queries
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.StreamingIndicators
+        .pipeline(input.toDS(), watermark = "1 hour")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try {
+        val batchSize = math.max(1000, candles.length / batches)
+        candles.grouped(batchSize).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val n = spark.table(queryName).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_indicators ($batches batches): $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")
+        secs
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

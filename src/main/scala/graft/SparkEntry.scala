@@ -19,6 +19,10 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
+    // the driver's smoke session may not configure
+    // spark.sql.extensions=graft.GraftExtensions, so register imperatively
+    // here (idempotent; identical expression either way). Oracle/bench/test
+    // runs get the functions from the extension injector instead.
     graft.functions.EwmAvg.register(spark)
     FinanceQueries.enrichedEvents(spark, "/root/testdata/sf0.001")
   }

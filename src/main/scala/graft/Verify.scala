@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // deployment path: custom functions (ewm_avg, vec_dot, md5p60) come
+      // from the extension injector, exactly as `--conf spark.sql.extensions`
+      // would provide them on a cluster — no imperative register calls
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -83,6 +83,13 @@ object EwmAvg {
     */
   def ewmAvg(col: Column, span: Int): Column = {
     require(span >= 1, s"span must be >= 1, got $span")
+    // resolves through the function registry: populated by GraftExtensions
+    // (spark.sql.extensions=graft.GraftExtensions, the deployment path) or
+    // by an explicit register(spark) in extension-less sessions. NOTE: a
+    // registry-free direct embedding (ewmAvgExpr(...).over(w)) analyzes
+    // under the legacy fixed-point analyzer but is rejected by Spark 4.1's
+    // single-pass resolver (WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE), so the
+    // registry route is the only one that works on both analyzers.
     org.apache.spark.sql.functions.call_function("ewm_avg", col,
       org.apache.spark.sql.functions.lit(span))
   }

@@ -45,7 +45,6 @@ object Indicators {
       time: Column,
       close: Column,
       tieBreak: Seq[Column] = Nil): DataFrame = {
-    graft.functions.EwmAvg.register(df.sparkSession) // idempotent; ewmAvg needs it
     val w: WindowSpec = Window.partitionBy(symbol).orderBy(time +: tieBreak: _*)
     val last5 = w.rowsBetween(-4, 0)
     val last10 = w.rowsBetween(-9, 0)

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   * The salt must be deterministic for retry-safety (a task retry must
   * re-salt a row identically), so it hashes the whole input row rather
   * than using rand().
+  *
+  * KNOWN LIMITATION: because the salt is a pure function of row content,
+  * fully IDENTICAL duplicate rows of a hot key all land in the same salt
+  * bucket and get no fan-out. That trade is deliberate: the alternative —
+  * mixing in a per-partition row index (e.g. monotonically_increasing_id)
+  * — is only retry-stable when the source partitioning and row order are
+  * themselves stable (true for file scans, NOT true downstream of a
+  * shuffle), and a retry-unstable salt breaks exactly-once sinks. Callers
+  * with identical-duplicate-row skew should pre-aggregate the duplicates
+  * first (groupBy all columns + count — itself content-hash-partitioned,
+  * but each group collapses to one row so the hot reducer does O(dups)
+  * trivial work, not O(dups) full aggregation states) and feed the
+  * weighted rows here.
   */
 object Skew {
 

@@ -40,7 +40,6 @@ object DataPrepQueries {
   // ---------------------------------------------------------------- shingles
   /** Word 3-gram shingles; docs with <3 tokens have none. */
   private def shingleDf(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Md5Prefix60.register(s)
     Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(
@@ -275,7 +274,6 @@ object DataPrepQueries {
         |SELECT doc_id, lang, bucket FROM h
         |WHERE bucket < (CASE lang WHEN 'en' THEN 20 ELSE 50 END)""".stripMargin
     ) { (s, d) =>
-      graft.functions.Md5Prefix60.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           expr("md5p60(CAST(doc_id AS STRING)) % 100").as("bucket"))
@@ -299,7 +297,6 @@ object DataPrepQueries {
         |    AS rank_in_shard
         |FROM h""".stripMargin
     ) { (s, d) =>
-      graft.functions.Md5Prefix60.register(s)
       val w = Window.partitionBy(col("hv") % 16)
         .orderBy(col("hv"), col("doc_id"))
       Tables.documents(s, d)
@@ -322,15 +319,14 @@ object DataPrepQueries {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, hv % 16 AS shard, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM h
         |)
         |SELECT doc_id, shard, n_tokens, cum_tokens,
-        |  (cum_tokens - 1) // 2048 AS bin_id
+        |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
         |FROM c""".stripMargin
     ) { (s, d) =>
-      graft.functions.Md5Prefix60.register(s)
       val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.documents(s, d)
@@ -441,7 +437,6 @@ object DataPrepQueries {
          |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
          |FROM documents""".stripMargin
     ) { (s, d) =>
-      graft.functions.Md5Prefix60.register(s)
       Tables.documents(s, d).select(
         col("doc_id"),
         expr(
@@ -501,8 +496,8 @@ object DataPrepQueries {
         |            THEN 1 ELSE 0 END AS new_sess
         |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), t AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM s
         |)
         |SELECT user_id, session_seq, count(*) AS n_events,
@@ -584,15 +579,21 @@ object DataPrepQueries {
         |SELECT event_type, bucket, count(*) AS n
         |FROM k GROUP BY event_type, bucket""".stripMargin
     ) { (s, d) =>
-      val w = Window.partitionBy(col("event_type"))
-      val vMin = min(col("value")).over(w)
-      val vMax = max(col("value")).over(w)
-      Tables.events(s, d)
+      // grouped min/max + broadcast join back, NOT `min OVER (PARTITION BY
+      // event_type)`: an unbounded-unordered window buffers whole partitions
+      // and caps parallelism at the key cardinality (5 tasks holding 20M+
+      // rows each at 100x) — the two-pass plan keeps the scan fully parallel
+      // and ships only a key-cardinality-sized stats table to every executor
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      ev.join(broadcast(stats), Seq("event_type"))
         .select(
           col("event_type"),
-          when(vMax === vMin, 0L).otherwise(
+          when(col("v_max") === col("v_min"), 0L).otherwise(
             least(lit(9L),
-              floor((col("value") - vMin) / (vMax - vMin) * lit(10.0))
+              floor((col("value") - col("v_min")) /
+                (col("v_max") - col("v_min")) * lit(10.0))
                 .cast("long"))).as("bucket"))
         .groupBy(col("event_type"), col("bucket"))
         .agg(count(lit(1)).as("n"))
@@ -661,14 +662,19 @@ object DataPrepQueries {
         |        THEN max(value) OVER w - min(value) OVER w END) AS value_norm
         |FROM events WINDOW w AS (PARTITION BY event_type)""".stripMargin
     ) { (s, d) =>
-      val w = Window.partitionBy(col("event_type"))
-      val mn = min(col("value")).over(w)
-      val mx = max(col("value")).over(w)
-      Tables.events(s, d).select(
-        col("event_id"),
-        col("event_type"),
-        col("value"),
-        ((col("value") - mn) / when(mx =!= mn, mx - mn)).as("value_norm"))
+      // same two-pass grouped-stats + broadcast shape as q_histogram (the
+      // plan SURVEY §2.9 prescribes for M1) — no whole-partition WindowExec
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          ((col("value") - col("v_min")) /
+            when(col("v_max") =!= col("v_min"), col("v_max") - col("v_min")))
+            .as("value_norm"))
     },
 
     // ---- M3: inverse min-max transform (round-trip back to raw scale) ----
@@ -686,24 +692,36 @@ object DataPrepQueries {
         |  value_norm * (v_max - v_min) + v_min AS value_denorm
         |FROM n""".stripMargin
     ) { (s, d) =>
-      val w = Window.partitionBy(col("event_type"))
-      val mn = min(col("value")).over(w)
-      val mx = max(col("value")).over(w)
-      Tables.events(s, d)
+      // two-pass grouped-stats + broadcast, as in q_minmax_norm
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      ev.join(broadcast(stats), Seq("event_type"))
         .select(
           col("event_id"), col("event_type"), col("value"),
-          ((col("value") - mn) / when(mx =!= mn, mx - mn)).as("value_norm"),
-          mn.as("v_min"), mx.as("v_max"))
+          ((col("value") - col("v_min")) /
+            when(col("v_max") =!= col("v_min"), col("v_max") - col("v_min")))
+            .as("value_norm"),
+          col("v_min"), col("v_max"))
         .select(
           col("event_id"), col("event_type"), col("value"),
           (col("value_norm") * (col("v_max") - col("v_min")) + col("v_min"))
             .as("value_denorm"))
     },
 
-    // ---- M2: sliding-window feature extraction (60-step lookback) ----
+    // ---- M2: sliding-window feature extraction (60-step lookback).
+    //      The library surface is the typed ArrayType(DoubleType) `lookback`
+    //      column (what a training pipeline consumes); the oracle-compared
+    //      output serializes it to a portable scalar — each element
+    //      quantized floor(x*1e6) (two engine-identical IEEE ops, same
+    //      scheme as Num.dsum) and comma-joined — because the driver's
+    //      pandas sort/hash harness cannot process raw array columns. ----
     QueryDef.sql(
       "q_sliding_features",
-      """SELECT event_id, event_type, ts, value AS target, lookback FROM (
+      """SELECT event_id, event_type, ts, value AS target,
+        |  array_to_string(list_transform(lookback,
+        |    x -> CAST(CAST(floor(x * 1e6) AS BIGINT) AS VARCHAR)), ',') AS lookback_q6
+        |FROM (
         |  SELECT *,
         |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS lookback,
@@ -717,7 +735,10 @@ object DataPrepQueries {
         .filter(col("rn") > 60)
         .select(
           col("event_id"), col("event_type"), col("ts"),
-          col("value").as("target"), col("lookback"))
+          col("value").as("target"),
+          expr("concat_ws(',', transform(lookback, " +
+            "x -> cast(cast(floor(x * 1e6) as bigint) as string)))")
+            .as("lookback_q6"))
     }
   )
 }

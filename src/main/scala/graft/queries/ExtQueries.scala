@@ -42,7 +42,6 @@ object ExtQueries {
     * bit position must be an independent coin flip).
     */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Md5Prefix60.register(s)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), expr("md5p60(tok)").as("h"))
@@ -186,7 +185,6 @@ object ExtQueries {
          |       loss, avg_gain_10, avg_loss_10, rs, rsi_10, signal
          |FROM enriched""".stripMargin
     ) { (s, d) =>
-      graft.functions.EwmAvg.register(s)
       Tables.events(s, d).createOrReplaceTempView("graft_events_v")
       s.sql(
         """WITH base AS (

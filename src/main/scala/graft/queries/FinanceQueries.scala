@@ -24,7 +24,6 @@ object FinanceQueries {
 
   /** events projected to the candle-like core + full indicator pipeline. */
   def enrichedEvents(s: SparkSession, d: String): DataFrame = {
-    graft.functions.EwmAvg.register(s)
     Indicators.enrich(
       Tables.events(s, d).select("event_id", "event_type", "ts", "value"),
       symbol = col("event_type"),

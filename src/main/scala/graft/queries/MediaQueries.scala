@@ -61,11 +61,19 @@ object MediaQueries {
     // ---- decode -> resize -> featurize via typed mapPartitions; the
     //      codec is a deterministic stub (no image libs in-container), the
     //      Spark plumbing is real. No SQL oracle (imperative decode):
-    //      rows-only check + MultimodalSpec asserts exact values. ----
+    //      rows-only check + MultimodalSpec asserts exact values.
+    //      The typed Array[Float] thumbnail stays the library surface
+    //      (Multimodal.MediaFeatures); the checked output serializes it
+    //      (floor(x*1e6) per element, comma-joined) because the driver's
+    //      pandas harness cannot sort/hash raw array columns. ----
     QueryDef.rowsOnly("q_media_features") { (s, d) =>
       import s.implicits._
       val media = Multimodal.mediaTable(s, d).as[Multimodal.MediaRecord]
       Multimodal.extractFeatures(media).toDF()
+        .withColumn("thumb_q6",
+          expr("concat_ws(',', transform(thumb_4x4, " +
+            "x -> cast(cast(floor(cast(x as double) * 1e6) as bigint) as string)))"))
+        .drop("thumb_4x4")
     }
   )
 }

@@ -8,10 +8,16 @@ package graft.queries
   */
 private[queries] object OracleVec {
 
-  /** Left-fold dot product over two list columns (index order, double). */
+  /** Left-fold dot product over two list columns (index order, double).
+    * NULL on length mismatch, mirroring VecDot's null semantics exactly —
+    * without the guard the fold would return a partial (non-null) dot when
+    * len(b) > len(a), silently diverging from the engine if embedding
+    * dimensions ever vary.
+    */
   def dot(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
+    s"""(CASE WHEN len($a) <> len($b) THEN NULL
+       |      ELSE list_reduce(list_prepend(0e0, list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v) END)""".stripMargin
 
   /** Cosine similarity composed from three dot folds. */
   def cos(a: String, b: String): String =

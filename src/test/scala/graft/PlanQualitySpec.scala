@@ -109,6 +109,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     offenders shouldBe empty
   }
 
+  test("per-key min/max normalization uses grouped agg + broadcast, never a whole-partition window") {
+    // an unbounded-unordered `min/max OVER (PARTITION BY key)` buffers the
+    // whole partition per task and caps parallelism at key cardinality —
+    // these three must stay on the two-pass grouped-stats + broadcast plan
+    for (name <- Seq("q_histogram", "q_minmax_norm", "q_minmax_denorm")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val windows = collectAll(df) { case w: WindowExec => w }
+      withClue(s"$name plans a WindowExec:") { windows shouldBe empty }
+      val bhj = collectAll(df) { case j: BroadcastHashJoinExec => j }
+      withClue(s"$name lost its broadcast stats join:") { bhj should not be empty }
+    }
+  }
+
   test("whole-stage codegen covers the indicator expressions") {
     val df = SparkEntry.queries("q_indicators")(spark, sfDir)
     df.collect()

@@ -7,24 +7,36 @@ Registers each parquet table as a DuckDB view, runs every statement in
 oracle_sql.json, and compares against the Spark-written parquet in
 <verifyOutDir>/<name>/ — rows sorted, columns sorted by name, doubles
 rounded to 9 decimals before hashing.
+
+IMPORTANT: both sides are normalized through pandas (`.df()`), exactly like
+the driver's gate — NOT via `fetchall()`. The difference is type-sensitive
+and was the round-1 local/driver divergence: DuckDB HUGEINT (windowed
+BIGINT sums) becomes float64 under pandas and renders "24.000000000",
+while fetchall() yields a Python int rendering "24". A local pass here is
+meant to PREDICT a driver pass, so we must reproduce the driver's
+conversion path, including its inability to handle array columns (those
+are reported as failures, as the driver would record an err).
 """
 import json
 import math
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm_val(v):
-    if isinstance(v, float):
+    if isinstance(v, (list, np.ndarray)):
+        # the driver's pandas sort/hash harness crashes on array columns
+        # (TypeError: unhashable type numpy.ndarray) — surface that here
+        raise TypeError("array column unsupported by driver harness")
+    if isinstance(v, float):  # covers np.float64 (a float subclass)
         if math.isnan(v):
             return "NaN"
         return f"{round(v, 9):.9f}"
-    if isinstance(v, list):
-        return "[" + ",".join(norm_val(x) for x in v) + "]"
     try:  # decimal
         import decimal
         if isinstance(v, decimal.Decimal):
@@ -34,13 +46,17 @@ def norm_val(v):
     return str(v)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_val(r[i]) for i in order))
-    out.sort()
-    return [cols[i] for i in order], out
+def norm_df(df):
+    """Driver-style normalization: lowercase + name-sorted columns, every
+    value rendered type-sensitively from the PANDAS representation, rows
+    sorted. Returns (cols, [row tuples])."""
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    rows = [tuple(norm_val(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return list(df.columns), rows
 
 
 def main(sf_dir, out_dir):
@@ -52,18 +68,15 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [c.lower() for c in got_rel.columns]
-            got = norm_rows(got_cols, got_rel.fetchall())
+            got_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got = norm_df(got_df)
         except Exception as e:
-            print(f"FAIL {name}: cannot read spark output: {e}")
+            print(f"FAIL {name}: cannot read/normalize spark output: {e}")
             n_fail += 1
             continue
         try:
-            exp_rel = con.sql(sql)
-            exp_cols = [c.lower() for c in exp_rel.columns]
-            exp = norm_rows(exp_cols, exp_rel.fetchall())
+            exp = norm_df(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
