@@ -14,18 +14,53 @@ object ExtQueries {
 
   import Num.{dsumSql, dsum}
 
-  /** 8-bit random-hyperplane LSH bucket over an embedding column, via the
-    * native codegen'd [[graft.functions.VecPlaneDot]] projections. Plane
-    * family (a_j, b_j) matches the DuckDB oracle formula exactly.
+  /** Banded random-hyperplane LSH over an embedding column, via the native
+    * codegen'd [[graft.functions.VecPlaneDot]] projections (plane family
+    * (a_j, b_j) = (1000003 + 7919j, 271j + 17), matching the DuckDB oracle
+    * formula exactly).
+    *
+    * OR-construction: `EmbBands` bands of `r` sign bits each; a pair is a
+    * candidate if ANY band value collides, so candidates come from an
+    * equality join on (band_id, band_val) — never an all-pairs product.
+    *
+    * The band width `r` GROWS WITH THE CORPUS: the smallest r with
+    * 2^r * 8 >= n (same integer rule in the oracle's `rq` CTE), so the
+    * expected bucket occupancy m = n / 2^r stays in (4, 8] at any scale
+    * and the in-bucket self-join costs ~sum(n_b^2) ~= n*m <= 8n per band,
+    * i.e. ~32n total with 4 bands — LINEAR in n. Derivation at n = 10^9:
+    * r = 27 (2^27 * 8 = 1.07e9), m ~= 7.5, candidate pairs ~3e10 cheap
+    * dot products spread over the cluster — vs the quadratic n^2/2^r =
+    * 3.8e15 a FIXED 256-bucket code would give. (Occupancy assumes
+    * near-uniform sign bits; heavily clustered corpora skew some buckets —
+    * AQE skew-join splitting plus the threshold filter keep those bounded.)
     */
-  private def lshBucket(emb: Column): Column = {
+  private val EmbBands = 4
+  private val EmbMaxBits = 28
+
+  /** Smallest r with 2^r * 8 >= n, capped — twin of the oracle `rq` CTE. */
+  private def lshBandBits(n: Long): Int = {
+    var r = 1
+    while (r < EmbMaxBits && (8L << r) < n) r += 1
+    r
+  }
+
+  /** (vec_id, embedding, band_id, band_val) — one row per vector per band. */
+  private def lshBanded(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VecOps.planeDot
-    (0 until 8)
-      .map(j =>
-        when(planeDot(emb, 1000003 + j * 7919, j * 271 + 17) >= 0.0,
-          lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-      .cast("long")
+    val emb = Tables.embeddings(s, d)
+    // one count() to size the band width — index-sizing metadata, same
+    // role as a broadcast-threshold statistic, NOT a data collect
+    val r = lshBandBits(emb.count())
+    val bands = (0 until EmbBands).map { k =>
+      (0 until r).map { i =>
+        val j = k * r + i
+        when(planeDot(col("embedding"), 1000003 + j * 7919, j * 271 + 17) >= 0.0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(bands: _*)).as(Seq("band_id", "band_val")))
   }
 
   /** SimHash width: 60 bits (15 hex chars of md5 per token = 60 unbiased
@@ -269,25 +304,22 @@ object ExtQueries {
         .select("doc_a", "doc_b", "hamming")
     },
 
-    // ---- LSH-bucketed ANN (random-hyperplane signs), the scale path for
-    //      similarity search: probes compare only within their bucket ----
+    // ---- LSH-banded ANN (random-hyperplane signs), the scale path for
+    //      similarity search: probes compare only within colliding band
+    //      buckets; band width adapts to corpus size (see lshBanded) ----
     QueryDef.sql(
       "q_knn_lsh", {
-        val bucketDuck = OracleVec.bucket("embedding")
-        def dotDuck(a: String, b: String) = OracleVec.dot(a, b)
-        s"""WITH sig AS (
-           |  SELECT vec_id, embedding, CAST($bucketDuck AS BIGINT) AS bucket
-           |  FROM embeddings
-           |), q AS (
-           |  SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sig WHERE vec_id < 10
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH ${OracleVec.bandsCte(EmbBands, EmbMaxBits)}, q AS (
+           |  SELECT b.vec_id AS q_id, e.embedding AS q_emb, b.band_id, b.band_val
+           |  FROM ebands b JOIN embeddings e USING (vec_id) WHERE b.vec_id < 10
            |), c AS (
-           |  SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM sig
+           |  SELECT b.vec_id AS c_id, e.embedding AS c_emb, b.band_id, b.band_val
+           |  FROM ebands b JOIN embeddings e USING (vec_id)
            |), p AS (
-           |  SELECT q_id, c_id,
-           |    ${dotDuck("q_emb", "c_emb")}
-           |    / (sqrt(${dotDuck("q_emb", "q_emb")}) * sqrt(${dotDuck("c_emb", "c_emb")}))
-           |    AS cosine
-           |  FROM q JOIN c USING (bucket) WHERE q_id <> c_id
+           |  SELECT DISTINCT q_id, c_id,
+           |    ${cosDuck("q_emb", "c_emb")} AS cosine
+           |  FROM q JOIN c USING (band_id, band_val) WHERE q_id <> c_id
            |)
            |SELECT q_id, c_id, cosine, rank FROM (
            |  SELECT *, row_number() OVER (PARTITION BY q_id
@@ -295,16 +327,22 @@ object ExtQueries {
       }
     ) { (s, d) =>
       import graft.functions.VecOps
-      val sig = Tables.embeddings(s, d)
-        .withColumn("bucket", lshBucket(col("embedding")))
-      val q = sig.filter(col("vec_id") < 10).select(
-        col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-      val c = sig.select(
-        col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("bucket"))
+      val banded = lshBanded(s, d)
+      val q = banded.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("band_id"), col("band_val"))
+      val c = banded.select(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("band_id"), col("band_val"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-      c.join(broadcast(q), Seq("bucket"))
+      // distinct AFTER the cosine: the pair may collide in several bands,
+      // and (q_id, c_id) determines cosine, so distinct-on-3-cols == pair
+      // dedup without an extra shuffle of embeddings
+      c.join(broadcast(q), Seq("band_id", "band_val"))
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+        .select("q_id", "c_id", "cosine")
+        .distinct()
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "cosine", "rank")
@@ -407,24 +445,25 @@ object ExtQueries {
         .select("q_id", "c_id", "cosine", "rank")
     },
 
-    // ---- embedding-cosine near-dup dedup: LSH bucket -> in-bucket pairs
-    //      above threshold -> min-id representative per vector. The bucket
-    //      join bounds the candidate set (no all-pairs cross join), so the
-    //      shuffle is on the 8-bit bucket key and scales linearly in rows. ----
+    // ---- embedding-cosine near-dup dedup: banded LSH -> in-bucket pairs
+    //      above threshold -> min-id representative per vector. Candidates
+    //      come from the (band_id, band_val) equality join (no all-pairs
+    //      cross join); the adaptive band width keeps per-bucket occupancy
+    //      ~constant, so the self-join shuffle + verify cost stays LINEAR
+    //      in corpus size (derivation at lshBanded). Multi-band collisions
+    //      produce duplicate pairs — harmless under the min() aggregate,
+    //      so no dedup shuffle is spent on them. ----
     QueryDef.sql(
       "q_dedup_embedding", {
-        val bucketDuck = OracleVec.bucket("embedding")
-        def dotDuck(a: String, b: String) = OracleVec.dot(a, b)
-        s"""WITH sig AS (
-           |  SELECT vec_id, embedding, CAST($bucketDuck AS BIGINT) AS bucket
-           |  FROM embeddings
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH ${OracleVec.bandsCte(EmbBands, EmbMaxBits)}, sig AS (
+           |  SELECT b.vec_id, e.embedding, b.band_id, b.band_val
+           |  FROM ebands b JOIN embeddings e USING (vec_id)
            |), pairs AS (
            |  SELECT a.vec_id AS v_a, b.vec_id AS v_b
-           |  FROM sig a JOIN sig b USING (bucket)
+           |  FROM sig a JOIN sig b USING (band_id, band_val)
            |  WHERE a.vec_id <> b.vec_id
-           |    AND ${dotDuck("a.embedding", "b.embedding")}
-           |      / (sqrt(${dotDuck("a.embedding", "a.embedding")})
-           |         * sqrt(${dotDuck("b.embedding", "b.embedding")})) >= 9e-1
+           |    AND ${cosDuck("a.embedding", "b.embedding")} >= 9e-1
            |)
            |SELECT e.vec_id,
            |  least(e.vec_id, coalesce(min(p.v_b), e.vec_id)) AS keep_vec_id,
@@ -434,11 +473,14 @@ object ExtQueries {
       }
     ) { (s, d) =>
       import graft.functions.VecOps
-      val sig = Tables.embeddings(s, d)
-        .withColumn("bucket", lshBucket(col("embedding")))
-      val a = sig.select(col("vec_id").as("v_a"), col("embedding").as("e_a"), col("bucket"))
-      val b = sig.select(col("vec_id").as("v_b"), col("embedding").as("e_b"), col("bucket"))
-      val pairs = a.join(b, Seq("bucket"))
+      val banded = lshBanded(s, d)
+      val a = banded.select(
+        col("vec_id").as("v_a"), col("embedding").as("e_a"),
+        col("band_id"), col("band_val"))
+      val b = banded.select(
+        col("vec_id").as("v_b"), col("embedding").as("e_b"),
+        col("band_id"), col("band_val"))
+      val pairs = a.join(b, Seq("band_id", "band_val"))
         .filter(col("v_a") =!= col("v_b"))
         .filter(VecOps.cosine(col("e_a"), col("e_b")) >= 0.9)
         .select("v_a", "v_b")
