@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+import graft.queries.Num
+
+/** IVF (inverted-file) approximate nearest-neighbour index: a coarse
+  * k-means codebook partitions the corpus into cells; a query scores only
+  * the vectors in its `nprobe` nearest cells — the standard trade of
+  * recall for a bounded candidate set.
+  *
+  * Everything here is DETERMINISTIC and cross-engine reproducible, so the
+  * DuckDB oracle (`ExtQueries.q_knn_ivf`) derives the *identical* codebook:
+  *
+  *   - seeds: the k vectors with the smallest (md5(vec_id), vec_id) sort
+  *     key — a pseudo-random but order-stable spread, independent of
+  *     partitioning (no rand(), no takeSample);
+  *   - Lloyd iterations: assignment by max cosine (ties -> lowest
+  *     cent_id), centroid update as a per-component mean computed with the
+  *     fixed-point exact sum of [[graft.queries.Num]] — summation-order
+  *     independent, so any partitioning/parallelism yields bit-identical
+  *     centroids;
+  *   - empty cells drop out of the update on both engines identically.
+  *
+  * Scale: the codebook is index metadata (k ~ sqrt(n) rows) — it travels
+  * by broadcast; assignment is one broadcast pass over the corpus (no
+  * shuffle of the vectors); the update shuffles (cent_id, pos) partial
+  * sums only (k * dim groups). Search shuffles nothing on the corpus
+  * side: probes broadcast, candidates stream. At n = 10^9 and
+  * k = 31623, a cell holds ~31k vectors, so nprobe=8 scans ~250k
+  * candidates per query vs 10^9 brute — while codebook build is
+  * iters * (one scan + one k*dim-group aggregate).
+  */
+object IvfIndex {
+
+  /** k ~ sqrt(n), floor 4 — ceil(sqrt) is IEEE-identical across engines. */
+  def chooseK(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Deterministic seeded k-means codebook: (cent_id, cent_emb).
+    * `emb` must have (vec_id: long, embedding: array&lt;float|double&gt;).
+    */
+  def codebook(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    // top-k by (md5, vec_id) is a distributed TakeOrdered, not a global
+    // sort; the row_number window then runs on k rows only (k ~ sqrt(n))
+    val seeds = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+    val wk = Window.orderBy(col("hk"), col("vec_id"))
+    var cb: DataFrame = seeds
+      .withColumn("cent_id", row_number().over(wk).cast("long") - 1)
+      .select(col("cent_id"), col("embedding").as("cent_emb"))
+    for (_ <- 0 until iters) {
+      val a = assign(emb, cb)
+      cb = a
+        .select(col("cent_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        // fixed-point exact mean: (double)sum(floor(x*1e6)) / 1e6 / count —
+        // same op order as the oracle, independent of summation order
+        .agg((Num.dsum(col("x")) / count(lit(1))).as("val"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
+          .as("cent_emb"))
+    }
+    cb
+  }
+
+  /** Nearest-cell assignment: (emb.*, cent_id); ties -> lowest cent_id. */
+  def assign(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    emb.crossJoin(broadcast(cb))
+      .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(emb.columns.map(col) :+ col("cent_id"): _*)
+  }
+
+  /** Top-`topK` cosine neighbours for each query row (rows matching
+    * `queryPred`), probing the `nprobe` nearest cells. Output:
+    * (q_id, c_id, cosine, rank).
+    */
+  def search(
+      emb: DataFrame,
+      cb: DataFrame,
+      queryPred: Column,
+      nprobe: Int,
+      topK: Int): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cb))
+      .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // probes are scored from a queries-only cross join (queries x k rows),
+    // NOT by re-filtering the corpus-wide assignment — the full corpus
+    // pays exactly ONE pass over the codebook; identical scores either way
+    val probes = emb.filter(queryPred).crossJoin(broadcast(cb))
+      .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("probe_cent"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    assigned.join(broadcast(probes), col("cent_id") === col("probe_cent"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        VecOps.cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+}

@@ -384,24 +384,57 @@ object ExtQueries {
         nth_value(col("value"), 3).over(w).as("third_val"))
     },
 
-    // ---- IVF ANN: deterministic coarse codebook (first 8 vectors),
-    //      cells assigned by max cosine, queries probe their nprobe=2
-    //      nearest cells. At scale: the cell assignment is one broadcast
-    //      pass over the corpus, the search shuffles only the probed
-    //      cells' vectors — the standard inverted-file trade of recall
-    //      for a bounded candidate set. ----
+    // ---- IVF ANN on a REAL codebook: deterministic seeded k-means
+    //      (k ~ sqrt(n), 2 Lloyd iterations, fixed-point exact centroid
+    //      means — see graft.ops.IvfIndex for the cross-engine contract
+    //      and the 100 TB cost model), cells assigned by max cosine,
+    //      queries probe their nprobe=2 nearest cells. The oracle unrolls
+    //      the identical k-means below, so the gate checks codebook,
+    //      assignment, and search end-to-end. IvfRecallSpec pins the
+    //      quality side (recall@5 vs q_knn_brute). ----
     QueryDef.sql(
       "q_knn_ivf", {
         def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
-        s"""WITH cent AS (
-           |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-           |  WHERE vec_id < 8
-           |), scored AS (
+        // one Lloyd assignment CTE: nearest centroid of codebook `cb`
+        def assignCte(name: String, cb: String) =
+          s"""$name AS (
+             |  SELECT vec_id, embedding, cent_id FROM (
+             |    SELECT e.vec_id, e.embedding, c.cent_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
+             |    FROM embeddings e, $cb c) WHERE rk = 1
+             |)""".stripMargin
+        // centroid update: per-(cent,pos) fixed-point exact mean (same op
+        // order as Num.dsum / count on the Spark side), list re-assembled
+        // in position order
+        def updateCte(name: String, a: String) =
+          s"""$name AS (
+             |  SELECT cent_id, list(val ORDER BY pos) AS cent_emb FROM (
+             |    SELECT cent_id, pos,
+             |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+             |        / CAST(count(*) AS DOUBLE) AS val
+             |    FROM (
+             |      SELECT cent_id, unnest(embedding) AS x,
+             |        unnest(range(1, len(embedding) + 1)) AS pos
+             |      FROM $a)
+             |    GROUP BY cent_id, pos)
+             |  GROUP BY cent_id
+             |)""".stripMargin
+        s"""WITH kq AS (
+           |  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings
+           |), cb0 AS (
+           |  SELECT cent_id, embedding AS cent_emb FROM (
+           |    SELECT vec_id, embedding,
+           |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           |        AS cent_id
+           |    FROM embeddings) s, kq WHERE s.cent_id < kq.k
+           |), ${assignCte("a1", "cb0")}, ${updateCte("cb1", "a1")},
+           |${assignCte("a2", "cb1")}, ${updateCte("cb2", "a2")},
+           |scored AS (
            |  SELECT e.vec_id, e.embedding, c.cent_id,
-           |    ${cosDuck("e.embedding", "c.cent_emb")} AS cs,
            |    row_number() OVER (PARTITION BY e.vec_id
            |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
-           |  FROM embeddings e, cent c
+           |  FROM embeddings e, cb2 c
            |), assign AS (
            |  SELECT vec_id, embedding, cent_id FROM scored WHERE rk = 1
            |), probes AS (
@@ -418,30 +451,14 @@ object ExtQueries {
            |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
       }
     ) { (s, d) =>
-      import graft.functions.VecOps
-      val emb = Tables.embeddings(s, d)
-      val cent = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cent_id"))
-      val scored = emb
-        .crossJoin(broadcast(cent))
-        .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
-        .withColumn("rk", row_number().over(wAssign))
-      val assign = scored.filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val probes = scored.filter(col("vec_id") < 10 && col("rk") <= 2)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("cent_id").as("probe_cent"))
-      val wRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("c_id"))
-      assign.join(broadcast(probes), col("cent_id") === col("probe_cent"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"),
-          col("vec_id").as("c_id"),
-          VecOps.cosine(col("q_emb"), col("embedding")).as("cosine"))
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= 5)
+      import graft.ops.IvfIndex
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val k = IvfIndex.chooseK(emb.count())
+      // cache the codebook (k ~ sqrt(n) rows of index metadata): search
+      // broadcasts it twice (assignment + probes) and the k-means lineage
+      // must not re-execute per broadcast
+      val cb = IvfIndex.codebook(emb, k, iters = 2).cache()
+      IvfIndex.search(emb, cb, col("vec_id") < 10, nprobe = 2, topK = 5)
         .select("q_id", "c_id", "cosine", "rank")
     },
 
