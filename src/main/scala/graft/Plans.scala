@@ -18,7 +18,11 @@ object Plans {
     "q_minhash_pairs", // ReusedExchange on the signature subtree
     "q_simhash_pairs", // band LSH join, no nested-loop
     "q_top_orders", // TakeOrderedAndProject, no global sort
-    "q_media_frames" // codegen'd binary slicing + posexplode
+    "q_media_frames", // codegen'd binary slicing + posexplode
+    "q_minmax_norm", // grouped stats + broadcast join, NO whole-partition window
+    "q_histogram", // same two-pass shape
+    "q_knn_ivf", // k-means codebook broadcast, single corpus pass
+    "q_dedup_embedding" // banded-LSH equality join, linear candidates
   )
 
   def main(args: Array[String]): Unit = {
@@ -29,6 +33,7 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
