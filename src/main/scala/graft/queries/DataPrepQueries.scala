@@ -739,6 +739,152 @@ object DataPrepQueries {
           expr("concat_ws(',', transform(lookback, " +
             "x -> cast(cast(floor(x * 1e6) as bigint) as string)))")
             .as("lookback_q6"))
+    },
+
+    // ---- document chunking: overlapping token windows (size 32, stride
+    //      24) — the canonical long-document -> training-sample split.
+    //      n_chunks = ceil((n - size)/stride) + 1 in exact integer math;
+    //      per-row explode, embarrassingly parallel, no shuffle at all ----
+    QueryDef.sql(
+      "q_chunk_docs",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CASE WHEN n <= 32 THEN 1
+        |                         ELSE (n - 32 + 23) // 24 + 1 END)) AS chunk_id
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+        |    AS chunk_text,
+        |  len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+        |    AS n_chunk_tokens
+        |FROM e""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          split(col("text"), " ").as("toks"),
+          size(split(col("text"), " ")).as("n"))
+        .select(
+          col("doc_id"), col("toks"),
+          // sequence(0, X) is inclusive: X+1 chunks = ceil((n-32)/24)+1
+          posexplode(expr(
+            "sequence(0, CASE WHEN n <= 32 THEN 0 " +
+              "ELSE (n - 32 + 23) div 24 END)"))
+            .as(Seq("pos", "chunk_id")))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          expr("concat_ws(' ', slice(toks, chunk_id * 24 + 1, 32))").as("chunk_text"),
+          expr("size(slice(toks, chunk_id * 24 + 1, 32))").cast("long")
+            .as("n_chunk_tokens"))
+    },
+
+    // ---- winsorization: clip each value to its group's [p01, p99] —
+    //      robust scaling before normalization. Same two-pass grouped
+    //      percentile + broadcast shape as q_minmax_norm (Spark
+    //      percentile and DuckDB quantile_cont share the p*(n-1)
+    //      interpolation semantics, proven by q_quantiles) ----
+    QueryDef.sql(
+      "q_winsorize",
+      """WITH s AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 1e-2) AS p01,
+        |    quantile_cont(value, 9.9e-1) AS p99
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, s.p01), s.p99) AS value_winsor,
+        |  e.value <> least(greatest(e.value, s.p01), s.p99) AS clipped
+        |FROM events e JOIN s USING (event_type)""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.01D)").as("p01"),
+        expr("percentile(value, 0.99D)").as("p99"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(
+          col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p01")), col("p99")).as("value_winsor"),
+          (col("value") =!=
+            least(greatest(col("value"), col("p01")), col("p99"))).as("clipped"))
+    },
+
+    // ---- per-doc top terms by a log-free TF-IDF score: tf * N / df.
+    //      ln() is NOT bit-reproducible across engines, so the score uses
+    //      the exact-integer ratio (monotone in idf for fixed tf) — same
+    //      ranking semantics, cross-engine deterministic. Shuffles: one
+    //      per grouping + a broadcast of the term->df side ----
+    QueryDef.sql(
+      "q_tfidf_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |), nq AS (
+        |  SELECT count(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * 1e0 * nq.n / df.df AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nq
+        |)
+        |SELECT doc_id, term, tf, df, score, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * lit(1.0) * col("n") / col("df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    },
+
+    // ---- corpus bigram vocabulary: top-20 by frequency — the n-gram
+    //      counting pass behind vocab/tokenizer construction. Global
+    //      top-k is TakeOrdered (distributed partial top-k per
+    //      partition), never a full sort ----
+    QueryDef.sql(
+      "q_bigram_counts",
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, n),
+        |    i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+        |  FROM t WHERE n >= 2
+        |)
+        |SELECT bigram, count(*) AS n_occ FROM b GROUP BY bigram
+        |ORDER BY n_occ DESC, bigram LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"),
+          size(split(col("text"), " ")).as("n"))
+        .filter(col("n") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, n - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("bigram"))
+        .limit(20)
     }
   )
 }

@@ -95,9 +95,10 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
   }
 
   test("NO query plans a cartesian product or accidental nested-loop join") {
-    // broadcast cross joins against a tiny probe/centroid set are the
-    // intended shape for these two; everything else must be an equi join
-    val intendedNestedLoop = Set("q_knn_brute", "q_knn_ivf")
+    // broadcast cross joins against a tiny probe/centroid set — or, for
+    // tfidf, the single-row corpus-count frame — are the intended shape
+    // for these; everything else must be an equi join
+    val intendedNestedLoop = Set("q_knn_brute", "q_knn_ivf", "q_tfidf_terms")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
