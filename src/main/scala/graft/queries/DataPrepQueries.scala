@@ -634,7 +634,11 @@ object DataPrepQueries {
 
     // ---- exact interpolated quantiles per group (profiling/quality
     //      thresholds); Spark percentile and DuckDB quantile_cont share
-    //      the p*(n-1) linear-interpolation semantics on doubles ----
+    //      the p*(n-1) linear-interpolation semantics on doubles.
+    //      SCALE NOTE: exact percentile buffers every group's values in
+    //      the aggregation state — fine for profiling-sized groups, wrong
+    //      at 100 TB; q_quantiles_approx below is the constant-memory
+    //      sketch path for that regime ----
     QueryDef.sql(
       "q_quantiles",
       """SELECT event_type,
@@ -651,6 +655,21 @@ object DataPrepQueries {
           expr("percentile(value, 0.5D)").as("p50"),
           expr("percentile(value, 0.75D)").as("p75"),
           expr("percentile(value, 0.95D)").as("p95"))
+    },
+
+    // ---- approximate quantiles: the 100 TB twin of q_quantiles on the
+    //      Greenwald-Khanna sketch (approx_percentile) — constant memory
+    //      per group at any cardinality, mergeable across partitions.
+    //      No DuckDB twin (different sketch) -> rows-only check;
+    //      ApproxQuantilesSpec pins the error bound vs the exact values ----
+    QueryDef.rowsOnly("q_quantiles_approx") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.25D, 10000)").as("p25"),
+          expr("approx_percentile(value, 0.5D, 10000)").as("p50"),
+          expr("approx_percentile(value, 0.75D, 10000)").as("p75"),
+          expr("approx_percentile(value, 0.95D, 10000)").as("p95"))
     },
 
     // ---- M1: per-key min-max normalization ----

@@ -18,8 +18,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   // rows-only queries: no cross-engine oracle exists; each must carry a
   // dedicated unit spec instead (q_media_features -> MultimodalSpec,
-  // q_approx_distinct -> ApproxDistinctSpec: DuckDB's HLL sketch differs)
-  private val rowsOnlyAllowed = Set("q_media_features", "q_approx_distinct")
+  // q_approx_distinct -> ApproxDistinctSpec and q_quantiles_approx ->
+  // ApproxQuantilesSpec: DuckDB's sketches differ, so the contract is an
+  // error bound, not a hash match)
+  private val rowsOnlyAllowed =
+    Set("q_media_features", "q_approx_distinct", "q_quantiles_approx")
 
   test("every query has either an oracle or a documented reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
