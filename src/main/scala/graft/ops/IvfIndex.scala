@@ -72,6 +72,16 @@ object IvfIndex {
     cb
   }
 
+  /** Collect the codebook and rebuild it as a local relation — k ~ sqrt(n)
+    * rows of index metadata. Cuts the k-means lineage so each downstream
+    * broadcast does not re-execute the Lloyd iterations, without pinning a
+    * cache entry in the session for the codebook's lifetime.
+    */
+  def materialize(cb: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(cb.collect(): _*)
+    cb.sparkSession.createDataFrame(rows, cb.schema)
+  }
+
   /** Nearest-cell assignment: (emb.*, cent_id); ties -> lowest cent_id. */
   def assign(emb: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
@@ -92,15 +102,11 @@ object IvfIndex {
       queryPred: Column,
       nprobe: Int,
       topK: Int): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cb))
-      .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val assigned = assign(emb, cb)
     // probes are scored from a queries-only cross join (queries x k rows),
     // NOT by re-filtering the corpus-wide assignment — the full corpus
     // pays exactly ONE pass over the codebook; identical scores either way
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
     val probes = emb.filter(queryPred).crossJoin(broadcast(cb))
       .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
       .withColumn("rk", row_number().over(wAssign))

@@ -587,7 +587,10 @@ object DataPrepQueries {
       val ev = Tables.events(s, d)
       val stats = ev.groupBy(col("event_type"))
         .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
-      ev.join(broadcast(stats), Seq("event_type"))
+      // null-safe join key (<=>): the oracle's PARTITION BY keeps a NULL
+      // event_type as its own group, and an equi-join would drop it
+      ev.join(broadcast(stats.withColumnRenamed("event_type", "et_s")),
+          col("event_type") <=> col("et_s"))
         .select(
           col("event_type"),
           when(col("v_max") === col("v_min"), 0L).otherwise(
@@ -682,11 +685,13 @@ object DataPrepQueries {
         |FROM events WINDOW w AS (PARTITION BY event_type)""".stripMargin
     ) { (s, d) =>
       // same two-pass grouped-stats + broadcast shape as q_histogram (the
-      // plan SURVEY §2.9 prescribes for M1) — no whole-partition WindowExec
+      // plan SURVEY §2.9 prescribes for M1) — no whole-partition WindowExec;
+      // null-safe key to keep a NULL group, as the oracle's PARTITION BY does
       val ev = Tables.events(s, d)
       val stats = ev.groupBy(col("event_type"))
         .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
-      ev.join(broadcast(stats), Seq("event_type"))
+      ev.join(broadcast(stats.withColumnRenamed("event_type", "et_s")),
+          col("event_type") <=> col("et_s"))
         .select(
           col("event_id"),
           col("event_type"),
@@ -715,7 +720,8 @@ object DataPrepQueries {
       val ev = Tables.events(s, d)
       val stats = ev.groupBy(col("event_type"))
         .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"))
-      ev.join(broadcast(stats), Seq("event_type"))
+      ev.join(broadcast(stats.withColumnRenamed("event_type", "et_s")),
+          col("event_type") <=> col("et_s"))
         .select(
           col("event_id"), col("event_type"), col("value"),
           ((col("value") - col("v_min")) /
@@ -862,8 +868,10 @@ object DataPrepQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // df from the tf frame (one row per (doc, term) already), NOT a
+      // second tokenize+distinct over the corpus: rows-per-term of tf IS
+      // the distinct doc count — saves a full corpus pass at scale
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
       tf.join(broadcast(df), Seq("term"))

@@ -36,19 +36,31 @@ object JdbcSink {
       df: DataFrame, url: String, props: Properties, table: String): Unit =
     df.write.mode("append").jdbc(url, table, props)
 
-  /** Create the commit-log table if absent: (query_id, batch_id). */
+  /** Create the commit-log table if absent: (query_id, batch_id).
+    * Existence is probed under the backend's unquoted-identifier folding
+    * (as-is, UPPER for Derby/Oracle-style folding, lower for
+    * Postgres/MySQL-style) so the CREATE is not re-attempted — and a
+    * concurrent/racing CREATE of an existing table is tolerated anyway.
+    */
   def ensureCommitLog(url: String, props: Properties, commitTable: String): Unit = {
     val conn = DriverManager.getConnection(url, props)
     try {
-      val meta = conn.getMetaData.getTables(
-        null, null, commitTable.toUpperCase, null)
-      val exists = try meta.next() finally meta.close()
-      if (!exists) {
+      def probe(): Boolean =
+        Seq(commitTable, commitTable.toUpperCase, commitTable.toLowerCase)
+          .distinct.exists { name =>
+            val rs = conn.getMetaData.getTables(null, null, name, null)
+            try rs.next() finally rs.close()
+          }
+      if (!probe()) {
         val st = conn.createStatement()
         try st.executeUpdate(
           s"CREATE TABLE $commitTable (query_id VARCHAR(64) NOT NULL, " +
             "batch_id BIGINT NOT NULL, PRIMARY KEY (query_id, batch_id))")
-        finally st.close()
+        catch {
+          // lost a create race (or an identifier-folding variant the
+          // probe missed): fine iff the table exists now
+          case e: java.sql.SQLException => if (!probe()) throw e
+        } finally st.close()
       }
     } finally conn.close()
   }
@@ -81,8 +93,10 @@ object JdbcSink {
   }
 
   /** foreachBatch function with replayed-batch suppression via the commit
-    * log — pass to `writeStream.foreachBatch`. Commit-log insert happens
-    * AFTER the data append: a crash between the two replays the batch
+    * log — pass to `writeStream.foreachBatch`. The commit log is ensured
+    * ONCE here, at writer construction (it cannot disappear between
+    * batches), not per micro-batch. Commit-log insert happens AFTER the
+    * data append: a crash between the two replays the batch
     * (at-least-once edge), never silently drops it.
     */
   def exactlyOnceBatchWriter(
@@ -91,8 +105,8 @@ object JdbcSink {
       table: String,
       commitTable: String,
       queryId: String): (DataFrame, Long) => Unit = {
+    ensureCommitLog(url, props, commitTable)
     (df: DataFrame, batchId: Long) =>
-      ensureCommitLog(url, props, commitTable)
       if (!alreadyCommitted(url, props, commitTable, queryId, batchId)) {
         writeBatch(df, url, props, table)
         markCommitted(url, props, commitTable, queryId, batchId)
