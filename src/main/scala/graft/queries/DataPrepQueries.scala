@@ -371,30 +371,17 @@ object DataPrepQueries {
         |       ELSE 'keep' END) = 'keep' AS kept
         |FROM s""".stripMargin
     ) { (s, d) =>
-      val toks = split(col("text"), " ")
-      val nTokens = size(toks).cast("long")
-      val stopRatio = when(nTokens === 0, 0.0).otherwise(
-        expr("size(filter(split(text, ' '), " +
-          "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))")
-          .cast("double") / nTokens)
-      val punctRatio = when(length(col("text")) === 0, 0.0).otherwise(
-        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-          length(col("text")))
-      val uniqRatio = when(nTokens === 0, 0.0).otherwise(
-        size(array_distinct(toks)).cast("double") / nTokens)
-      val verdict = when(nTokens < 5, "too_short")
-        .when(nTokens > 10000, "too_long")
-        .when(punctRatio > 0.3, "too_much_punct")
-        .when(uniqRatio < 0.2, "too_repetitive")
-        .otherwise("keep")
+      // expressions shared verbatim with the streaming quality gate
+      // (ops.TextPrep / streaming.DocStream) — one definition, two plans
+      import graft.ops.TextPrep
       Tables.documents(s, d).select(
         col("doc_id"),
-        nTokens.as("n_tokens"),
-        stopRatio.as("stop_ratio"),
-        punctRatio.as("punct_ratio"),
-        uniqRatio.as("uniq_ratio"),
-        verdict.as("verdict"),
-        (verdict === "keep").as("kept"))
+        TextPrep.nTokens.as("n_tokens"),
+        TextPrep.stopRatio.as("stop_ratio"),
+        TextPrep.punctRatio.as("punct_ratio"),
+        TextPrep.uniqRatio.as("uniq_ratio"),
+        TextPrep.verdict.as("verdict"),
+        (TextPrep.verdict === "keep").as("kept"))
     },
 
     // ---- language-ID scoring (stopword-list n-gram heuristic) ----
@@ -789,24 +776,11 @@ object DataPrepQueries {
         |    AS n_chunk_tokens
         |FROM e""".stripMargin
     ) { (s, d) =>
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          split(col("text"), " ").as("toks"),
-          size(split(col("text"), " ")).as("n"))
-        .select(
-          col("doc_id"), col("toks"),
-          // sequence(0, X) is inclusive: X+1 chunks = ceil((n-32)/24)+1
-          posexplode(expr(
-            "sequence(0, CASE WHEN n <= 32 THEN 0 " +
-              "ELSE (n - 32 + 23) div 24 END)"))
-            .as(Seq("pos", "chunk_id")))
-        .select(
-          col("doc_id"),
-          col("chunk_id").cast("long").as("chunk_id"),
-          expr("concat_ws(' ', slice(toks, chunk_id * 24 + 1, 32))").as("chunk_text"),
-          expr("size(slice(toks, chunk_id * 24 + 1, 32))").cast("long")
-            .as("n_chunk_tokens"))
+      // shared chunker (ops.TextPrep.chunkDocs) — also the streaming path
+      graft.ops.TextPrep
+        .chunkDocs(Tables.documents(s, d).select("doc_id", "text"),
+          size = 32, stride = 24)
+        .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
     },
 
     // ---- winsorization: clip each value to its group's [p01, p99] —
