@@ -856,6 +856,48 @@ object DataPrepQueries {
         .select("doc_id", "term", "tf", "df", "score", "rk")
     },
 
+    // ---- dataset-version diff: which documents were added / removed /
+    //      changed between two snapshots — the audit pass behind
+    //      training-data versioning. Snapshots are derived
+    //      deterministically from the documents table (a drops doc_id%10,
+    //      b drops %11 and rewrites %7); the comparison itself is a
+    //      FULL OUTER hash join on the id with content-hash equality —
+    //      one shuffle each side, no row buffering ----
+    QueryDef.sql(
+      "q_dataset_diff",
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS h_a FROM documents WHERE doc_id % 10 <> 0
+        |), b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END)
+        |      AS h_b
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN h_a IS NULL THEN 'added'
+        |       WHEN h_b IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL JOIN b USING (doc_id)
+        |WHERE h_a IS NULL OR h_b IS NULL OR h_a <> h_b""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h_a"))
+      val b = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"),
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .otherwise("changed").as("status"),
+          col("h_a"), col("h_b"))
+        .filter(col("h_a").isNull || col("h_b").isNull || col("h_a") =!= col("h_b"))
+        .select("doc_id", "status")
+    },
+
     // ---- corpus bigram vocabulary: top-20 by frequency — the n-gram
     //      counting pass behind vocab/tokenizer construction. Global
     //      top-k is TakeOrdered (distributed partial top-k per
