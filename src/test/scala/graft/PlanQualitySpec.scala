@@ -123,6 +123,16 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("documents-table operators prune to the referenced columns at the scan") {
+    // chunking references only (doc_id, text): the 100 TB documents table
+    // has wide metadata; reading it all for a 2-column operator is wrong
+    val df = SparkEntry.queries("q_chunk_docs")(spark, sfDir)
+    val scans = collectAll(df) { case s: FileSourceScanExec => s }
+    val doc = scans.find(_.metadata("Location").contains("documents")).get
+    doc.metadata("ReadSchema") should not include "lang"
+    doc.metadata("ReadSchema") should include("text")
+  }
+
   test("whole-stage codegen covers the indicator expressions") {
     val df = SparkEntry.queries("q_indicators")(spark, sfDir)
     df.collect()
