@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+
+import graft.model.{Candle, EnrichedCandle}
+import graft.streaming.StreamingIndicators
+import graft.streaming.StreamingIndicators.IndState
+
+/** Incremental BATCH recompute of the indicator pipeline from checkpointed
+  * per-symbol state — the third leg of the indicator story:
+  *
+  *   - `Indicators.enrich`: full-history batch (one window pass);
+  *   - `StreamingIndicators`: live micro-batches, O(1) state/key;
+  *   - THIS: scheduled batch jobs that process only NEW data (today's
+  *     partition) and continue bit-exactly from a persisted state
+  *     snapshot, instead of re-reading the full history — the
+  *     "incremental view maintenance" mode a 100 TB store needs (a daily
+  *     job re-reading all history is O(history) per day; this is
+  *     O(new data) with a snapshot of a few hundred bytes per symbol).
+  *
+  * Bit-exactness falls out of reuse, not reimplementation: the fold is
+  * literally [[StreamingIndicators.step]] — the function the golden specs
+  * already prove identical to the batch window pipeline — so
+  * full-recompute ≡ incremental-resume at the binary level, the exact
+  *"replay from checkpointed boundaries" case documented on
+  * [[SegmentedEma]].
+  *
+  * Scale shape: one `cogroupSorted` over (new candles ⋈ snapshot) hashed
+  * by symbol — a single shuffle of the NEW data plus the tiny snapshot;
+  * each group streams in time order; output carries both the enriched
+  * rows and the advanced snapshot in one pass.
+  */
+object IncrementalIndicators {
+
+  /** Persisted per-symbol state row (a columnar-friendly flattening of
+    * [[StreamingIndicators.IndState]]).
+    */
+  final case class StateRow(
+      stock_symbol: String,
+      prevClose: Option[Double],
+      ema: Option[Double],
+      obs: Int,
+      closes: Array[Double],
+      gains: Array[Double],
+      losses: Array[Double])
+
+  /** One output of an [[advance]] pass: an enriched row OR the symbol's
+    * advanced state (exactly one side is set).
+    */
+  final case class Step(
+      enriched: Option[EnrichedCandle], state: Option[StateRow])
+
+  private def toIndState(s: StateRow): IndState =
+    IndState(s.prevClose, s.ema, s.obs, s.closes, s.gains, s.losses)
+
+  private def toRow(sym: String, st: IndState): StateRow =
+    StateRow(sym, st.prevClose, st.ema, st.obs, st.closes, st.gains, st.losses)
+
+  /** Fold `newCandles` on top of `snapshot`, emitting enriched rows for
+    * the new candles plus one advanced state row per symbol (symbols with
+    * no new candles pass their state through unchanged). Split the result
+    * with [[enriched]] / [[nextSnapshot]].
+    */
+  def advance(
+      newCandles: Dataset[Candle],
+      snapshot: Dataset[StateRow]): Dataset[Step] = {
+    val spark = newCandles.sparkSession
+    import spark.implicits._
+    newCandles
+      .groupByKey(_.stock_symbol)
+      .cogroupSorted(snapshot.groupByKey(_.stock_symbol))(
+        // same total order as the streaming fold's in-batch sort
+        col("local_time"), col("close"), col("open"), col("high"),
+        col("low"), col("volume"))()( { (sym, candles, states) =>
+        var st = states.toSeq.headOption.map(toIndState)
+          .getOrElse(StreamingIndicators.emptyState)
+        val outs = candles.map { c =>
+          val (next, e) = StreamingIndicators.step(st, c)
+          st = next
+          Step(Some(e), None)
+        }
+        outs ++ Iterator.single(Step(None, Some(toRow(sym, st))))
+      })
+  }
+
+  def enriched(steps: Dataset[Step]): Dataset[EnrichedCandle] = {
+    val spark = steps.sparkSession
+    import spark.implicits._
+    steps.flatMap(_.enriched)
+  }
+
+  def nextSnapshot(steps: Dataset[Step]): Dataset[StateRow] = {
+    val spark = steps.sparkSession
+    import spark.implicits._
+    steps.flatMap(_.state)
+  }
+
+  def emptySnapshot(spark: org.apache.spark.sql.SparkSession): Dataset[StateRow] = {
+    import spark.implicits._
+    spark.emptyDataset[StateRow]
+  }
+}

@@ -65,8 +65,20 @@ object ExtQueries {
 
   /** SimHash width: 60 bits (15 hex chars of md5 per token = 60 unbiased
     * bits, and the signature stays positive in a signed int64 for both
-    * engines). 4 bands x 15 bits drive the near-dup candidate join: 32k
-    * values per band keeps buckets sparse at scale.
+    * engines). 4 bands x 15 bits drive the near-dup candidate join —
+    * the MINIMUM band count that keeps the hamming<=3 guarantee exact
+    * (pigeonhole: <=3 flipped bits leave >=1 of 4 bands untouched).
+    *
+    * Scale honesty: 15-bit bands give 32k buckets, so expected bucket
+    * occupancy is n/32k (~30k at n=10^9) and the in-bucket verify is
+    * ~n^2/2^15 per band — unlike the embedding LSH, the band width here
+    * CANNOT grow freely with n without widening the signature (r bands
+    * of b bits need r*b total bits and r >= hamming+1 for exactness).
+    * The scale path at 10^9+ is a wider signature (e.g. 120 bits from
+    * two md5 prefixes -> 4 bands x 30 bits = 10^9 buckets), not more
+    * 15-bit bands; simhash bits are cheap (one fold per token), so the
+    * widening is linear cost. Kept at 60/4x15 here because the oracle
+    * int64 arithmetic caps the signature at 63 bits.
     */
   private val SimBits = 60
   private val BandBits = 15
