@@ -38,15 +38,22 @@ object DataPrepQueries {
   import Num.{davg, davg2, davg2Sql, davgSql, dsum, dsumSql}
 
   // ---------------------------------------------------------------- shingles
-  /** Word 3-gram shingles; docs with <3 tokens have none. */
+  /** Word 3-gram shingles; docs with <3 tokens have none.
+    * The token array is bound ONCE per row: Spark's common-subexpression
+    * elimination does not reach inside lambda bodies, so writing
+    * `slice(split(text,' '), i, 3)` in the transform would re-split the
+    * document for EVERY shingle (~n splits/doc — measured 2x slower on
+    * the minhash pipeline at sf0.1).
+    */
   private def shingleDf(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(
         col("doc_id"),
         explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 2), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("shingle"))
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
   }
 
   private val shingleSql: String =
