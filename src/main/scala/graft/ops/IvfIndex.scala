@@ -101,18 +101,36 @@ object IvfIndex {
       cb: DataFrame,
       queryPred: Column,
       nprobe: Int,
+      topK: Int): DataFrame =
+    searchWith(
+      assign(emb, cb),
+      cb,
+      emb.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      nprobe, topK)
+
+  /** Answer EXTERNAL query vectors `(q_id, q_emb)` against an already
+    * cell-assigned corpus — the serving-path entry point (the corpus
+    * assignment is the index; queries are whoever shows up). A candidate
+    * with c_id == q_id is excluded (corpus-member queries must not match
+    * themselves); callers with an unrelated query id space should not
+    * reuse corpus ids.
+    */
+  def searchWith(
+      assigned: DataFrame,
+      cb: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
       topK: Int): DataFrame = {
-    val assigned = assign(emb, cb)
     // probes are scored from a queries-only cross join (queries x k rows),
     // NOT by re-filtering the corpus-wide assignment — the full corpus
     // pays exactly ONE pass over the codebook; identical scores either way
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
-    val probes = emb.filter(queryPred).crossJoin(broadcast(cb))
-      .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
-      .withColumn("rk", row_number().over(wAssign))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cb))
+      .withColumn("cs", VecOps.cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cent_id").as("probe_cent"))
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("probe_cent"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     assigned.join(broadcast(probes), col("cent_id") === col("probe_cent"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -120,5 +138,24 @@ object IvfIndex {
         VecOps.cosine(col("q_emb"), col("embedding")).as("cosine"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** A served index: materialized codebook + cached cell assignment.
+    * Build once, answer many query batches ([[graft.streaming.AnnServe]]);
+    * `close()` releases the cached assignment.
+    */
+  final case class ServedIndex(cb: DataFrame, assigned: DataFrame) {
+    def query(queries: DataFrame, nprobe: Int, topK: Int): DataFrame =
+      searchWith(assigned, cb, queries, nprobe, topK)
+    def close(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Build a served index over a corpus: deterministic codebook
+    * (materialized local relation) + cached nearest-cell assignment.
+    */
+  def buildIndex(corpus: DataFrame, k: Int, iters: Int = 2): ServedIndex = {
+    val cb = materialize(codebook(corpus, k, iters))
+    val assigned = assign(corpus, cb).cache()
+    ServedIndex(cb, assigned)
   }
 }
