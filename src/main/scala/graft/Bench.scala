@@ -41,6 +41,8 @@ object Bench {
     // same pipeline at bulk cadence (4 large batches): shows the per-batch
     // fixed cost amortizing away — the throughput number that scales
     results("stream_indicators_bulk") = streamReplay(spark, sfDir, batches = 4)
+    // LLM-data streaming path: documents through dedup/quality/chunking
+    results("stream_docs") = docStreamReplay(spark, sfDir)
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
@@ -49,6 +51,46 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Replay the documents table through the streaming doc pipeline
+    * (content-hash dedup -> quality gate -> chunking) in micro-batches;
+    * returns wall seconds (doc rate to stderr).
+    */
+  def docStreamReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        // deterministic synthetic event time: one doc per second
+        (lit(1704067200000L) + col("doc_id") * 1000).cast("timestamp").as("ingest_ts"),
+        col("lang"), col("text"))
+      .as[graft.streaming.DocStream.DocEvent]
+      .collect()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.DocStream.DocEvent]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.DocStream.pipeline(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bench_docs").start()
+      try {
+        docs.grouped(math.max(1000, docs.length / batches)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val n = spark.table("bench_docs").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_docs: ${docs.length} docs -> $n chunks in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
+        secs
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Replay the events table through the incremental streaming pipeline
