@@ -65,10 +65,15 @@ object Bench {
     val docs = graft.model.Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        // deterministic synthetic event time: one doc per second
-        (lit(1704067200000L) + col("doc_id") * 1000).cast("timestamp").as("ingest_ts"),
+        // deterministic synthetic event time, one doc per second —
+        // timestamp_millis, NOT a Long cast (integral->timestamp casts
+        // are interpreted as SECONDS and would space docs 1000 s apart)
+        expr("timestamp_millis(1704067200000 + doc_id * 1000)").as("ingest_ts"),
         col("lang"), col("text"))
       .as[graft.streaming.DocStream.DocEvent]
+      // event-time order, like streamReplay: replaying out of order would
+      // silently drop watermark-late rows and flatter the docs/s number
+      .orderBy("ingest_ts")
       .collect()
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[graft.streaming.DocStream.DocEvent]

@@ -73,7 +73,13 @@ object IncrementalIndicators {
         // same total order as the streaming fold's in-batch sort
         col("local_time"), col("close"), col("open"), col("high"),
         col("low"), col("volume"))()( { (sym, candles, states) =>
-        var st = states.toSeq.headOption.map(toIndState)
+        val stateRows = states.toSeq
+        // a snapshot with 2+ rows per symbol is corrupted (e.g. appended
+        // instead of overwritten): resuming from an arbitrary one would
+        // complete with wrong values — fail loudly instead
+        require(stateRows.sizeIs <= 1,
+          s"corrupt snapshot: ${stateRows.size} state rows for symbol $sym")
+        var st = stateRows.headOption.map(toIndState)
           .getOrElse(StreamingIndicators.emptyState)
         val outs = candles.map { c =>
           val (next, e) = StreamingIndicators.step(st, c)

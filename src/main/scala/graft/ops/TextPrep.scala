@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object TextPrep {
 
-  /** Reference stopword list (shared with the lang-ID scorer). */
+  /** Reference stopword list — the single source for every stopword-ratio
+    * computation (quality gate here, `q_text_stats` in DataPrepQueries and
+    * its DuckDB oracle twin embed the same 7 words).
+    */
   val StopWordsSql = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
 
   def nTokens: Column = size(split(col("text"), " ")).cast("long")

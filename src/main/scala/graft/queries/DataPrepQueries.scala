@@ -239,13 +239,13 @@ object DataPrepQueries {
     // ---- text quality statistics ----
     QueryDef.sql(
       "q_text_stats",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  length(text) AS n_chars_calc,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
         |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1e0 / length(text) AS punct_ratio,
         |  len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) * 1e0
+        |      t -> t IN (${graft.ops.TextPrep.StopWordsSql}))) * 1e0
         |    / len(string_split(text, ' ')) AS stopword_ratio,
         |  CAST(ceil(length(text) / 4e0) AS BIGINT) AS n_tokens_bpe_est
         |FROM documents""".stripMargin
@@ -260,7 +260,7 @@ object DataPrepQueries {
           lit(1.0) / length(col("text"))).as("punct_ratio"),
         (expr(
           "size(filter(split(text, ' '), " +
-            "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))")
+            s"t -> t IN (${graft.ops.TextPrep.StopWordsSql})))")
           .cast("double") * lit(1.0) /
           size(split(col("text"), " "))).as("stopword_ratio"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_bpe_est")
@@ -350,12 +350,12 @@ object DataPrepQueries {
     //      the decision layer on top of the q_text_stats scores ----
     QueryDef.sql(
       "q_quality_filter",
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
         |    len(string_split(text, ' ')) AS n_tokens,
         |    CASE WHEN len(string_split(text, ' ')) = 0 THEN 0e0
         |         ELSE len(list_filter(string_split(text, ' '),
-        |             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) * 1e0
+        |             t -> t IN (${graft.ops.TextPrep.StopWordsSql}))) * 1e0
         |           / len(string_split(text, ' ')) END AS stop_ratio,
         |    CASE WHEN length(text) = 0 THEN 0e0
         |         ELSE length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1e0

@@ -50,10 +50,18 @@ class IncrementalIndicatorsSpec extends AnyFunSuite {
         .map(e => keyOf(e) -> e).toMap
 
     assert(resumed.keySet == full.keySet)
+    // scala == on boxed doubles is NUMERIC equality (-0.0 == 0.0), so a
+    // true bit-level compare goes through doubleToRawLongBits per field
+    def bits(o: Option[Double]): Option[Long] =
+      o.map(java.lang.Double.doubleToRawLongBits)
     for (k <- full.keySet) {
-      // case-class equality on Option[Double] boxes through Double.equals,
-      // which distinguishes -0.0 from 0.0 — this IS a bit-level compare
-      assert(resumed(k) == full(k), s"row $k diverged after resume")
+      val (r, f) = (resumed(k), full(k))
+      val rBits = Seq(r.sma_5, r.ema_10, r.delta, r.gain, r.loss,
+        r.avg_gain_10, r.avg_loss_10, r.rs, r.rsi_10).map(bits)
+      val fBits = Seq(f.sma_5, f.ema_10, f.delta, f.gain, f.loss,
+        f.avg_gain_10, f.avg_loss_10, f.rs, f.rsi_10).map(bits)
+      assert(rBits == fBits && r.signal == f.signal,
+        s"row $k diverged after resume (bit-level): $r vs $f")
     }
   }
 
