@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection as a reusable library surface: MinHash-LSH
+  * over word shingles and SimHash banding, parameterized by id/text
+  * column names so they run on ANY corpus frame (the oracle queries in
+  * `DataPrepQueries`/`ExtQueries` delegate here against the test tables).
+  *
+  * Requires the `md5p60` function (from `spark.sql.extensions =
+  * graft.GraftExtensions`, or `Md5Prefix60.register`).
+  *
+  * Scale shape (unchanged from the audited queries): candidates come from
+  * equality joins on band keys only — never an all-pairs product — and
+  * every hash is engine-portable md5-derived arithmetic.
+  */
+object NearDup {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** 16 minhash permutations h_j(x) = (a_j*x + b_j) mod P, 4 bands. */
+  val MinhashPerms: Seq[(Long, Long)] =
+    (1 to 16).map(j => (1000003L * j + 12345L, 7919L * j + 271L))
+
+  /** Word 3-gram shingles: (id, shingle). Docs with <3 tokens have none.
+    * The token array is bound once per row (no re-split inside the
+    * lambda — see the CSE note on the minhash pipeline).
+    */
+  def shingles(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    df.select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col(id),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
+
+  /** Per-doc minhash signature banded for LSH: (id, band_id, band_hash). */
+  def minhashBands(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val hashed = shingles(df, id, text)
+      .select(col(id), expr(s"md5p60(shingle) % $P").as("h"))
+    val mins = hashed.groupBy(col(id)).agg(
+      min(expr(s"(h * ${MinhashPerms.head._1} + ${MinhashPerms.head._2}) % $P")).as("m0"),
+      MinhashPerms.zipWithIndex.tail.map { case ((a, b), j) =>
+        min(expr(s"(h * $a + $b) % $P")).as(s"m$j")
+      }: _*)
+    val bands = (0 until 4).map { k =>
+      val cs = (0 until 4).map(i => s"m${k * 4 + i}").mkString(", ")
+      s"$k, concat_ws('-', $cs)"
+    }
+    mins.selectExpr(id, s"stack(4, ${bands.mkString(", ")}) as (band_id, band_hash)")
+  }
+
+  /** Candidate near-dup pairs from band collisions. `ordered = true`
+    * keeps one row per pair (a < b); `false` keeps both directions (for
+    * representative selection grouped on `id_a`). Output: (id_a, id_b).
+    */
+  def minhashCandidatePairs(
+      df: DataFrame, id: String = "doc_id", text: String = "text",
+      ordered: Boolean = true): DataFrame = {
+    val bands = minhashBands(df, id, text)
+    val a = bands.select(col(id).as("id_a"), col("band_id"), col("band_hash"))
+    val b = bands.select(
+      col(id).as("id_b"), col("band_id").as("band_id_b"),
+      col("band_hash").as("band_hash_b"))
+    val docCond =
+      if (ordered) col("id_a") < col("id_b") else col("id_a") =!= col("id_b")
+    a.join(b,
+        col("band_id") === col("band_id_b") &&
+          col("band_hash") === col("band_hash_b") && docCond)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Min-id representative per document: (id, keep_id, is_dup). Connected
+    * near-dup groups collapse to their smallest member via one grouped
+    * min over the candidate pairs.
+    */
+  def dedupByMinhash(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val pairs = minhashCandidatePairs(df, id, text, ordered = false)
+    df.select(col(id))
+      .join(pairs, col("id_a") === col(id), "left")
+      .groupBy(col(id))
+      .agg(least(col(id), coalesce(min(col("id_b")), col(id))).as("keep_id"))
+      .withColumn("is_dup", col("keep_id") < col(id))
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** SimHash width: 60 bits (15 hex chars of md5 per token) in 4 bands of
+    * 15 bits — the MINIMUM band count that keeps the hamming<=3 candidate
+    * guarantee exact by pigeonhole; the 10^9+ path is a wider signature,
+    * not more bands (see the scale note at ExtQueries).
+    */
+  val SimBits = 60
+  val SimBandBits = 15
+  val SimBands: Int = SimBits / SimBandBits
+
+  /** 60-bit SimHash signature per doc: (id, simhash). Per-token hash =
+    * the full 60-bit md5 prefix (every bit an independent coin flip).
+    */
+  def simhashSig(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = df
+      .select(col(id), explode(split(col(text), " ")).as("tok"))
+      .select(col(id), expr("md5p60(tok)").as("h"))
+    val bitAggs = (0 until SimBits).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"s$j"))
+    val combine = (0 until SimBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    toks
+      .groupBy(col(id))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .selectExpr(id, s"CAST($combine AS BIGINT) AS simhash")
+  }
+
+  /** Near-dup pairs at hamming distance <= `maxHamming` (must be <
+    * SimBands for the pigeonhole banding to stay exact): candidates from
+    * an equality join on (band_id, band_val), then the hamming verify.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(
+      df: DataFrame, id: String = "doc_id", text: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimBands,
+      s"hamming <= $maxHamming needs > $maxHamming bands for exactness")
+    val sig = simhashSig(df, id, text)
+    val banded = sig.select(
+      col(id), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${SimBands - 1}), " +
+          s"j -> shiftright(simhash, j * $SimBandBits) & ${(1 << SimBandBits) - 1})"))
+        .as(Seq("band_id", "band_val")))
+    val a = banded.select(
+      col(id).as("id_a"), col("simhash").as("sig_a"),
+      col("band_id"), col("band_val"))
+    val b = banded.select(
+      col(id).as("id_b"), col("simhash").as("sig_b"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

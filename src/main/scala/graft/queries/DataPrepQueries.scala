@@ -31,9 +31,10 @@ object DataPrepQueries {
   private val duckHash = (x: String) =>
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $P"
 
-  // 16 minhash permutations h_j(x) = (a_j*x + b_j) mod P, grouped in 4 bands
-  private val perms: Seq[(Long, Long)] =
-    (1 to 16).map(j => (1000003L * j + 12345L, 7919L * j + 271L))
+  // 16 minhash permutations h_j(x) = (a_j*x + b_j) mod P, grouped in 4
+  // bands — sourced from the public op so SQL oracle and library surface
+  // cannot drift
+  private val perms: Seq[(Long, Long)] = graft.ops.NearDup.MinhashPerms
 
   import Num.{davg, davg2, davg2Sql, davgSql, dsum, dsumSql}
 
@@ -45,16 +46,8 @@ object DataPrepQueries {
     * document for EVERY shingle (~n splits/doc — measured 2x slower on
     * the minhash pipeline at sf0.1).
     */
-  private def shingleDf(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(
-        col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
-  }
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    graft.ops.NearDup.shingles(Tables.documents(s, d))
 
   private val shingleSql: String =
     """sh_raw AS (
@@ -66,22 +59,8 @@ object DataPrepQueries {
       |)""".stripMargin
 
   /** Per-doc minhash signature (16 mins) + 4 LSH band hashes. */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleDf(s, d)
-      .select(col("doc_id"), expr(sparkHash("shingle")).as("h"))
-    val mins = hashed.groupBy(col("doc_id")).agg(
-      min(expr(s"(h * ${perms.head._1} + ${perms.head._2}) % $P")).as("m0"),
-      perms.zipWithIndex.tail.map { case ((a, b), j) =>
-        min(expr(s"(h * $a + $b) % $P")).as(s"m$j")
-      }: _*)
-    val bands = (0 until 4).map { k =>
-      val cs = (0 until 4).map(i => s"m${k * 4 + i}").mkString(", ")
-      s"$k, concat_ws('-', $cs)"
-    }
-    mins.selectExpr(
-      "doc_id",
-      s"stack(4, ${bands.mkString(", ")}) as (band_id, band_hash)")
-  }
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    graft.ops.NearDup.minhashBands(Tables.documents(s, d))
 
   private val minhashBandsSql: String = {
     val minCols = perms.zipWithIndex
@@ -109,22 +88,11 @@ object DataPrepQueries {
     * directions (dedup representative selection groups on doc_a).
     */
   private def minhashCandidatePairs(
-      s: SparkSession, d: String, ordered: Boolean): DataFrame = {
-    val bands = minhashBands(s, d)
-    val a = bands.select(
-      col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
-    val b = bands.select(
-      col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
-      col("band_hash").as("band_hash_b"))
-    val docCond =
-      if (ordered) col("doc_a") < col("doc_b") else col("doc_a") =!= col("doc_b")
-    a.join(
-        b,
-        col("band_id") === col("band_id_b") &&
-          col("band_hash") === col("band_hash_b") && docCond)
-      .select("doc_a", "doc_b")
-      .distinct()
-  }
+      s: SparkSession, d: String, ordered: Boolean): DataFrame =
+    graft.ops.NearDup
+      .minhashCandidatePairs(Tables.documents(s, d), ordered = ordered)
+      .withColumnRenamed("id_a", "doc_a")
+      .withColumnRenamed("id_b", "doc_b")
 
   // ------------------------------------------------------------------ queries
   val all: Seq[QueryDef] = Seq(
@@ -171,13 +139,9 @@ object DataPrepQueries {
          |FROM documents d LEFT JOIN pairs p ON p.doc_a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin
     ) { (s, d) =>
-      val pairs = minhashCandidatePairs(s, d, ordered = false)
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(pairs, col("doc_a") === col("doc_id"), "left")
-        .groupBy(col("doc_id"))
-        .agg(least(col("doc_id"), coalesce(min(col("doc_b")), col("doc_id")))
-          .as("keep_doc_id"))
-        .withColumn("is_dup", col("keep_doc_id") < col("doc_id"))
+      graft.ops.NearDup.dedupByMinhash(Tables.documents(s, d))
+        .withColumnRenamed("keep_id", "keep_doc_id")
+        .select("doc_id", "keep_doc_id", "is_dup")
     },
 
     // ---- n-gram Jaccard similarity on a deterministic pair sample ----
@@ -281,11 +245,10 @@ object DataPrepQueries {
         |SELECT doc_id, lang, bucket FROM h
         |WHERE bucket < (CASE lang WHEN 'en' THEN 20 ELSE 50 END)""".stripMargin
     ) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          expr("md5p60(CAST(doc_id AS STRING)) % 100").as("bucket"))
-        .filter(col("bucket") <
+      graft.ops.Sharding.stratifiedSample(
+          Tables.documents(s, d).select("doc_id", "lang"), "doc_id",
           when(col("lang") === "en", 20).otherwise(50))
+        .select("doc_id", "lang", "bucket")
     },
 
     // ---- deterministic shuffle ordering: hash-sharded training order.
@@ -304,12 +267,9 @@ object DataPrepQueries {
         |    AS rank_in_shard
         |FROM h""".stripMargin
     ) { (s, d) =>
-      val w = Window.partitionBy(col("hv") % 16)
-        .orderBy(col("hv"), col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), expr("md5p60(CAST(doc_id AS STRING))").as("hv"))
-        .select(col("doc_id"), (col("hv") % 16).as("shard"),
-          row_number().over(w).cast("long").as("rank_in_shard"))
+      graft.ops.Sharding
+        .shuffleOrder(Tables.documents(s, d).select("doc_id"), "doc_id", 16)
+        .select("doc_id", "shard", "rank_in_shard")
     },
 
     // ---- sequence packing: docs -> fixed token-budget training bins.
@@ -334,16 +294,11 @@ object DataPrepQueries {
         |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
         |FROM c""".stripMargin
     ) { (s, d) =>
-      val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          expr("md5p60(CAST(doc_id AS STRING))").as("hv"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("shard", col("hv") % 16)
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
-          expr("(cum_tokens - 1) div 2048").as("bin_id"))
+      graft.ops.Sharding.packBins(
+          Tables.documents(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", shards = 16, budget = 2048)
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin_id")
     },
 
     // ---- quality FILTER: Gopher-style keep/drop rules with reasons —

@@ -80,29 +80,16 @@ object ExtQueries {
     * widening is linear cost. Kept at 60/4x15 here because the oracle
     * int64 arithmetic caps the signature at 63 bits.
     */
-  private val SimBits = 60
-  private val BandBits = 15
-  private val NumBands = SimBits / BandBits
+  private val SimBits = graft.ops.NearDup.SimBits
+  private val BandBits = graft.ops.NearDup.SimBandBits
+  private val NumBands = graft.ops.NearDup.SimBands
 
   /** 60-bit SimHash signature per doc (shared by q_simhash / q_simhash_pairs).
     * Per-token hash = the full 60-bit md5 prefix (no mod-P reduction — every
     * bit position must be an independent coin flip).
     */
-  private def simhashSig(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), expr("md5p60(tok)").as("h"))
-    val bitAggs = (0 until SimBits).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1))
-        .as(s"s$j"))
-    val combine = (0 until SimBits)
-      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-      .mkString(" + ")
-    toks
-      .groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .selectExpr("doc_id", s"CAST($combine AS BIGINT) AS simhash")
-  }
+  private def simhashSig(s: SparkSession, d: String): DataFrame =
+    graft.ops.NearDup.simhashSig(Tables.documents(s, d))
 
   /** DuckDB twin of [[simhashSig]], as a CTE chain ending in `sig`. */
   private val simhashSigSql: String = {
@@ -291,29 +278,10 @@ object ExtQueries {
       // Scale path: hamming<=3 over 60 bits means at least one of the 4
       // 15-bit bands matches exactly (pigeonhole), so candidates come from
       // an equality join on (band_id, band_value) — a linear shuffle — and
-      // only candidates pay the hamming verify. Identical results to the
-      // all-pairs formulation with no O(n^2) nested-loop join.
-      val sig = simhashSig(s, d)
-      val banded = sig.select(
-        col("doc_id"), col("simhash"),
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1}), " +
-            s"j -> shiftright(simhash, j * $BandBits) & ${(1 << BandBits) - 1})"))
-          .as(Seq("band_id", "band_val")))
-      val a = banded.select(
-        col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-        col("band_id"), col("band_val"))
-      val b = banded.select(
-        col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-        col("band_id"), col("band_val"))
-      a.join(b, Seq("band_id", "band_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-        .withColumn("hamming",
-          expr("bit_count(sig_a ^ sig_b)").cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+      // only candidates pay the hamming verify (graft.ops.NearDup).
+      graft.ops.NearDup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
     },
 
     // ---- LSH-banded ANN (random-hyperplane signs), the scale path for
