@@ -86,6 +86,37 @@ object NearDup {
       .withColumn("is_dup", col("keep_id") < col(id))
   }
 
+  /** Append the banded minhash signature as per-ROW columns
+    * (`band_0`..`band_3`), computed with pure array expressions — no
+    * aggregation — so it works on a STREAMING frame (the signature of a
+    * document is row-local; only the collision check needs state).
+    * Identical band values to [[minhashBands]] for docs with >= 3 tokens
+    * (same shingles, same permutation mins — spec-pinned); shorter docs,
+    * which [[minhashBands]] simply omits, get a per-doc unique sentinel
+    * band so they never collide with anything.
+    */
+  def withRowMinhashBands(
+      df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    // shingle hashes bound ONCE as a column (md5 per shingle, not per
+    // permutation — CSE does not reach inside lambda bodies)
+    val withHs = df
+      .withColumn("__toks", split(col(text), " "))
+      .withColumn("__hs", expr(
+        s"CASE WHEN size(__toks) >= 3 THEN " +
+          s"transform(sequence(1, size(__toks) - 2), " +
+          s"i -> md5p60(concat_ws(' ', slice(__toks, i, 3))) % $P) END"))
+    val mins = MinhashPerms.zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(__hs, h -> (h * $a + $b) % $P))").as(s"__m$j")
+    }
+    val withMins = withHs.select(col("*") +: mins: _*)
+    val bandCols = (0 until 4).map { k =>
+      val cs = (k * 4 until k * 4 + 4).map(i => s"__m$i").mkString(", ")
+      expr(s"CASE WHEN __hs IS NOT NULL THEN concat_ws('-', $cs) " +
+        s"ELSE concat('uniq-', $id, '-', $k) END").as(s"band_$k")
+    }
+    withMins.select(df.columns.map(col) ++ bandCols: _*)
+  }
+
   // -------------------------------------------------------------- simhash
   /** SimHash width: 60 bits (15 hex chars of md5 per token) in 4 bands of
     * 15 bits — the MINIMUM band count that keeps the hamming<=3 candidate

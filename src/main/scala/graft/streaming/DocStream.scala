@@ -58,4 +58,105 @@ object DocStream {
       qualityGate(dedupGate(docs, watermark)), chunkSize, stride)
       .select("doc_id", "ingest_ts", "lang", "chunk_id", "chunk_text",
         "n_chunk_tokens")
+
+  // ------------------------------------------------- streaming NEAR-dup
+  /** One exploded band row of a document's row-local minhash signature. */
+  final case class BandKeyRow(
+      band_key: String, doc_id: Long, ingest_ts: java.sql.Timestamp)
+
+  /** Stage-1 output: did this doc's band collide with an earlier doc? */
+  final case class BandVote(
+      doc_id: Long, ingest_ts: java.sql.Timestamp, collided: Boolean)
+
+  /** Streaming near-dup verdict for one document. */
+  final case class NearDupVerdict(
+      doc_id: Long, ingest_ts: java.sql.Timestamp, is_near_dup: Boolean)
+
+  /** Stage 1: first-wins per band bucket. State = one boolean per seen
+    * band value (the inverted index of the stream so far); rows within a
+    * batch fold in (ingest_ts, doc_id) order so same-batch near-dups
+    * resolve deterministically (earlier doc wins).
+    */
+  class BandSeenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BandKeyRow, BandVote] {
+    @transient private var seen:
+        org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[BandKeyRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[BandVote] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id))
+      var s = seen.exists() && seen.get()
+      val out = sorted.map { r =>
+        val v = BandVote(r.doc_id, r.ingest_ts, collided = s)
+        s = true
+        v
+      }
+      seen.update(true)
+      out.iterator
+    }
+  }
+
+  /** Stage 2: combine a doc's band votes (all arrive within the doc's own
+    * micro-batch, since the explode and stage 1 run in the same batch) —
+    * near-dup iff ANY band collided. Stateless per batch; keyed TWS is
+    * used only because a streaming frame cannot run a plain groupBy
+    * without watermark/window machinery this does not need.
+    */
+  class VoteCombineProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, BandVote, NearDupVerdict] {
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[BandVote],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[NearDupVerdict] = {
+      val vs = rows.toSeq
+      Iterator.single(
+        NearDupVerdict(key, vs.head.ingest_ts, vs.exists(_.collided)))
+    }
+  }
+
+  /** Streaming MinHash near-dup gate: each arriving document is flagged
+    * iff any of its 4 minhash bands (row-local signature,
+    * [[graft.ops.NearDup.withRowMinhashBands]] — same values as the batch
+    * operator) was already produced by an earlier document. First
+    * arrival wins; state = one boolean per distinct band value seen
+    * (the streaming inverted index). Requires the RocksDB state store
+    * provider (transformWithState).
+    */
+  def nearDupGate(docs: Dataset[DocEvent]): Dataset[NearDupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = graft.ops.NearDup
+      .withRowMinhashBands(docs.toDF(), "doc_id", "text")
+      .select(
+        col("doc_id"), col("ingest_ts"),
+        explode(expr(
+          "array(concat('0:', band_0), concat('1:', band_1), " +
+            "concat('2:', band_2), concat('3:', band_3))")).as("band_key"))
+      .as[BandKeyRow]
+    banded
+      .groupByKey(_.band_key)
+      .transformWithState(
+        new BandSeenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupByKey(_.doc_id)
+      .transformWithState(
+        new VoteCombineProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }
