@@ -75,9 +75,12 @@ object DocStream {
   /** Stage 1: first-wins per band bucket. State = one boolean per seen
     * band value (the inverted index of the stream so far); rows within a
     * batch fold in (ingest_ts, doc_id) order so same-batch near-dups
-    * resolve deterministically (earlier doc wins).
+    * resolve deterministically (earlier doc wins). An optional TTL bounds
+    * the index: state = distinct band values seen within the retention
+    * horizon, not the full stream history (dedup-against-recent, the
+    * usual contract for an unbounded ingest feed).
     */
-  class BandSeenProcessor
+  class BandSeenProcessor(ttl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, BandKeyRow, BandVote] {
     @transient private var seen:
@@ -87,7 +90,8 @@ object DocStream {
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       seen = getHandle.getValueState[Boolean](
         "seen", org.apache.spark.sql.Encoders.scalaBoolean,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
     override def handleInputRows(
         key: String,
         rows: Iterator[BandKeyRow],
@@ -133,12 +137,25 @@ object DocStream {
     * [[graft.ops.NearDup.withRowMinhashBands]] — same values as the batch
     * operator) was already produced by an earlier document. First
     * arrival wins; state = one boolean per distinct band value seen
-    * (the streaming inverted index). Requires the RocksDB state store
-    * provider (transformWithState).
+    * (the streaming inverted index), bounded by `ttl` when given
+    * (dedup-against-recent) or retained forever when None. Requires the
+    * RocksDB state store provider (transformWithState).
+    *
+    * With `ttl` set the operators run in processing-time mode, and Spark
+    * schedules a batch EVERY trigger to advance TTL cleanup
+    * (`shouldRunAnotherBatch` is always true) — run the query with a
+    * paced trigger (e.g. `Trigger.ProcessingTime("10 seconds")`) or
+    * `Trigger.AvailableNow`, never the default 0 ms trigger, and don't
+    * wait on `processAllAvailable` (it never observes quiescence).
     */
-  def nearDupGate(docs: Dataset[DocEvent]): Dataset[NearDupVerdict] = {
+  def nearDupGate(
+      docs: Dataset[DocEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[NearDupVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
     val banded = graft.ops.NearDup
       .withRowMinhashBands(docs.toDF(), "doc_id", "text")
       .select(
@@ -150,13 +167,13 @@ object DocStream {
     banded
       .groupByKey(_.band_key)
       .transformWithState(
-        new BandSeenProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new BandSeenProcessor(ttl),
+        timeMode,
         org.apache.spark.sql.streaming.OutputMode.Append())
       .groupByKey(_.doc_id)
       .transformWithState(
         new VoteCombineProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        timeMode,
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 }

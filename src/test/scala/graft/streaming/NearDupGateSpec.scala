@@ -94,4 +94,59 @@ class NearDupGateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TTL bounds the inverted index: an expired band no longer collides") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+      def ev(id: Long, m: Int) =
+        DocEvent(id, Timestamp.valueOf(f"2024-04-01 10:$m%02d:00"), "en", text)
+      val input = MemoryStream[DocEvent]
+      // Processing-time TTL makes every batch "require another batch"
+      // (TransformWithStateExec.shouldRunAnotherBatch), so
+      // processAllAvailable never observes quiescence — pace the trigger
+      // and poll the sink with a deadline instead.
+      val query = DocStream
+        .nearDupGate(input.toDS(), ttl = Some(java.time.Duration.ofMillis(300)))
+        .writeStream.outputMode("append").format("memory")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .queryName("near_dup_ttl").start()
+      def verdicts(): Map[Long, Boolean] =
+        spark.table("near_dup_ttl").collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup"))
+          .toMap
+      def awaitDoc(id: Long, deadlineMs: Long = 60000): Map[Long, Boolean] = {
+        val end = System.nanoTime() + deadlineMs * 1000000L
+        var got = verdicts()
+        while (!got.contains(id) && System.nanoTime() < end) {
+          query.exception.foreach(throw _)
+          Thread.sleep(100)
+          got = verdicts()
+        }
+        assert(got.contains(id), s"doc $id never reached the sink: $got")
+        got
+      }
+      try {
+        input.addData(Seq(ev(1, 0)))
+        awaitDoc(1)
+        Thread.sleep(800) // let the 300 ms processing-time TTL expire
+        input.addData(Seq(ev(2, 1))) // identical text, but the index forgot
+        val got = awaitDoc(2)
+        assert(got == Map(1L -> false, 2L -> false),
+          s"expired band must not collide: $got")
+      } finally query.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
