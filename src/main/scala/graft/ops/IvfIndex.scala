@@ -57,7 +57,12 @@ object IvfIndex {
       .select(col("cent_id"), col("embedding").as("cent_emb"))
     for (_ <- 0 until iters) {
       val a = assign(emb, cb)
-      cb = a
+      // materialize between iterations: the codebook is k ~ sqrt(n) rows
+      // of index metadata (the same payload the next assign broadcasts
+      // anyway), and cutting the lineage here keeps every downstream use
+      // from re-executing — and whole-stage-recompiling — the full
+      // accumulated Lloyd subtree (the dominant cold cost of q_knn_ivf)
+      cb = materialize(a
         .select(col("cent_id"),
           posexplode(col("embedding").cast("array<double>"))
             .as(Seq("pos", "x")))
@@ -67,7 +72,7 @@ object IvfIndex {
         .agg((Num.dsum(col("x")) / count(lit(1))).as("val"))
         .groupBy(col("cent_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
-          .as("cent_emb"))
+          .as("cent_emb")))
     }
     cb
   }
