@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Curation
+
+/** Corpus-curation coverage (training-data pipeline, beyond-reference):
+  * PII redaction, benchmark decontamination, domain-mixture resampling,
+  * and SemDeDup-style semantic dedup. Thin oracle bindings over the
+  * reusable [[graft.ops.Curation]] surface.
+  */
+object CurationQueries {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** DuckDB twin of `md5p60(x) % m`. */
+  private def duckHash(x: String, m: Long = P): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % $m"
+
+  /** Deterministic PII enrichment of the synthetic corpus: the driver's
+    * documents are word-soup with no PII, so both engines append the SAME
+    * doc_id-derived email/phone/IP (plus a second email on every third
+    * doc) before detection — the scrub path is exercised on real matches
+    * while staying a pure function of driver data.
+    */
+  private val enrichDuck: String =
+    """concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+      |  '@mail.example.com or +1 555-',
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |  ' at 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+      |  CAST((doc_id * 7) % 256 AS VARCHAR),
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN concat(' cc admin', CAST(doc_id AS VARCHAR), '@example.org')
+      |       ELSE '' END)""".stripMargin.replaceAll("\n\\s*", " ")
+
+  private def enrichSpark = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail.example.com or +1 555-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+    lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+    pmod(col("doc_id") * 7, lit(256)).cast("string"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@example.org")))
+      .otherwise(lit("")))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- PII detection + redaction (emails, phones, IPv4) — per-row
+    //      regex in the Java-regex/RE2 common subset, embarrassingly
+    //      parallel; output digests the redacted text so the gate checks
+    //      the full replacement, not just the counts ----
+    QueryDef.sql(
+      "q_pii_scrub",
+      s"""WITH e AS (
+         |  SELECT doc_id, $enrichDuck AS t FROM documents
+         |), r AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(t, '${Curation.EmailRe}')) AS n_emails,
+         |    len(regexp_extract_all(t, '${Curation.PhoneRe}')) AS n_phones,
+         |    len(regexp_extract_all(t, '${Curation.Ipv4Re}')) AS n_ipv4,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(t, '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |        '${Curation.PhoneRe}', '<PHONE>', 'g'),
+         |      '${Curation.Ipv4Re}', '<IP>', 'g') AS redacted
+         |  FROM e
+         |)
+         |SELECT doc_id, n_emails, n_phones, n_ipv4,
+         |  md5(redacted) AS redacted_md5,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_len
+         |FROM r""".stripMargin
+    ) { (s, d) =>
+      Curation.piiScrub(
+          Tables.documents(s, d).select(col("doc_id"), enrichSpark.as("text")))
+        .select(
+          col("doc_id"), col("n_emails"), col("n_phones"), col("n_ipv4"),
+          md5(col("redacted")).as("redacted_md5"),
+          length(col("redacted")).cast("long").as("redacted_len"))
+    },
+
+    // ---- benchmark decontamination: flag training docs sharing 3-gram
+    //      shingles with the eval split (doc_id % 50 = 0 stands in for a
+    //      held-out benchmark). Eval hash set is BROADCAST — the corpus
+    //      side is one linear scan + hash agg ----
+    QueryDef.sql(
+      "q_decontam",
+      s"""WITH sh_raw AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(string_split(text, ' ')) - 1),
+         |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         |  )) AS shingle
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT doc_id, ${duckHash("shingle")} AS h FROM sh_raw
+         |), ev AS (
+         |  SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0
+         |), tr AS (
+         |  SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 50 <> 0
+         |), hits AS (
+         |  SELECT doc_id, count(*) AS hits FROM tr JOIN ev USING (h) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) >= 5 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 50 <> 0""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.decontaminate(
+        train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        minHits = 5)
+    },
+
+    // ---- domain-mixture resampling: deterministically downsample every
+    //      source to the smallest one's size. One |domains|-row grouped
+    //      count broadcast back; keep decision is exact integer
+    //      arithmetic on a doc_id hash — no rand(), no corpus window ----
+    QueryDef.sql(
+      "q_domain_mix",
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_domain FROM documents GROUP BY source
+         |), m AS (
+         |  SELECT min(n_domain) AS min_domain FROM c
+         |)
+         |SELECT d.doc_id, d.source, c.n_domain,
+         |  (${duckHash("CAST(d.doc_id AS VARCHAR)", 1000000L)}) * c.n_domain
+         |    < m.min_domain * 1000000 AS kept
+         |FROM documents d JOIN c USING (source) CROSS JOIN m""".stripMargin
+    ) { (s, d) =>
+      Curation.mixToUniform(Tables.documents(s, d).select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"), col("n_domain"), col("kept"))
+    },
+
+    // ---- SemDeDup-style semantic dedup: k-means cells (shared Lloyd
+    //      unroll with q_knn_ivf via OracleKmeans), pairs enumerated only
+    //      WITHIN a cell, cosine >= 0.9 -> min-id representative.
+    //      Complement to q_dedup_embedding's LSH banding: cluster-bounded
+    //      candidates instead of hyperplane-bucket candidates ----
+    QueryDef.sql(
+      "q_semdedup", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH ${OracleKmeans.codebookCtes},
+           |${OracleKmeans.assignCte("asg", "cb2")},
+           |pairs AS (
+           |  SELECT a.vec_id, b.vec_id AS p_id
+           |  FROM asg a JOIN asg b
+           |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+           |  WHERE ${cosDuck("a.embedding", "b.embedding")} >= 9e-1
+           |)
+           |SELECT vec_id, cent_id, keep_id, keep_id < vec_id AS is_dup FROM (
+           |  SELECT a.vec_id, a.cent_id,
+           |    least(a.vec_id, coalesce(min(p.p_id), a.vec_id)) AS keep_id
+           |  FROM asg a LEFT JOIN pairs p ON p.vec_id = a.vec_id
+           |  GROUP BY a.vec_id, a.cent_id)""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      Curation.semDedup(emb, graft.ops.IvfIndex.chooseK(emb.count()), tau = 0.9)
+    }
+  )
+}

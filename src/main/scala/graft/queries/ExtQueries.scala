@@ -375,41 +375,9 @@ object ExtQueries {
     QueryDef.sql(
       "q_knn_ivf", {
         def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
-        // one Lloyd assignment CTE: nearest centroid of codebook `cb`
-        def assignCte(name: String, cb: String) =
-          s"""$name AS (
-             |  SELECT vec_id, embedding, cent_id FROM (
-             |    SELECT e.vec_id, e.embedding, c.cent_id,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
-             |    FROM embeddings e, $cb c) WHERE rk = 1
-             |)""".stripMargin
-        // centroid update: per-(cent,pos) fixed-point exact mean (same op
-        // order as Num.dsum / count on the Spark side), list re-assembled
-        // in position order
-        def updateCte(name: String, a: String) =
-          s"""$name AS (
-             |  SELECT cent_id, list(val ORDER BY pos) AS cent_emb FROM (
-             |    SELECT cent_id, pos,
-             |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
-             |        / CAST(count(*) AS DOUBLE) AS val
-             |    FROM (
-             |      SELECT cent_id, unnest(embedding) AS x,
-             |        unnest(range(1, len(embedding) + 1)) AS pos
-             |      FROM $a)
-             |    GROUP BY cent_id, pos)
-             |  GROUP BY cent_id
-             |)""".stripMargin
-        s"""WITH kq AS (
-           |  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings
-           |), cb0 AS (
-           |  SELECT cent_id, embedding AS cent_emb FROM (
-           |    SELECT vec_id, embedding,
-           |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-           |        AS cent_id
-           |    FROM embeddings) s, kq WHERE s.cent_id < kq.k
-           |), ${assignCte("a1", "cb0")}, ${updateCte("cb1", "a1")},
-           |${assignCte("a2", "cb1")}, ${updateCte("cb2", "a2")},
+        // the k-means unroll (kq/cb0/a1/cb1/a2/cb2) is shared with
+        // q_semdedup via OracleKmeans — single source for the Lloyd SQL
+        s"""WITH ${OracleKmeans.codebookCtes},
            |scored AS (
            |  SELECT e.vec_id, e.embedding, c.cent_id,
            |    row_number() OVER (PARTITION BY e.vec_id

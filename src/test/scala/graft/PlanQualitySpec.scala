@@ -95,10 +95,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
   }
 
   test("NO query plans a cartesian product or accidental nested-loop join") {
-    // broadcast cross joins against a tiny probe/centroid set — or, for
-    // tfidf, the single-row corpus-count frame — are the intended shape
-    // for these; everything else must be an equi join
-    val intendedNestedLoop = Set("q_knn_brute", "q_knn_ivf", "q_tfidf_terms")
+    // broadcast cross joins against a tiny probe/centroid set (knn/ivf/
+    // semdedup: k ~ sqrt(n) centroid rows) — or the single-row corpus
+    // stats frame (tfidf's doc count, domain_mix's min-domain count) —
+    // are the intended shape for these; everything else must be an
+    // equi join
+    val intendedNestedLoop =
+      Set("q_knn_brute", "q_knn_ivf", "q_tfidf_terms", "q_domain_mix", "q_semdedup")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
