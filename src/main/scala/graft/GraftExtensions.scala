@@ -56,5 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.size == 1, "md5p60(str) takes 1 argument")
         graft.functions.Md5Prefix60(exprs.head)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("md5s60"),
+      new ExpressionInfo(classOf[graft.functions.Md5Suffix60].getName, "md5s60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "md5s60(str) takes 1 argument")
+        graft.functions.Md5Suffix60(exprs.head)
+      }))
   }
 }

@@ -41,6 +41,38 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
       newChild: Expression): Md5Prefix60 = copy(child = newChild)
 }
 
+/** Bits 61-120 of the MD5 digest (hex chars 16-30) as a positive long —
+  * the second, independent 60-bit hash used by the wide (120-bit) SimHash
+  * signature. SQL twin: `cast(conv(substring(md5(x), 16, 15), 16, 10) as
+  * bigint)`; DuckDB `CAST(concat('0x', substr(md5(x),16,15)) AS BIGINT)`.
+  * Hex char 16 is the LOW nibble of digest byte 8, chars 17-30 are bytes
+  * 9..15 — disjoint bits from [[Md5Prefix60]] except byte 8's low nibble,
+  * which Md5Prefix60 shifts out.
+  */
+case class Md5Suffix60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "md5s60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5s60 requires a string argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Prefix60.suffix60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix60.suffix60($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Suffix60 = copy(child = newChild)
+}
+
 object Md5Prefix60 {
 
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
@@ -57,11 +89,22 @@ object Md5Prefix60 {
     v >>> 4
   }
 
+  /** Hex chars 16-30 of the digest: low nibble of byte 8, then bytes 9-15. */
+  def suffix60(s: UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    val bytes = digest.digest(s.getBytes)
+    var v = bytes(7) & 0xfL
+    var i = 8
+    while (i < 15) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v
+  }
+
   /** Register `md5p60(str)` for SQL use (needed inside lambda expressions
     * like `transform(split(text, ' '), t -> md5p60(t))`, where a Column
     * cannot capture the lambda variable).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5p60",
       { exprs =>
@@ -69,4 +112,12 @@ object Md5Prefix60 {
         Md5Prefix60(exprs.head)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5s60",
+      { exprs =>
+        require(exprs.size == 1, "md5s60(str) takes 1 argument")
+        Md5Suffix60(exprs.head)
+      },
+      "built-in")
+  }
 }

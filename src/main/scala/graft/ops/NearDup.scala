@@ -176,4 +176,78 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // -------------------------------------------------- wide simhash (120)
+  /** The 10^9+-scale signature the 60-bit scale note promises: 120 bits
+    * as two independent 60-bit halves (md5 prefix / suffix hash per
+    * token), banded 4 x 30 bits -> ~10^9 band buckets, so expected
+    * bucket occupancy stays ~1 up to corpus sizes where the 15-bit
+    * banding (32k buckets) has long gone quadratic. hamming <= 3 stays
+    * exact by the same pigeonhole; recall-matching the 60-bit
+    * hamming<=3 bar (~<=6 of 120) would need 7 bands of 17 bits —
+    * bands trade bucket count against the exactness bound, the
+    * signature width itself is what buys bucket space.
+    */
+  val SimWideBandBits = 30
+
+  /** 120-bit SimHash per doc as two longs: (id, sim_lo, sim_hi).
+    * `sim_lo` is bit-identical to [[simhashSig]]'s 60-bit signature
+    * (same per-token prefix hash); `sim_hi` folds the independent
+    * suffix-60 bits of the same md5 digest — one digest per token, two
+    * signature halves.
+    */
+  def simhashWideSig(
+      df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = df
+      .select(col(id), explode(split(col(text), " ")).as("tok"))
+      .select(col(id), expr("md5p60(tok)").as("h1"), expr("md5s60(tok)").as("h2"))
+    val bitAggs =
+      (0 until SimBits).map(j =>
+        sum(when(expr(s"(shiftright(h1, $j) & 1) = 1"), 1).otherwise(-1)).as(s"s$j")) ++
+      (0 until SimBits).map(j =>
+        sum(when(expr(s"(shiftright(h2, $j) & 1) = 1"), 1).otherwise(-1)).as(s"t$j"))
+    def combine(p: String) = (0 until SimBits)
+      .map(j => s"(CASE WHEN $p$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    toks
+      .groupBy(col(id))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .selectExpr(id,
+        s"CAST(${combine("s")} AS BIGINT) AS sim_lo",
+        s"CAST(${combine("t")} AS BIGINT) AS sim_hi")
+  }
+
+  /** Near-dup pairs at 120-bit hamming <= `maxHamming` (< 4 for the
+    * 4-band pigeonhole to stay exact): candidates from an equality join
+    * on one of four 30-bit bands, then the two-word hamming verify.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashWidePairs(
+      df: DataFrame, id: String = "doc_id", text: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"hamming <= $maxHamming needs > $maxHamming bands for exactness")
+    val m = (1L << SimWideBandBits) - 1
+    val sig = simhashWideSig(df, id, text)
+    val banded = sig.select(
+      col(id), col("sim_lo"), col("sim_hi"),
+      posexplode(expr(
+        s"array(sim_lo & $m, shiftright(sim_lo, $SimWideBandBits)," +
+          s" sim_hi & $m, shiftright(sim_hi, $SimWideBandBits))"))
+        .as(Seq("band_id", "band_val")))
+    val a = banded.select(
+      col(id).as("id_a"), col("sim_lo").as("lo_a"), col("sim_hi").as("hi_a"),
+      col("band_id"), col("band_val"))
+    val b = banded.select(
+      col(id).as("id_b"), col("sim_lo").as("lo_b"), col("sim_hi").as("hi_b"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

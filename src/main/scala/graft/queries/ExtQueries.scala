@@ -74,11 +74,12 @@ object ExtQueries {
     * ~n^2/2^15 per band — unlike the embedding LSH, the band width here
     * CANNOT grow freely with n without widening the signature (r bands
     * of b bits need r*b total bits and r >= hamming+1 for exactness).
-    * The scale path at 10^9+ is a wider signature (e.g. 120 bits from
-    * two md5 prefixes -> 4 bands x 30 bits = 10^9 buckets), not more
-    * 15-bit bands; simhash bits are cheap (one fold per token), so the
-    * widening is linear cost. Kept at 60/4x15 here because the oracle
-    * int64 arithmetic caps the signature at 63 bits.
+    * The scale path at 10^9+ is a wider signature, not more 15-bit
+    * bands — and it ships: `q_simhash_wide` / [[graft.ops.NearDup
+    * .simhashWidePairs]] band a 120-bit signature (two independent
+    * 60-bit md5 halves as two int64 columns, keeping every per-word
+    * value oracle-exact) as 4 x 30 bits = ~10^9 buckets. The 60-bit
+    * variant stays as the small-corpus default.
     */
   private val SimBits = graft.ops.NearDup.SimBits
   private val BandBits = graft.ops.NearDup.SimBandBits
@@ -110,6 +111,37 @@ object ExtQueries {
        |  FROM hashed GROUP BY doc_id
        |), sig AS (
        |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.NearDup.simhashWideSig]]: both 60-bit
+    * halves (md5 prefix + suffix per token), CTE chain ending in
+    * `wsig(doc_id, sim_lo, sim_hi)`.
+    */
+  private val simhashWideSigSql: String = {
+    def bitsOf(h: String, p: String) = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS $p$j")
+      .mkString(",\n    ")
+    def combine(p: String) = (0 until SimBits)
+      .map(j => s"(CASE WHEN $p$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""wtoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), whashed AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h1,
+       |    CAST(concat('0x', substr(md5(tok), 16, 15)) AS BIGINT) AS h2
+       |  FROM wtoks
+       |), wbits AS (
+       |  SELECT doc_id,
+       |    ${bitsOf("h1", "s")},
+       |    ${bitsOf("h2", "t")}
+       |  FROM whashed GROUP BY doc_id
+       |), wsig AS (
+       |  SELECT doc_id,
+       |    CAST(${combine("s")} AS BIGINT) AS sim_lo,
+       |    CAST(${combine("t")} AS BIGINT) AS sim_hi
+       |  FROM wbits
        |)""".stripMargin
   }
 
@@ -280,6 +312,26 @@ object ExtQueries {
       // an equality join on (band_id, band_value) — a linear shuffle — and
       // only candidates pay the hamming verify (graft.ops.NearDup).
       graft.ops.NearDup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+    },
+
+    // ---- WIDE SimHash near-dup pairs: the 10^9+-scale signature the
+    //      60-bit scale note promises — 120 bits (independent md5
+    //      prefix/suffix halves), 4 bands x 30 bits => ~10^9 band
+    //      buckets vs 32k, same exact hamming<=3 pigeonhole. The oracle
+    //      verifies all-pairs; the Spark side is the banded join ----
+    QueryDef.sql(
+      "q_simhash_wide",
+      s"""WITH $simhashWideSigSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+         |    + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+         |FROM wsig a JOIN wsig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+         |    + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3""".stripMargin
+    ) { (s, d) =>
+      graft.ops.NearDup.simhashWidePairs(Tables.documents(s, d), maxHamming = 3)
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
     },

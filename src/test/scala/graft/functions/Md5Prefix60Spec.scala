@@ -40,6 +40,20 @@ class Md5Prefix60Spec extends AnyFunSuite with Matchers {
     got shouldBe exp
   }
 
+  test("md5s60 equals the conv(substring(md5, 16, 15)) SQL construction exactly") {
+    Md5Prefix60.register(spark)
+    val s = spark
+    import s.implicits._
+    val rows = (Seq("", "a", "hello world", "Z" * 1000, "unicode é中")
+      ++ (1 to 50).map(i => s"token_$i")).toDF("t")
+      .select(
+        expr("md5s60(t)").as("native"),
+        expr("cast(conv(substring(md5(t), 16, 15), 16, 10) as bigint)").as("sql"))
+      .collect()
+    rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
+  }
+
   test("null propagates") {
     Md5Prefix60.register(spark)
     val s = spark
