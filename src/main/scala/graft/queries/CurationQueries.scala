@@ -134,6 +134,58 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("n_domain"), col("kept"))
     },
 
+    // ---- Gopher-style repetition signals: the repetition dimension of
+    //      quality filtering (q_quality_filter covers length/punct/
+    //      stopword/uniq-token) — most-frequent-token fraction,
+    //      most-frequent-bigram fraction, distinct-bigram ratio. Pure
+    //      per-row array expressions, embarrassingly parallel; the
+    //      mode-of-array is O(u*n) per row in both engines (identical
+    //      integer counts, so the double ratios match exactly) ----
+    QueryDef.sql(
+      "q_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), b AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |      i -> concat(toks[i], ' ', toks[i + 1])) ELSE [] END AS bigrams
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0e0
+        |       ELSE list_max(list_transform(list_distinct(toks),
+        |         u -> len(list_filter(toks, x -> x = u)))) / len(toks) END
+        |    AS top_tok_frac,
+        |  CASE WHEN len(bigrams) = 0 THEN 0e0
+        |       ELSE list_max(list_transform(list_distinct(bigrams),
+        |         u -> len(list_filter(bigrams, x -> x = u)))) / len(bigrams) END
+        |    AS top_bigram_frac,
+        |  CASE WHEN len(bigrams) = 0 THEN 1e0
+        |       ELSE len(list_distinct(bigrams)) / len(bigrams) END
+        |    AS uniq_bigram_ratio
+        |FROM b""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("bigrams", expr(
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+            "ELSE array() END"))
+        .select(
+          col("doc_id"),
+          expr("CASE WHEN size(toks) = 0 THEN 0d ELSE " +
+            "array_max(transform(array_distinct(toks), " +
+            "u -> size(filter(toks, x -> x = u)))) / size(toks) END")
+            .as("top_tok_frac"),
+          expr("CASE WHEN size(bigrams) = 0 THEN 0d ELSE " +
+            "array_max(transform(array_distinct(bigrams), " +
+            "u -> size(filter(bigrams, x -> x = u)))) / size(bigrams) END")
+            .as("top_bigram_frac"),
+          expr("CASE WHEN size(bigrams) = 0 THEN 1d ELSE " +
+            "size(array_distinct(bigrams)) / size(bigrams) END")
+            .as("uniq_bigram_ratio"))
+    },
+
     // ---- SemDeDup-style semantic dedup: k-means cells (shared Lloyd
     //      unroll with q_knn_ivf via OracleKmeans), pairs enumerated only
     //      WITHIN a cell, cosine >= 0.9 -> min-id representative.

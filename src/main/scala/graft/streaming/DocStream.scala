@@ -46,6 +46,17 @@ object DocStream {
       .withColumn("verdict", TextPrep.verdict)
       .filter(col("verdict") === "keep")
 
+  /** PII scrub gate: replace `text` with its redacted form (emails,
+    * phones, IPv4 — [[graft.ops.Curation.piiScrub]], the batch
+    * q_pii_scrub expressions verbatim) and carry the per-type match
+    * counts for observability. Stateless per-row regex — composes
+    * anywhere in the stream without adding state or shuffle.
+    */
+  def scrubGate(docs: DataFrame): DataFrame =
+    graft.ops.Curation.piiScrub(docs)
+      .withColumn("text", col("redacted"))
+      .drop("redacted")
+
   /** Full pipeline: dedup -> quality -> chunk (size/stride of the batch
     * q_chunk_docs operator). Output: one row per training chunk.
     */
