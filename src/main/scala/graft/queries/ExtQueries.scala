@@ -336,6 +336,47 @@ object ExtQueries {
         .withColumnRenamed("id_b", "doc_b")
     },
 
+    // ---- range join WITHOUT an equi key (interval containment), made
+    //      scale-safe by grid bucketing: every high-value event opens a
+    //      30-minute alert window; all events inside any window join to
+    //      it. A naive plan is a nested-loop (events x windows) — at
+    //      100 TB both sides are big and that is quadratic. Bucketing
+    //      time into window-length cells turns it into an EQUI join:
+    //      each window explodes to the (<=2) cells it overlaps, each
+    //      event maps to exactly ONE cell, join on cell + residual
+    //      ts-range filter. No dedup pass is needed — a matching
+    //      (event, window) pair meets in exactly one cell (the event's
+    //      own), so the equi join cannot produce duplicates. Cost is
+    //      linear + the true output size; hot cells (many windows in
+    //      one half-hour) are ordinary join skew, handled by AQE ----
+    QueryDef.sql(
+      "q_range_join",
+      """WITH w AS (
+        |  SELECT event_id AS window_id, ts AS w_start,
+        |    ts + INTERVAL 30 MINUTE AS w_end
+        |  FROM events WHERE value >= 26e1
+        |)
+        |SELECT w.window_id, e.event_id, e.ts
+        |FROM events e JOIN w
+        |  ON e.ts >= w.w_start AND e.ts < w.w_end""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val win = ev.filter(col("value") >= 260.0)
+        .select(
+          col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        // a 30-min window overlaps at most two 30-min grid cells; the end
+        // bound is exclusive, so the last covered cell is w_end - 1us
+        .withColumn("bucket", explode(expr(
+          "sequence(unix_timestamp(w_start) div 1800, " +
+            "unix_timestamp(w_end - INTERVAL 1 MICROSECOND) div 1800)")))
+      ev.select(col("event_id"), col("ts"))
+        .withColumn("bucket", expr("unix_timestamp(ts) div 1800"))
+        .join(win, Seq("bucket"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .select(col("window_id"), col("event_id"), col("ts"))
+    },
+
     // ---- LSH-banded ANN (random-hyperplane signs), the scale path for
     //      similarity search: probes compare only within colliding band
     //      buckets; band width adapts to corpus size (see lshBanded) ----
