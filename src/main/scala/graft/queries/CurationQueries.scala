@@ -186,6 +186,29 @@ object CurationQueries {
             .as("uniq_bigram_ratio"))
     },
 
+    // ---- heavy hitters, two-pass: Misra-Gries sketch candidates
+    //      (O(k) state, no corpus shuffle, no full-vocab aggregation)
+    //      -> broadcast exact recount -> tokens with count*k > n. The
+    //      result equals the naive full-groupBy answer — which is
+    //      exactly what the oracle computes — so the gate proves the
+    //      sketch produced no false negatives ----
+    QueryDef.sql(
+      "q_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), nq AS (
+        |  SELECT count(*) AS n FROM toks
+        |)
+        |SELECT tok, cnt FROM (
+        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok) g, nq
+        |WHERE g.cnt * 64 > nq.n""".stripMargin
+    ) { (s, d) =>
+      graft.ops.HeavyHitters.exactHeavyHitters(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")),
+        k = 64)
+    },
+
     // ---- SemDeDup-style semantic dedup: k-means cells (shared Lloyd
     //      unroll with q_knn_ivf via OracleKmeans), pairs enumerated only
     //      WITHIN a cell, cosine >= 0.9 -> min-id representative.
