@@ -144,6 +144,45 @@ object DataPrepQueries {
         .select("doc_id", "keep_doc_id", "is_dup")
     },
 
+    // ---- TRANSITIVE near-dup clusters: connected components over the
+    //      LSH candidate pairs (large-star/small-star — see
+    //      ops.ConnectedComponents). Differs from q_dedup_minhash's
+    //      one-hop rep exactly when chains A~B~C exist; the oracle's
+    //      recursive CTE computes the same min-reachable-id fixpoint ----
+    QueryDef.sql(
+      "q_dedup_cc",
+      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")}, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+         |), comp AS (
+         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(c.cluster_id, d.doc_id) < d.doc_id AS is_dup
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val pairs = graft.ops.NearDup
+        .minhashCandidatePairs(Tables.documents(s, d), ordered = true)
+      val comp = graft.ops.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("rep"), col("doc_id")) < col("doc_id")).as("is_dup"))
+    },
+
     // ---- n-gram Jaccard similarity on a deterministic pair sample ----
     QueryDef.sql(
       "q_jaccard_pairs",
