@@ -290,6 +290,73 @@ object DataPrepQueries {
         .select("doc_id", "lang", "bucket")
     },
 
+    // ---- fixed-size per-group sample: exactly min(k, n_g) docs per
+    //      (lang, source) as the k smallest id-hashes. The engine runs
+    //      the two-phase threshold+rank of Sharding.samplePerGroup (no
+    //      hot-group window); the oracle computes the equivalent naive
+    //      full-window answer ----
+    QueryDef.sql(
+      "q_sample_per_group",
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id)
+        |      AS sample_rank
+        |  FROM h
+        |)
+        |SELECT doc_id, lang, source, sample_rank FROM r
+        |WHERE sample_rank <= 8""".stripMargin
+    ) { (s, d) =>
+      graft.ops.Sharding.samplePerGroup(
+        Tables.documents(s, d).select("doc_id", "lang", "source"),
+        "doc_id", Seq("lang", "source"), k = 8)
+    },
+
+    // ---- sharded inverted index: token -> per-shard posting list.
+    //      Postings are sharded by doc_id so no single row carries a hot
+    //      token's full corpus-wide posting list (the classic
+    //      distributed-index layout); df filter keeps the output to
+    //      corpus-frequent tokens. Posting CSVs are numerically sorted —
+    //      portable, and exactly comparable across engines ----
+    QueryDef.sql(
+      "q_inverted_index",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM toks
+        |), post AS (
+        |  SELECT tok, doc_id % 4 AS shard, count(*) AS df_shard,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM dt GROUP BY tok, doc_id % 4
+        |), freq AS (
+        |  SELECT tok FROM post GROUP BY tok HAVING sum(df_shard) >= 60
+        |)
+        |SELECT p.tok, p.shard, p.df_shard, p.postings
+        |FROM post p JOIN freq USING (tok)""".stripMargin
+    ) { (s, d) =>
+      val post = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+        .groupBy("tok", "shard")
+        .agg(
+          count(lit(1)).as("df_shard"),
+          sort_array(collect_list(col("doc_id"))).as("__p"))
+        .withColumn("postings",
+          expr("array_join(transform(__p, x -> CAST(x AS STRING)), ',')"))
+        .drop("__p")
+      // global df from the 4 shard rows per token — no second corpus scan
+      val freq = post.groupBy("tok")
+        .agg(sum(col("df_shard")).as("df"))
+        .filter(col("df") >= 60)
+        .select("tok")
+      post.join(broadcast(freq), Seq("tok"))
+        .select("tok", "shard", "df_shard", "postings")
+    },
+
     // ---- deterministic shuffle ordering: hash-sharded training order.
     //      Rank is PER SHARD (dataloaders consume shards independently),
     //      so there is no global single-partition sort; identical on

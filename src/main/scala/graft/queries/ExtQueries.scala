@@ -421,6 +421,65 @@ object ExtQueries {
         .select("q_id", "c_id", "cosine", "rank")
     },
 
+    // ---- int8 scalar quantization of the embedding column: per-dim
+    //      global [min,max] -> 256 uniform cells. 4x storage shrink for
+    //      the ANN candidate store. Scale shape: dim stats are one
+    //      posexplode scan partial-aggregated to 64 groups, broadcast
+    //      back as two 64-double arrays; quantization itself is then
+    //      ROW-LOCAL (transform over the array) — the corpus is never
+    //      shuffled or reassembled. All arithmetic is IEEE-identical
+    //      cross-engine (min/max/floor, no summation), so the oracle
+    //      matches exactly; truncation (floor) quantization avoids the
+    //      half-even/half-up rounding divergence between engines. ----
+    QueryDef.sql(
+      "q_quantize_embeddings",
+      """WITH ex AS (
+        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |), st AS (
+        |  SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos
+        |), qq AS (
+        |  SELECT vec_id, pos, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE least(255, CAST(floor((x - mn) * 256e0 / (mx - mn)) AS BIGINT))
+        |    END AS q
+        |  FROM ex JOIN st USING (pos)
+        |)
+        |SELECT vec_id,
+        |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY pos) AS qcsv,
+        |  max(abs(x - (mn + (q + 5e-1) * (mx - mn) / 256e0))) AS max_abs_err
+        |FROM qq GROUP BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val stats = emb
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select((col("pos") + 1).as("pos"), col("col").cast("double").as("x"))
+        .groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+            .as("mns"),
+          expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+            .as("mxs"))
+      emb.crossJoin(broadcast(stats))
+        .withColumn("qarr", expr(
+          """transform(embedding, (e, i) ->
+            |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0L
+            |       ELSE least(255L, floor((CAST(e AS DOUBLE) - element_at(mns, i + 1))
+            |         * 256.0D / (element_at(mxs, i + 1) - element_at(mns, i + 1))))
+            |  END)""".stripMargin))
+        .select(
+          col("vec_id"),
+          expr("array_join(transform(qarr, q -> CAST(q AS STRING)), ',')")
+            .as("qcsv"),
+          expr(
+            """array_max(transform(embedding, (e, i) ->
+              |  abs(CAST(e AS DOUBLE) - (element_at(mns, i + 1)
+              |    + (element_at(qarr, i + 1) + 0.5D)
+              |      * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256.0D))))"""
+              .stripMargin).as("max_abs_err"))
+    },
+
     // ---- analytic window-function breadth: rank family + offsets over
     //      the per-symbol ordered series (one shuffle, shared window) ----
     QueryDef.sql(
