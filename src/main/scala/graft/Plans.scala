@@ -22,7 +22,9 @@ object Plans {
     "q_minmax_norm", // grouped stats + broadcast join, NO whole-partition window
     "q_histogram", // same two-pass shape
     "q_knn_ivf", // k-means codebook broadcast, single corpus pass
-    "q_dedup_embedding" // banded-LSH equality join, linear candidates
+    "q_dedup_embedding", // banded-LSH equality join, linear candidates
+    "q_quantize_embeddings", // row-local quantize, corpus never shuffled
+    "q_sample_per_group" // threshold prune, window on survivors only
   )
 
   def main(args: Array[String]): Unit = {
