@@ -480,6 +480,50 @@ object ExtQueries {
               .stripMargin).as("max_abs_err"))
     },
 
+    // ---- z-order (Morton) cell + z-value of the (value, event_id)
+    //      plane: the clustering key behind ZOrder.writeZOrdered's
+    //      two-dimensional layout (ZOrderSpec pins the file-level
+    //      locality claim). The bit-spreading SQL string is shared
+    //      verbatim with the oracle — `<<`/`&`/`|` parse identically in
+    //      Spark SQL and DuckDB — and the normalization reuses the
+    //      broadcast single-row stats shape ----
+    QueryDef.sql(
+      "q_zorder",
+      s"""WITH st AS (
+         |  SELECT min(value) AS xmn, max(value) AS xmx,
+         |         min(CAST(event_id AS DOUBLE)) AS ymn,
+         |         max(CAST(event_id AS DOUBLE)) AS ymx
+         |  FROM events
+         |), c AS (
+         |  SELECT event_id,
+         |    CASE WHEN xmx = xmn THEN 0
+         |         ELSE least(65535, CAST(floor((value - xmn) * 65536e0
+         |           / (xmx - xmn)) AS BIGINT)) END AS xc,
+         |    CASE WHEN ymx = ymn THEN 0
+         |         ELSE least(65535, CAST(floor((CAST(event_id AS DOUBLE) - ymn)
+         |           * 65536e0 / (ymx - ymn)) AS BIGINT)) END AS yc
+         |  FROM events, st
+         |)
+         |SELECT event_id, xc, yc,
+         |  ${graft.ops.ZOrder.zvalueSql("xc", "yc")} AS zval
+         |FROM c""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.ZOrder
+      val ev = Tables.events(s, d)
+      val stats = ev.agg(
+        min(col("value").cast("double")).as("xmn"),
+        max(col("value").cast("double")).as("xmx"),
+        min(col("event_id").cast("double")).as("ymn"),
+        max(col("event_id").cast("double")).as("ymx"))
+      ev.select("event_id", "value")
+        .crossJoin(broadcast(stats))
+        .withColumn("xc", ZOrder.cell16(col("value"), col("xmn"), col("xmx")))
+        .withColumn("yc", ZOrder.cell16(col("event_id"), col("ymn"), col("ymx")))
+        .select(
+          col("event_id"), col("xc"), col("yc"),
+          expr(ZOrder.zvalueSql("xc", "yc")).as("zval"))
+    },
+
     // ---- analytic window-function breadth: rank family + offsets over
     //      the per-symbol ordered series (one shuffle, shared window) ----
     QueryDef.sql(
