@@ -196,6 +196,18 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // ---- CUBE aggregation (all grouping-set combinations) ----
+    QueryDef.sql(
+      "q_cube_events",
+      s"""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_rows,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+    },
+
     // ---- as-of join: each event matched to the latest hourly snapshot ----
     // Spark has no ASOF JOIN; composed as union + last-observation-carry-
     // forward over ONE window (single shuffle+sort per key) — the plan a
