@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.DocStream.DocEvent
+
+/** Sharded streaming Misra-Gries: state persists across micro-batches,
+  * and after the last batch every per-shard sketch satisfies the MG
+  * bounds against exact per-shard counts (no lost heavy hitter,
+  * estimates within [true - n_shard/k, true]).
+  */
+class TokenTrendsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cross-batch sketches keep every heavy hitter within MG bounds") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // skewed stream: 3 hot tokens + a 60-token tail, split over 3 batches
+      val toks =
+        Seq.fill(200)("alpha") ++ Seq.fill(150)("beta") ++
+          Seq.fill(120)("gamma") ++ (0 until 600).map(i => s"t${i % 60}")
+      val ordered = toks.zipWithIndex
+        .sortBy { case (_, i) => (i * 2654435761L) % 8192 }.map(_._1)
+      def doc(id: Long, ts: Int, ws: Seq[String]) =
+        DocEvent(id, Timestamp.valueOf(f"2024-05-01 08:$ts%02d:00"), "en",
+          ws.mkString(" "))
+      val batches = ordered.grouped(ordered.size / 3 + 1).toSeq.zipWithIndex
+        .map { case (ws, i) => doc(i.toLong, i, ws) }
+
+      val shards = 4
+      val k = 8
+      val input = MemoryStream[DocEvent]
+      val query = TokenTrends.trendingTokens(input.toDS(), shards, k)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("token_trends").start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+
+        // latest snapshot per shard = rows at that shard's max n_shard
+        val rows = spark.table("token_trends").collect()
+          .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_shard"),
+            r.getAs[String]("tok"), r.getAs[Long]("est")))
+        val latest = rows.groupBy(_._1).map { case (s, rs) =>
+          val nMax = rs.map(_._2).max
+          // est = 0 is the empty-sketch marker row, not an MG entry
+          s -> (nMax, rs.filter(r => r._2 == nMax && r._4 > 0L)
+            .map(r => r._3 -> r._4).toMap)
+        }
+
+        // exact per-shard truth, using the operator's own routing
+        val shardOf = ordered.distinct.toDF("tok")
+          .select(col("tok"), pmod(xxhash64(col("tok")), lit(shards.toLong)))
+          .as[(String, Long)].collect().toMap
+        val exact = ordered.groupBy(identity).map { case (t, xs) =>
+          t -> xs.size.toLong
+        }
+        val nShardExact =
+          ordered.groupBy(shardOf).map { case (s, xs) => s -> xs.size.toLong }
+
+        for ((s, (n, sketch)) <- latest) {
+          assert(n == nShardExact(s), s"shard $s processed-count drifted")
+          assert(sketch.size <= k - 1)
+          for ((t, c) <- exact if shardOf(t) == s && c > n / k)
+            assert(sketch.contains(t), s"lost heavy hitter $t in shard $s")
+          for ((t, est) <- sketch)
+            assert(est <= exact(t) && est >= exact(t) - n / k,
+              s"estimate for $t out of bounds")
+        }
+        // the globally-hot tokens survived wherever they were routed
+        for (hot <- Seq("alpha", "beta", "gamma"))
+          assert(latest(shardOf(hot))._2.contains(hot))
+      } finally query.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
