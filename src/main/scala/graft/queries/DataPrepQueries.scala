@@ -250,7 +250,9 @@ object DataPrepQueries {
         |  len(list_filter(string_split(text, ' '),
         |      t -> t IN (${graft.ops.TextPrep.StopWordsSql}))) * 1e0
         |    / len(string_split(text, ' ')) AS stopword_ratio,
-        |  CAST(ceil(length(text) / 4e0) AS BIGINT) AS n_tokens_bpe_est
+        |  CAST(ceil(length(text) / 4e0) AS BIGINT) AS n_tokens_bpe_est,
+        |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))
+        |    AS n_tokens_bpe
         |FROM documents""".stripMargin
     ) { (s, d) =>
       Tables.documents(s, d).select(
@@ -266,7 +268,14 @@ object DataPrepQueries {
             s"t -> t IN (${graft.ops.TextPrep.StopWordsSql})))")
           .cast("double") * lit(1.0) /
           size(split(col("text"), " "))).as("stopword_ratio"),
-        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_bpe_est")
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_bpe_est"),
+        // GPT-2-style pre-tokenizer segments, reduced to the Java∩RE2
+        // regex subset (no lookahead — both engines are leftmost-first
+        // on this alternation): word / number / punct runs with an
+        // optional leading space, plus bare space runs
+        size(regexp_extract_all(
+          col("text"), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"), lit(0)))
+          .cast("long").as("n_tokens_bpe")
       )
     },
 
