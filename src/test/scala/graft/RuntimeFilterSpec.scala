@@ -54,6 +54,28 @@ class RuntimeFilterSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("AQE splits a skewed join partition instead of serializing on the hot key") {
+    import spark.implicits._
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB") {
+      // one hot key carrying ~90% of the rows on the left side
+      val left = ((1 to 18000).map(_ => 1L) ++ (1L to 2000L))
+        .toDF("k").withColumn("pad", expr("repeat('x', 64)"))
+      val right = (1L to 2000L).toDF("k").withColumn("v", col("k") * 2)
+      val j = left.join(right, "k").agg(count(lit(1)))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should include("skew=true") // SortMergeJoin(skew=true)
+        plan should include("coalesced and skewed") // the split shuffle read
+      }
+    }
+  }
+
   test("join on the partition column dynamically prunes the partitioned scan") {
     val dir = Files.createTempDirectory("dpp").toString + "/fact"
     val s = spark
