@@ -366,6 +366,27 @@ object DataPrepQueries {
         .select("tok", "shard", "df_shard", "postings")
     },
 
+    // ---- skew-salted two-phase aggregation == the plain groupBy answer
+    //      (ops.Skew.saltedAgg; exact-integer aggregates so the result
+    //      is order-independent and oracle-comparable; DuckDB's integer
+    //      sum is HUGEINT, hence the CAST) ----
+    QueryDef.sql(
+      "q_salted_agg",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source""".stripMargin
+    ) { (s, d) =>
+      graft.ops.Skew.saltedAgg(
+        Tables.documents(s, d).select("lang", "source", "n_chars"),
+        Seq("lang", "source"), salts = 8,
+        Seq(
+          "n_chars" -> graft.ops.Skew.SaltedAgg("n_docs", _ => count(lit(1)), sum),
+          "n_chars" -> graft.ops.Skew.sumAgg("sum_chars"),
+          "n_chars" -> graft.ops.Skew.minAgg("min_chars"),
+          "n_chars" -> graft.ops.Skew.maxAgg("max_chars")))
+    },
+
     // ---- deterministic shuffle ordering: hash-sharded training order.
     //      Rank is PER SHARD (dataloaders consume shards independently),
     //      so there is no global single-partition sort; identical on
