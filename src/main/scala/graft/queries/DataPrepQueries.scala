@@ -324,46 +324,49 @@ object DataPrepQueries {
         "doc_id", Seq("lang", "source"), k = 8)
     },
 
-    // ---- sharded inverted index: token -> per-shard posting list.
-    //      Postings are sharded by doc_id so no single row carries a hot
-    //      token's full corpus-wide posting list (the classic
-    //      distributed-index layout); df filter keeps the output to
-    //      corpus-frequent tokens. Posting CSVs are numerically sorted —
-    //      portable, and exactly comparable across engines ----
+    // ---- sharded inverted index: token -> fixed-size posting BLOCKS.
+    //      The shard count ADAPTS per token (ceil(df/64)), so no single
+    //      row ever carries more than ~64 postings — a corpus-scale
+    //      stopword fans out to df/64 block rows instead of one n-sized
+    //      list (a fixed shard count would leave n/shards postings in
+    //      one row at 100 TB). df filter keeps the output to
+    //      corpus-frequent tokens; the tok equi-joins co-partition with
+    //      the block groupBy (no broadcast of the vocabulary). Posting
+    //      CSVs are numerically sorted — portable, exactly comparable
+    //      across engines ----
     QueryDef.sql(
       "q_inverted_index",
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |), dt AS (
         |  SELECT DISTINCT doc_id, tok FROM toks
-        |), post AS (
-        |  SELECT tok, doc_id % 4 AS shard, count(*) AS df_shard,
-        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        |  FROM dt GROUP BY tok, doc_id % 4
-        |), freq AS (
-        |  SELECT tok FROM post GROUP BY tok HAVING sum(df_shard) >= 60
+        |), keep AS (
+        |  SELECT tok, count(*) AS df,
+        |    CAST(ceil(count(*) / 64e0) AS BIGINT) AS n_blocks
+        |  FROM dt GROUP BY tok HAVING count(*) >= 60
         |)
-        |SELECT p.tok, p.shard, p.df_shard, p.postings
-        |FROM post p JOIN freq USING (tok)""".stripMargin
+        |SELECT d.tok, k.df, d.doc_id % k.n_blocks AS shard,
+        |  count(*) AS df_shard,
+        |  string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id) AS postings
+        |FROM dt d JOIN keep k USING (tok)
+        |GROUP BY d.tok, k.df, d.doc_id % k.n_blocks""".stripMargin
     ) { (s, d) =>
-      val post = Tables.documents(s, d)
+      val dt = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .distinct()
-        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
-        .groupBy("tok", "shard")
+      val keep = dt.groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 60)
+        .withColumn("n_blocks", ceil(col("df") / lit(64.0)))
+      dt.join(keep, Seq("tok"))
+        .withColumn("shard", pmod(col("doc_id"), col("n_blocks")))
+        .groupBy("tok", "df", "shard")
         .agg(
           count(lit(1)).as("df_shard"),
           sort_array(collect_list(col("doc_id"))).as("__p"))
         .withColumn("postings",
           expr("array_join(transform(__p, x -> CAST(x AS STRING)), ',')"))
-        .drop("__p")
-      // global df from the 4 shard rows per token — no second corpus scan
-      val freq = post.groupBy("tok")
-        .agg(sum(col("df_shard")).as("df"))
-        .filter(col("df") >= 60)
-        .select("tok")
-      post.join(broadcast(freq), Seq("tok"))
-        .select("tok", "shard", "df_shard", "postings")
+        .select("tok", "df", "shard", "df_shard", "postings")
     },
 
     // ---- skew-salted two-phase aggregation == the plain groupBy answer
