@@ -62,7 +62,10 @@ object Sharding {
     *   3. exact rank over the ~8k survivors per group — the window now
     *      runs on sample-sized data regardless of corpus size.
     *
-    * Appends `sample_rank` (1..k in hash order).
+    * Appends `sample_rank` (1..k in hash order). Caller contract: the
+    * GROUP CARDINALITY must be broadcast-sized (counts ship to every
+    * executor); with ungrouped or key-per-row sampling use
+    * [[stratifiedSample]] instead.
     */
   def samplePerGroup(
       df: DataFrame, id: String, groupCols: Seq[String], k: Int): DataFrame = {
