@@ -304,6 +304,32 @@ object StreamingIndicators {
            |""".stripMargin))
   }
 
+  /** LEFT OUTER variant of [[intervalJoin]]: every left row is emitted —
+    * matched rows as soon as the match arrives, UNMATCHED rows
+    * null-padded only once the watermark passes the end of their match
+    * interval (before that a matching right row could still arrive, so
+    * emitting early would be wrong; this deferred null emission is the
+    * part the inner join doesn't exercise). Same bounded state: both
+    * sides evict with the watermark.
+    */
+  def intervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String = "stock_symbol",
+      timeCol: String = "local_time",
+      lookback: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(timeCol, watermark).alias("l")
+    val r = right.withWatermark(timeCol, watermark).alias("r")
+    l.join(
+      r,
+      expr(
+        s"""l.$keyCol = r.$keyCol AND
+           |r.$timeCol BETWEEN l.$timeCol - INTERVAL $lookback AND l.$timeCol
+           |""".stripMargin),
+      "leftOuter")
+  }
+
   /** The reference's input decode (S3): Kafka value bytes -> Candle columns
     * (consumer.py:254-256 with the schema at consumer.py:235-243).
     */

@@ -543,6 +543,47 @@ class StreamingIndicatorsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Double]("quote")).sorted.toSeq == Seq(99.0, 100.0))
   }
 
+  test("left-outer interval join defers the null row until the watermark closes the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, Timestamp, Double)]
+    val quotes = MemoryStream[(String, Timestamp, Double)]
+    val tDf = trades.toDS().toDF("stock_symbol", "local_time", "price")
+    val qDf = quotes.toDS().toDF("stock_symbol", "local_time", "quote")
+      .withColumnRenamed("stock_symbol", "q_sym")
+      .withColumnRenamed("local_time", "q_time")
+    val joined = StreamingIndicators.intervalJoinOuter(
+      tDf,
+      qDf.withColumnRenamed("q_sym", "stock_symbol")
+        .withColumnRenamed("q_time", "local_time"),
+      lookback = "5 minutes", watermark = "10 minutes")
+      .select(
+        col("l.stock_symbol"), col("l.local_time").as("trade_time"),
+        col("price"), col("quote"))
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_ijo").start()
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    // a matched trade and an unmatched one, same batch
+    quotes.addData(Seq(("AAA", ts("2024-01-01 10:00:00"), 99.0)))
+    trades.addData(Seq(
+      ("AAA", ts("2024-01-01 10:02:00"), 100.5), // matches the quote
+      ("CCC", ts("2024-01-01 10:02:00"), 77.0))) // no quote ever
+    query.processAllAvailable()
+    // watermark has NOT passed the unmatched trade's interval: the null
+    // row must not have been emitted yet (a quote could still arrive)
+    val early = spark.table("stream_ijo").collect()
+    assert(early.map(_.getAs[Double]("price")).toSet == Set(100.5))
+    // advance event time well past the interval end on both sides
+    quotes.addData(Seq(("AAA", ts("2024-01-01 11:00:00"), 1.0)))
+    trades.addData(Seq(("ZZZ", ts("2024-01-01 11:00:00"), 1.0)))
+    query.processAllAvailable()
+    val late = spark.table("stream_ijo")
+      .filter(col("price") === 77.0).collect()
+    query.stop()
+    assert(late.length == 1 && late.head.isNullAt(late.head.fieldIndex("quote")),
+      "unmatched trade must emit exactly one null-padded row after the watermark")
+  }
+
   test("kafka frame + json decode round-trip preserves the candle") {
     val df = StreamingIndicators.toKafkaFrame(
       spark.createDataset(Seq(
