@@ -77,6 +77,37 @@ object PartitionedStore {
       .saveAsTable(tableName)
   }
 
+  /** Compact a store accumulated through many small appends (the
+    * streaming-sink pattern: every micro-batch writes a file per
+    * partition, and a day of 1-minute triggers leaves ~1440 slivers per
+    * day) into `ceil(bytes / targetFileBytes)` right-sized files,
+    * rewritten to `dst`. Sizing uses the source's ON-DISK byte count via
+    * the Hadoop FileSystem API, so the same call works on HDFS/S3A at
+    * cluster scale; range-partitioning on (day, symbol, time) keeps the
+    * rewritten files sorted for row-group skipping, same as `write`.
+    * Rewrites to a NEW path on purpose — swap-on-success beats an
+    * in-place overwrite that can destroy the store on a mid-job failure.
+    */
+  def compactInto(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      timeCol: String = "local_time",
+      symbolCol: String = "stock_symbol"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    read(spark, src)
+      .repartitionByRange(files, col(PartitionCol), col(symbolCol), col(timeCol))
+      .sortWithinPartitions(col(symbolCol), col(timeCol))
+      .write
+      .mode("overwrite")
+      .partitionBy(PartitionCol)
+      .parquet(dst)
+  }
+
   /** Time-range scan with explicit partition pruning: adds the
     * `trade_date` bounds implied by a `timeCol` interval so the planner
     * prunes directories even when the caller filters on the (finer)

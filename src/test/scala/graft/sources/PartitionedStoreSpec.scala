@@ -113,4 +113,35 @@ class PartitionedStoreSpec extends AnyFunSuite with Matchers {
     PartitionedStore.read(spark, extraDir)
       .select("trade_date").distinct().count() shouldBe 2
   }
+
+  test("compaction rewrites a sliver-ridden store into few right-sized files") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("graft_slivers").toString + "/t"
+    val dst = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate 12 micro-batch appends: one sliver file per append per day
+    for (b <- 0 until 12) {
+      val rows = for (m <- 0 until 10)
+        yield ("BTC", ts(f"2024-03-01 10:${b * 5 + m % 5}%02d:0${m % 10}"),
+          b * 10.0 + m)
+      PartitionedStore.write(rows.toDF("stock_symbol", "local_time", "close"), src)
+    }
+    def parquetFiles(root: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).count(_.getName.endsWith(".parquet"))
+    }
+    parquetFiles(src) should be >= 12
+    PartitionedStore.compactInto(spark, src, dst, targetFileBytes = 1L << 30)
+    parquetFiles(dst) shouldBe 1
+    PartitionedStore.read(spark, dst).count() shouldBe 120
+    // data round-trips exactly
+    val a = PartitionedStore.read(spark, src)
+      .select("stock_symbol", "local_time", "close")
+      .as[(String, Timestamp, Double)].collect().toSet
+    val b = PartitionedStore.read(spark, dst)
+      .select("stock_symbol", "local_time", "close")
+      .as[(String, Timestamp, Double)].collect().toSet
+    b shouldBe a
+  }
 }
