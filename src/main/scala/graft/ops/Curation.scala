@@ -114,6 +114,35 @@ object Curation {
       .withColumn("kept", col("hv_ppm") * col("n_domain") < col("min_domain") * lit(1000000L))
   }
 
+  /** Temperature-based domain resampling at alpha = 1/2 (the sqrt
+    * temperature of multilingual-sampling practice): a doc of domain d
+    * survives with probability sqrt(min_count / n_d) — the smallest
+    * domain keeps everything, larger domains keep sqrt-proportionally
+    * more than uniform (expected kept count = sqrt(min_count * n_d),
+    * between `mixToUniform`'s min_count and the natural n_d).
+    *
+    * Alpha is FIXED at 1/2 on purpose: sqrt is the one power function
+    * IEEE-754 requires correctly rounded, so the keep decision
+    * (hash_ppm < 1e6 * sqrt(min/n)) evaluates bit-identically on any
+    * JVM and in the DuckDB oracle; pow(x, alpha) carries no such
+    * guarantee and a 1-ulp divergence flips boundary rows. Same scale
+    * shape as mixToUniform: one grouped count broadcast back, no
+    * rand(), no corpus window.
+    */
+  def mixWithSqrtTemperature(
+      df: DataFrame,
+      domain: String = "source",
+      id: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(domain)).agg(count(lit(1)).as("n_domain"))
+    val minCnt = counts.agg(min(col("n_domain")).as("min_domain"))
+    df.join(broadcast(counts), Seq(domain))
+      .crossJoin(broadcast(minCnt))
+      .withColumn("hv_ppm", expr(s"md5p60(cast($id as string)) % 1000000"))
+      .withColumn("kept",
+        col("hv_ppm").cast("double") < lit(1e6) *
+          sqrt(col("min_domain").cast("double") / col("n_domain").cast("double")))
+  }
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic dedup: cluster embeddings with the

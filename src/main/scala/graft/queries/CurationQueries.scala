@@ -134,6 +134,28 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("n_domain"), col("kept"))
     },
 
+    // ---- sqrt-temperature domain mixing (alpha = 1/2): keep prob
+    //      sqrt(min/n_d) — alpha fixed at 1/2 because sqrt is the one
+    //      correctly-rounded power both engines share (pow would flip
+    //      boundary rows by 1 ulp); see Curation.mixWithSqrtTemperature ----
+    QueryDef.sql(
+      "q_domain_mix_temp",
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_domain FROM documents GROUP BY source
+         |), m AS (
+         |  SELECT min(n_domain) AS min_domain FROM c
+         |)
+         |SELECT d.doc_id, d.source, c.n_domain,
+         |  (${duckHash("CAST(d.doc_id AS VARCHAR)", 1000000L)}) * 1e0
+         |    < 1e6 * sqrt(CAST(m.min_domain AS DOUBLE) / CAST(c.n_domain AS DOUBLE))
+         |    AS kept
+         |FROM documents d JOIN c USING (source) CROSS JOIN m""".stripMargin
+    ) { (s, d) =>
+      Curation.mixWithSqrtTemperature(
+          Tables.documents(s, d).select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"), col("n_domain"), col("kept"))
+    },
+
     // ---- Gopher-style repetition signals: the repetition dimension of
     //      quality filtering (q_quality_filter covers length/punct/
     //      stopword/uniq-token) — most-frequent-token fraction,
