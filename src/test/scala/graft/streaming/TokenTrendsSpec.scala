@@ -89,4 +89,61 @@ class TokenTrendsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sketch state survives a checkpoint restart (n_shard keeps counting)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_tt_ck").toString
+      def doc(id: Long, ws: Seq[String]) =
+        DocEvent(id, Timestamp.valueOf(f"2024-05-02 09:0$id:00"), "en",
+          ws.mkString(" "))
+      val b1 = doc(0, Seq.fill(40)("hot") ++ (0 until 30).map(i => s"a$i"))
+      val b2 = doc(1, Seq.fill(25)("hot") ++ (0 until 20).map(i => s"b$i"))
+      val input = MemoryStream[DocEvent]
+      def startQuery() = TokenTrends.trendingTokens(input.toDS(), shards = 2, k = 6)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+
+      val q1 = startQuery()
+      input.addData(Seq(b1)); q1.processAllAvailable(); q1.stop()
+      val q2 = startQuery()
+      input.addData(Seq(b2)); q2.processAllAvailable(); q2.stop()
+
+      val rows = spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_shard"),
+          r.getAs[String]("tok"), r.getAs[Long]("est")))
+      // totals after restart = ALL tokens ever processed, per shard
+      val shardOf = (Seq("hot") ++ (0 until 30).map(i => s"a$i") ++
+          (0 until 20).map(i => s"b$i")).distinct.toDF("tok")
+        .select(col("tok"),
+          pmod(xxhash64(col("tok")), lit(2L))).as[(String, Long)]
+        .collect().toMap
+      val all = Seq.fill(40)("hot") ++ (0 until 30).map(i => s"a$i") ++
+        Seq.fill(25)("hot") ++ (0 until 20).map(i => s"b$i")
+      val expectTotals = all.groupBy(shardOf).map { case (s, xs) => s -> xs.size.toLong }
+      val gotTotals = rows.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+      assert(gotTotals == expectTotals,
+        s"per-shard totals after restart: $gotTotals != $expectTotals")
+      // the cross-restart heavy hitter is still in its post-restart sketch
+      val hotShard = shardOf("hot")
+      val lastSketch = rows
+        .filter(r => r._1 == hotShard && r._2 == gotTotals(hotShard))
+      assert(lastSketch.exists(r => r._3 == "hot" && r._4 >= 65L - all.size / 6),
+        s"hot token missing or underestimated after restart: ${lastSketch.toSeq}")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
