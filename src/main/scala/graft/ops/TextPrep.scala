@@ -24,6 +24,17 @@ object TextPrep {
     */
   val StopWordsSql = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
 
+  /** Canonical text normalization (the usual pre-dedup cleanup):
+    * lowercase, control characters stripped, whitespace runs collapsed
+    * to single spaces, ends trimmed. ASCII-exact in both engines (the
+    * regex subset and lower() agree; unicode case folding is out of
+    * scope for the reference corpus).
+    */
+  def normalized: Column =
+    trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[\\x00-\\x1f]", " "),
+      "  +", " "))
+
   def nTokens: Column = size(split(col("text"), " ")).cast("long")
 
   def stopRatio: Column =

@@ -279,6 +279,25 @@ object DataPrepQueries {
       )
     },
 
+    // ---- canonical text normalization (pre-dedup cleanup): lowercase,
+    //      control chars stripped, whitespace collapsed, trimmed —
+    //      TextPrep.normalized, per-row exact in both engines (DuckDB
+    //      needs the 'g' flag; Spark replaces all matches by default) ----
+    QueryDef.sql(
+      "q_normalize_text",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[\x00-\x1f]', ' ', 'g'), '  +', ' ', 'g')) AS norm_text,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[\x00-\x1f]', ' ', 'g'), '  +', ' ', 'g')) <> text AS changed
+        |FROM documents""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.ops.TextPrep.normalized.as("norm_text"),
+        (graft.ops.TextPrep.normalized =!= col("text")).as("changed"))
+    },
+
     // ---- deterministic stratified sampling: hash-Bernoulli per doc with
     //      per-language rates — reproducible at any parallelism, unlike
     //      rand()-based sampling, and exactly repeatable across engines ----

@@ -102,6 +102,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // equi join
     val intendedNestedLoop =
       Set("q_knn_brute", "q_knn_ivf", "q_tfidf_terms", "q_domain_mix",
+        "q_domain_mix_temp", // single-row min-domain-count frame
         "q_semdedup", "q_quantize_embeddings", // single-row dim-stats frame
         "q_zorder") // single-row min/max stats frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
