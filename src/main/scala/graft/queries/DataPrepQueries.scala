@@ -49,20 +49,22 @@ object DataPrepQueries {
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     graft.ops.NearDup.shingles(Tables.documents(s, d))
 
-  private val shingleSql: String =
-    """sh_raw AS (
-      |  SELECT doc_id, unnest(list_transform(
-      |    range(1, len(string_split(text, ' ')) - 1),
-      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
-      |  )) AS shingle
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3
-      |)""".stripMargin
+  private def shingleSqlFor(tbl: String): String =
+    s"""sh_raw AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text, ' ')) - 1),
+       |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+       |  )) AS shingle
+       |  FROM $tbl WHERE len(string_split(text, ' ')) >= 3
+       |)""".stripMargin
+
+  private val shingleSql: String = shingleSqlFor("documents")
 
   /** Per-doc minhash signature (16 mins) + 4 LSH band hashes. */
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     graft.ops.NearDup.minhashBands(Tables.documents(s, d))
 
-  private val minhashBandsSql: String = {
+  private def minhashBandsSqlFor(tbl: String): String = {
     val minCols = perms.zipWithIndex
       .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS m$j" }
       .mkString(",\n    ")
@@ -72,7 +74,7 @@ object DataPrepQueries {
         s"SELECT doc_id, $k AS band_id, concat_ws('-', $cs) AS band_hash FROM sig"
       }
       .mkString("\n  UNION ALL ")
-    s"""WITH $shingleSql, hashed AS (
+    s"""WITH ${shingleSqlFor(tbl)}, hashed AS (
        |  SELECT doc_id, ${duckHash("shingle")} AS h FROM sh_raw
        |), sig AS (
        |  SELECT doc_id,
@@ -82,6 +84,8 @@ object DataPrepQueries {
        |  $bandSelects
        |)""".stripMargin
   }
+
+  private val minhashBandsSql: String = minhashBandsSqlFor("documents")
 
   /** In-bucket candidate pairs from the band frame. `ordered = true` keeps
     * one row per pair (doc_a < doc_b, the pair listing); `false` keeps both
@@ -181,6 +185,93 @@ object DataPrepQueries {
           col("doc_id"),
           coalesce(col("rep"), col("doc_id")).as("cluster_id"),
           (coalesce(col("rep"), col("doc_id")) < col("doc_id")).as("is_dup"))
+    },
+
+    // ---- the WHOLE curation pipeline, hash-matched cross-engine: exact
+    //      dedup -> minhash-LSH pairs -> connected-components near-dedup
+    //      -> quality gate -> PII scrub -> chunking -> packed bins, every
+    //      stage the same SQL fragment its standalone oracle uses. This
+    //      is the end-to-end gate on pipelines.CorpusPipeline.curate ----
+    QueryDef.sql(
+      "q_curate_e2e",
+      s"""WITH RECURSIVE keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), d1 AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN keep1 USING (doc_id)
+         |), ${minhashBandsSqlFor("d1").stripPrefix("WITH ")}, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+         |), comp AS (
+         |  SELECT id, min(r) AS rep FROM reach GROUP BY id
+         |), d2 AS (
+         |  SELECT d1.doc_id, d1.text FROM d1
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM comp c WHERE c.id = d1.doc_id AND c.rep < d1.doc_id)
+         |), q AS (
+         |  SELECT doc_id, text FROM d2
+         |  WHERE len(string_split(text, ' ')) >= 5
+         |    AND len(string_split(text, ' ')) <= 10000
+         |    AND (CASE WHEN length(text) = 0 THEN 0e0
+         |         ELSE length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1e0
+         |           / length(text) END) <= 3e-1
+         |    AND (CASE WHEN len(string_split(text, ' ')) = 0 THEN 0e0
+         |         ELSE len(list_distinct(string_split(text, ' '))) * 1e0
+         |           / len(string_split(text, ' ')) END) >= 2e-1
+         |), p AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text, '${graft.ops.Curation.EmailRe}', '<EMAIL>', 'g'),
+         |        '${graft.ops.Curation.PhoneRe}', '<PHONE>', 'g'),
+         |      '${graft.ops.Curation.Ipv4Re}', '<IP>', 'g') AS text
+         |  FROM q
+         |), t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM p
+         |), e2 AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, CASE WHEN n <= 32 THEN 1
+         |                         ELSE (n - 32 + 23) // 24 + 1 END)) AS chunk_id
+         |  FROM t
+         |), ch AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    md5(array_to_string(
+         |      list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '))
+         |      AS chunk_digest,
+         |    len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+         |      AS n_chunk_tokens,
+         |    concat(CAST(doc_id AS VARCHAR), '#', CAST(chunk_id AS VARCHAR))
+         |      AS chunk_key
+         |  FROM e2
+         |), hh AS (
+         |  SELECT *, CAST(concat('0x', substr(md5(chunk_key), 1, 15)) AS BIGINT) AS hv
+         |  FROM ch
+         |), c2 AS (
+         |  SELECT doc_id, chunk_id, chunk_digest, n_chunk_tokens, hv % 8 AS shard,
+         |    CAST(sum(n_chunk_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, chunk_key
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM hh
+         |)
+         |SELECT doc_id, chunk_id, chunk_digest, n_chunk_tokens, shard, cum_tokens,
+         |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
+         |FROM c2""".stripMargin
+    ) { (s, d) =>
+      graft.pipelines.CorpusPipeline.curate(Tables.documents(s, d))
+        .select(
+          col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_digest"),
+          col("n_chunk_tokens"), col("shard"), col("cum_tokens"), col("bin_id"))
     },
 
     // ---- n-gram Jaccard similarity on a deterministic pair sample ----
