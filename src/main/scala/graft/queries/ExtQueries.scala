@@ -196,6 +196,46 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // ---- set operations: INTERSECT / EXCEPT between two derived key
+    //      sets (hash-dedup semantics, no sort) ----
+    QueryDef.sql(
+      "q_set_ops",
+      """WITH hi AS (
+        |  SELECT DISTINCT event_type FROM events WHERE value > 50
+        |), lo AS (
+        |  SELECT DISTINCT event_type FROM events WHERE value < -50
+        |)
+        |SELECT event_type, 'both_tails' AS which FROM (
+        |  SELECT event_type FROM hi INTERSECT SELECT event_type FROM lo)
+        |UNION ALL
+        |SELECT event_type, 'hi_only' AS which FROM (
+        |  SELECT event_type FROM hi EXCEPT SELECT event_type FROM lo)""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hi = ev.filter(col("value") > 50).select("event_type").distinct()
+      val lo = ev.filter(col("value") < -50).select("event_type").distinct()
+      hi.intersect(lo).withColumn("which", lit("both_tails"))
+        .unionByName(hi.except(lo).withColumn("which", lit("hi_only")))
+    },
+
+    // ---- correlated scalar subquery (decorrelation): events above their
+    //      type's average — Catalyst rewrites the subquery into the
+    //      grouped-agg + join the DataFrame twin spells out ----
+    QueryDef.sql(
+      "q_above_type_avg",
+      s"""SELECT e.event_id, e.event_type, e.value
+         |FROM events e
+         |WHERE e.value > (SELECT ${Num.davgSql("e2.value")} FROM events e2
+         |                 WHERE e2.event_type = e.event_type)""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val avgs = ev.groupBy(col("event_type").as("t"))
+        .agg(Num.davg(col("value")).as("type_avg"))
+      ev.join(broadcast(avgs), col("event_type") === col("t"))
+        .filter(col("value") > col("type_avg"))
+        .select("event_id", "event_type", "value")
+    },
+
     // ---- CUBE aggregation (all grouping-set combinations) ----
     QueryDef.sql(
       "q_cube_events",
