@@ -63,6 +63,22 @@ class CurationSpec extends AnyFunSuite with Matchers {
     bySrc("common") shouldBe 100L +- 40L // downsampled ~5x toward uniform
   }
 
+  test("sqrt-temperature mixing keeps sqrt-proportional counts, deterministically") {
+    val docs = (0L until 600L).map { i =>
+      (i, if (i % 6 == 0) "rare" else "common") // 100 rare vs 500 common
+    }.toDF("doc_id", "source")
+    def keptSet(parts: Int) =
+      Curation.mixWithSqrtTemperature(docs.repartition(parts))
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    keptSet(1) shouldBe keptSet(7) // partitioning-independent
+    val bySrc = Curation.mixWithSqrtTemperature(docs).filter(col("kept"))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    bySrc("rare") shouldBe 100L +- 10L // smallest domain keeps ~everything
+    // expected sqrt(min * n_d) = sqrt(100 * 500) ~ 224: between uniform
+    // (100) and natural (500)
+    bySrc("common") shouldBe 224L +- 45L
+  }
+
   test("semDedup collapses exact duplicates to the min id, keeps singletons") {
     // two exact-duplicate groups (identical vectors => identical cell
     // assignment, so the collapse is guaranteed) + isolated singletons
