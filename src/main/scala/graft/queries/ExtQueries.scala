@@ -196,6 +196,61 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // ---- time-series pattern matching (subsequence similarity search):
+    //      Euclidean top-k between one query window (the latest 8-point
+    //      window of the min event_type, deterministic) and EVERY
+    //      8-point sliding window of every series. The per-window
+    //      distance is a fixed-index-order fold (IEEE-identical in both
+    //      engines, same construction as the vec_dot oracle); the global
+    //      top-k rank is WindowGroupLimit-capped, so each partition
+    //      pre-filters its own top 10 — no full sort at scale ----
+    QueryDef.sql(
+      "q_pattern_match",
+      """WITH wins AS (
+        |  SELECT event_type, ts, event_id,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+        |  FROM events
+        |), full8 AS (
+        |  SELECT * FROM wins WHERE len(win) = 8
+        |), qt AS (
+        |  SELECT min(event_type) AS qtype FROM events
+        |), qw AS (
+        |  SELECT win AS qwin FROM full8, qt WHERE event_type = qtype
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1
+        |), scored AS (
+        |  SELECT f.event_type, f.ts, f.event_id,
+        |    list_reduce(list_prepend(0e0, list_transform(range(1, 9),
+        |      i -> (f.win[i] - q.qwin[i]) * (f.win[i] - q.qwin[i]))),
+        |      (acc, x) -> acc + x) AS dist
+        |  FROM full8 f, qw q
+        |)
+        |SELECT event_type, ts, event_id, dist, rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY dist, event_type, ts, event_id)
+        |    AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+      val wins = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          collect_list(col("value")).over(w).as("win"))
+        .filter(size(col("win")) === 8)
+      val minType = Tables.events(s, d).agg(min(col("event_type")).as("qtype"))
+      val qw = wins.join(broadcast(minType), col("event_type") === col("qtype"))
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(col("win").as("qwin"))
+      val wr = Window.orderBy(
+        col("dist"), col("event_type"), col("ts"), col("event_id"))
+      wins.crossJoin(broadcast(qw))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(win, qwin, (a, b) -> (a - b) * (a - b)), " +
+            "0D, (acc, x) -> acc + x)"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("event_type", "ts", "event_id", "dist", "rank")
+    },
+
     // ---- set operations: INTERSECT / EXCEPT between two derived key
     //      sets (hash-dedup semantics, no sort) ----
     QueryDef.sql(

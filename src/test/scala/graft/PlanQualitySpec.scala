@@ -104,7 +104,8 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
       Set("q_knn_brute", "q_knn_ivf", "q_tfidf_terms", "q_domain_mix",
         "q_domain_mix_temp", // single-row min-domain-count frame
         "q_semdedup", "q_quantize_embeddings", // single-row dim-stats frame
-        "q_zorder") // single-row min/max stats frame
+        "q_zorder", // single-row min/max stats frame
+        "q_pattern_match") // single-row query-window frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
