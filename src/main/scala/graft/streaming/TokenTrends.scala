@@ -75,4 +75,68 @@ object TokenTrends {
       .transformWithState(
         new ShardSketchProcessor(k), TimeMode.None(), OutputMode.Append())
   }
+
+  final case class WindowTokenRow(wkey: String, tok: String)
+
+  /** One sketch entry of tumbling window `window_start` (epoch seconds),
+    * shard `shard`, after `n_shard` tokens of that (window, shard).
+    */
+  final case class WindowedSketchEntry(
+      window_start: Long, shard: Long, n_shard: Long, tok: String, est: Long)
+
+  class WindowedSketchProcessor(k: Int, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, WindowTokenRow, WindowedSketchEntry] {
+    @transient private var st: ValueState[(Long, Map[String, Long])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Map[String, Long])](
+        "mgw", ExpressionEncoder[(Long, Map[String, Long])](),
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(
+        key: String, rows: Iterator[WindowTokenRow],
+        timerValues: TimerValues): Iterator[WindowedSketchEntry] = {
+      val Array(win, shard) = key.split(":", 2).map(_.toLong)
+      val mg = new HeavyHitters.MisraGries(k)
+      var (n, b) =
+        if (st.exists()) st.get() else (0L, Map.empty[String, Long])
+      rows.foreach { r => b = mg.reduce(b, r.tok); n += 1 }
+      st.update((n, b))
+      if (b.isEmpty) Iterator.single(WindowedSketchEntry(win, shard, n, "", 0L))
+      else b.iterator.map { case (t, c) => WindowedSketchEntry(win, shard, n, t, c) }
+    }
+  }
+
+  /** PER-WINDOW trending tokens: tumbling event-time windows of
+    * `windowSeconds`, each with its own sharded MG sketches — the
+    * "what's hot this hour" semantic, vs [[trendingTokens]]'s all-time
+    * sketch. State is one (count, sketch) per live (window, shard) key;
+    * pass `ttl` (>= the out-of-orderness you accept) so closed windows'
+    * sketches age out instead of accumulating one key per window
+    * forever — with a TTL the stream runs in processing-time mode, so
+    * pace the trigger as documented on `DocStream.nearDupGate`.
+    */
+  def trendingTokensWindowed(
+      docs: Dataset[DocStream.DocEvent],
+      windowSeconds: Long = 3600L,
+      shards: Int = 16, k: Int = 32,
+      ttl: Option[java.time.Duration] = None): Dataset[WindowedSketchEntry] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    docs.toDF()
+      .select(col("ingest_ts"), explode(split(col("text"), " ")).as("tok"))
+      .select(
+        concat(
+          (unix_timestamp(col("ingest_ts"))
+            - pmod(unix_timestamp(col("ingest_ts")), lit(windowSeconds)))
+            .cast("string"),
+          lit(":"),
+          pmod(xxhash64(col("tok")), lit(shards.toLong)).cast("string"))
+          .as("wkey"),
+        col("tok"))
+      .as[WindowTokenRow]
+      .groupByKey(_.wkey)
+      .transformWithState(
+        new WindowedSketchProcessor(k, ttl), timeMode, OutputMode.Append())
+  }
 }

@@ -90,6 +90,69 @@ class TokenTrendsSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed sketches keep windows independent across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def doc(id: Long, hour: Int, ws: Seq[String]) =
+        DocEvent(id, Timestamp.valueOf(f"2024-05-03 $hour%02d:15:00"), "en",
+          ws.mkString(" "))
+      // "morning" is hot only in hour 8, "evening" only in hour 9;
+      // hour-9 data arrives across TWO batches (state accumulates
+      // within the window, not across windows)
+      val b1 = Seq(
+        doc(0, 8, Seq.fill(30)("morning") ++ (0 until 10).map(i => s"m$i")),
+        doc(1, 9, Seq.fill(12)("evening")))
+      val b2 = Seq(
+        doc(2, 9, Seq.fill(18)("evening") ++ (0 until 8).map(i => s"e$i")))
+
+      val input = MemoryStream[DocEvent]
+      val query = TokenTrends
+        .trendingTokensWindowed(input.toDS(), windowSeconds = 3600L,
+          shards = 2, k = 6)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("token_trends_w").start()
+      try {
+        input.addData(b1); query.processAllAvailable()
+        input.addData(b2); query.processAllAvailable()
+        val rows = spark.table("token_trends_w").collect()
+          .map(r => (r.getAs[Long]("window_start"), r.getAs[Long]("shard"),
+            r.getAs[Long]("n_shard"), r.getAs[String]("tok"), r.getAs[Long]("est")))
+        val h8 = Timestamp.valueOf("2024-05-03 08:00:00").getTime / 1000
+        val h9 = Timestamp.valueOf("2024-05-03 09:00:00").getTime / 1000
+        def latest(win: Long) = rows.filter(_._1 == win).groupBy(_._2)
+          .map { case (s, rs) =>
+            val nMax = rs.map(_._3).max
+            s -> (nMax, rs.filter(r => r._3 == nMax && r._5 > 0)
+              .map(r => r._4 -> r._5).toMap)
+          }
+        val w8 = latest(h8); val w9 = latest(h9)
+        // totals per window equal that window's token count
+        assert(w8.values.map(_._1).sum == 40L, s"hour-8 totals: $w8")
+        assert(w9.values.map(_._1).sum == 38L, s"hour-9 totals: $w9")
+        // each hour's hot token is in ITS window only, with a full count
+        // (no eviction pressure at these sizes: estimates are exact)
+        val w8toks = w8.values.flatMap(_._2.keys).toSet
+        val w9toks = w9.values.flatMap(_._2.keys).toSet
+        assert(w8toks.contains("morning") && !w9toks.contains("morning"))
+        assert(w9toks.contains("evening") && !w8toks.contains("evening"))
+        assert(w9.values.flatMap(_._2.get("evening")).sum == 30L,
+          "evening count must accumulate across batches within its window")
+      } finally query.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sketch state survives a checkpoint restart (n_shard keeps counting)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
