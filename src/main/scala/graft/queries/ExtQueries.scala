@@ -291,6 +291,51 @@ object ExtQueries {
         .select("event_id", "event_type", "value")
     },
 
+    // ---- semi-structured JSON: build a JSON payload from columns,
+    //      extract fields back out. The payload string is assembled with
+    //      concat (identical bytes in both engines — engine-native
+    //      to_json/json_object formatting differs); extraction compares
+    //      the PARSED values, which is the capability under test ----
+    QueryDef.sql(
+      "q_json_extract",
+      """WITH j AS (
+        |  SELECT event_id,
+        |    concat('{"id":', CAST(event_id AS VARCHAR),
+        |      ',"type":"', event_type, '"}') AS payload
+        |  FROM events
+        |)
+        |SELECT event_id, payload,
+        |  CAST(json_extract_string(payload, '$.id') AS BIGINT) AS id_back,
+        |  json_extract_string(payload, '$.type') AS type_back
+        |FROM j""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          concat(lit("{\"id\":"), col("event_id").cast("string"),
+            lit(",\"type\":\""), col("event_type"), lit("\"}")).as("payload"))
+        .select(col("event_id"), col("payload"),
+          get_json_object(col("payload"), "$.id").cast("long").as("id_back"),
+          get_json_object(col("payload"), "$.type").as("type_back"))
+    },
+
+    // ---- UNPIVOT / melt: wide per-row OHLC-ish columns to long
+    //      (field, value) rows — the reshape between storage layouts ----
+    QueryDef.sql(
+      "q_unpivot",
+      """SELECT event_id, field, fval
+        |FROM (SELECT event_id, value AS raw, value * 2e0 AS doubled,
+        |             value + 1e0 AS shifted
+        |      FROM events)
+        |UNPIVOT (fval FOR field IN (raw, doubled, shifted))""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("value").as("raw"),
+          (col("value") * 2.0).as("doubled"), (col("value") + 1.0).as("shifted"))
+        .select(col("event_id"),
+          expr("stack(3, 'raw', raw, 'doubled', doubled, 'shifted', shifted)")
+            .as(Seq("field", "fval")))
+    },
+
     // ---- CUBE aggregation (all grouping-set combinations) ----
     QueryDef.sql(
       "q_cube_events",
