@@ -240,15 +240,19 @@ object ExtQueries {
       val qw = wins.join(broadcast(minType), col("event_type") === col("qtype"))
         .orderBy(col("ts").desc, col("event_id").desc).limit(1)
         .select(col("win").as("qwin"))
+      // top-k via orderBy+limit = TakeOrderedAndProject (each partition
+      // contributes its own top 10, no global sort, no single-task
+      // whole-corpus window); the rank window then runs on 10 rows only
       val wr = Window.orderBy(
         col("dist"), col("event_type"), col("ts"), col("event_id"))
       wins.crossJoin(broadcast(qw))
         .withColumn("dist", expr(
           "aggregate(zip_with(win, qwin, (a, b) -> (a - b) * (a - b)), " +
             "0D, (acc, x) -> acc + x)"))
+        .select("event_type", "ts", "event_id", "dist")
+        .orderBy(col("dist"), col("event_type"), col("ts"), col("event_id"))
+        .limit(10)
         .withColumn("rank", row_number().over(wr).cast("long"))
-        .filter(col("rank") <= 10)
-        .select("event_type", "ts", "event_id", "dist", "rank")
     },
 
     // ---- set operations: INTERSECT / EXCEPT between two derived key

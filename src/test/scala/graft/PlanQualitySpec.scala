@@ -147,4 +147,27 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     formatted should include("codegen id")
   }
+
+  test("rank-limited operators push the limit into WindowGroupLimit") {
+    // without the pushdown, the rank filter buffers every partition's
+    // full candidate set through WindowExec before discarding it
+    val plan = executed(
+      SparkEntry.queries("q_sample_per_group")(spark, sfDir)).toString
+    withClue(plan) { plan should include("WindowGroupLimit") }
+  }
+
+  test("global top-k ranks via TakeOrderedAndProject, not a whole-corpus window") {
+    // a rank filter over an UNPARTITIONED window moves every candidate
+    // into one task; pattern match must take per-partition top-10s and
+    // only rank the 10 survivors
+    val plan = executed(
+      SparkEntry.queries("q_pattern_match")(spark, sfDir)).toString
+    withClue(plan) { plan should include("TakeOrderedAndProject") }
+  }
+
+  test("heavy-hitter recount joins the candidate set by broadcast") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+    val bhj = collectAll(df) { case j: BroadcastHashJoinExec => j }
+    bhj should not be empty
+  }
 }
