@@ -170,4 +170,23 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     val bhj = collectAll(df) { case j: BroadcastHashJoinExec => j }
     bhj should not be empty
   }
+
+  test("NO query runs an unpartitioned window over unbounded input") {
+    // an empty partitionSpec moves the whole input into one task; the
+    // only acceptable shape is a window over an already-limited tiny
+    // frame (pattern match ranks the 10 TakeOrdered survivors)
+    val allowed = Set("q_pattern_match")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed(name) =>
+        val df = fn(spark, sfDir)
+        df.collect()
+        val globals = collectAll(df) {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(name) else None
+      case _ => None
+    }
+    offenders shouldBe empty
+  }
 }
