@@ -24,7 +24,8 @@ object Plans {
     "q_knn_ivf", // k-means codebook broadcast, single corpus pass
     "q_dedup_embedding", // banded-LSH equality join, linear candidates
     "q_quantize_embeddings", // row-local quantize, corpus never shuffled
-    "q_sample_per_group" // threshold prune, window on survivors only
+    "q_sample_per_group", // threshold prune, window on survivors only
+    "q_pattern_match" // distributed TakeOrdered top-k, rank on 10 rows
   )
 
   def main(args: Array[String]): Unit = {
