@@ -21,7 +21,13 @@ import graft.ops.HeavyHitters
   * all land in one shard, and n_shard <= n, so any token with GLOBAL
   * count > n/k (> n_shard/k a fortiori) is present in its shard's
   * sketch — no false negatives at any shard count. Estimates are within
-  * [true - n_shard/k, true]. Each batch re-emits the shard's sketch
+  * [true - n_shard/k, true].
+  *
+  * Sizing: the whole token stream folds through `shards` state tasks,
+  * so shards is the fold parallelism ceiling — size it to the cluster
+  * (a few × total cores), not to the default. State stays tiny either
+  * way (shards * k entries), and the guarantee above is shard-count
+  * independent, so over-sharding costs nothing but output rows. Each batch re-emits the shard's sketch
   * tagged with n_shard; readers keep the rows with the highest n_shard
   * per shard (the latest snapshot) and can feed the candidate set to the
   * exact batch recount ([[HeavyHitters.exactHeavyHitters]] pass 2) when
