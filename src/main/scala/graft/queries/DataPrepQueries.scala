@@ -409,6 +409,32 @@ object DataPrepQueries {
         .select("doc_id", "lang", "bucket")
     },
 
+    // ---- deterministic train/val/test split: disjoint hash-bucket
+    //      ranges (70/15/15) — membership is a pure function of doc_id,
+    //      so the split is stable across runs, engines, and any
+    //      parallelism, and a doc can never leak between sets ----
+    QueryDef.sql(
+      "q_split_sets",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 70 THEN 'train'
+        |       WHEN bucket < 85 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.Sharding.hashBucket("doc_id").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 70, "train")
+            .when(col("bucket") < 85, "val")
+            .otherwise("test"))
+    },
+
     // ---- fixed-size per-group sample: exactly min(k, n_g) docs per
     //      (lang, source) as the k smallest id-hashes. The engine runs
     //      the two-phase threshold+rank of Sharding.samplePerGroup (no
