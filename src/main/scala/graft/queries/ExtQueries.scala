@@ -255,6 +255,142 @@ object ExtQueries {
         .withColumn("rank", row_number().over(wr).cast("long"))
     },
 
+    // ---- z-normalized pattern matching: each 8-point window is
+    //      standardized to (x - mu) / sd before the Euclidean fold, so
+    //      the match is shape-based (scale/offset-invariant — the form
+    //      used by Matrix-Profile-style similarity search) rather than
+    //      level-based. Every FP step is a fixed-order fold or a
+    //      correctly-rounded primitive (sqrt, /), so the score is
+    //      bit-identical cross-engine; flat windows (sd = 0) z-normalize
+    //      to all-zeros on both sides. Same distributed top-k shape as
+    //      q_pattern_match (TakeOrdered, rank window on 10 rows) ----
+    QueryDef.sql(
+      "q_pattern_match_znorm",
+      """WITH wins AS (
+        |  SELECT event_type, ts, event_id,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+        |  FROM events
+        |), full8 AS (
+        |  SELECT * FROM wins WHERE len(win) = 8
+        |), zn AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN ss = 0e0 THEN list_transform(win, x -> 0e0)
+        |         ELSE list_transform(win, x -> (x - mu) / sqrt(ss / 8e0))
+        |    END AS zwin
+        |  FROM (
+        |    SELECT *, list_reduce(list_prepend(0e0, list_transform(win,
+        |        x -> (x - mu) * (x - mu))), (a, b) -> a + b) AS ss
+        |    FROM (
+        |      SELECT *,
+        |        list_reduce(list_prepend(0e0, win), (a, b) -> a + b) / 8e0 AS mu
+        |      FROM full8))
+        |), qt AS (
+        |  SELECT min(event_type) AS qtype FROM events
+        |), qw AS (
+        |  SELECT zwin AS qwin FROM zn, qt WHERE event_type = qtype
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1
+        |), scored AS (
+        |  SELECT f.event_type, f.ts, f.event_id,
+        |    list_reduce(list_prepend(0e0, list_transform(range(1, 9),
+        |      i -> (f.zwin[i] - q.qwin[i]) * (f.zwin[i] - q.qwin[i]))),
+        |      (acc, x) -> acc + x) AS dist
+        |  FROM zn f, qw q
+        |)
+        |SELECT event_type, ts, event_id, dist, rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY dist, event_type, ts, event_id)
+        |    AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+      val zn = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          collect_list(col("value")).over(w).as("win"))
+        .filter(size(col("win")) === 8)
+        .withColumn("mu", expr("aggregate(win, 0D, (a, x) -> a + x) / 8.0D"))
+        .withColumn("ss", expr(
+          "aggregate(transform(win, x -> (x - mu) * (x - mu)), " +
+            "0D, (a, x) -> a + x)"))
+        .withColumn("zwin", expr(
+          "CASE WHEN ss = 0D THEN transform(win, x -> 0D) " +
+            "ELSE transform(win, x -> (x - mu) / sqrt(ss / 8.0D)) END"))
+        .select("event_type", "ts", "event_id", "zwin")
+      val minType = Tables.events(s, d).agg(min(col("event_type")).as("qtype"))
+      val qw = zn.join(broadcast(minType), col("event_type") === col("qtype"))
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(col("zwin").as("qwin"))
+      val wr = Window.orderBy(
+        col("dist"), col("event_type"), col("ts"), col("event_id"))
+      zn.crossJoin(broadcast(qw))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(zwin, qwin, (a, b) -> (a - b) * (a - b)), " +
+            "0D, (acc, x) -> acc + x)"))
+        .select("event_type", "ts", "event_id", "dist")
+        .orderBy(col("dist"), col("event_type"), col("ts"), col("event_id"))
+        .limit(10)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+    },
+
+    // ---- DTW pattern matching: banded (Sakoe-Chiba r=2) dynamic time
+    //      warping between the query window and every candidate window —
+    //      tolerant to local time-axis stretch that the rigid Euclidean
+    //      fold penalizes. The 8x8 DP band is unrolled into 38 lateral-
+    //      alias cells (graft.ops.Dtw) shared verbatim with the oracle:
+    //      fixed-order +/*/least arithmetic, bit-identical cross-engine.
+    //      Same distributed top-k shape as q_pattern_match ----
+    QueryDef.sql(
+      "q_pattern_match_dtw", {
+        val cells = graft.ops.Dtw
+          .cellExprs(i => s"win[$i]", j => s"qwin[$j]", 8, 2)
+          .map { case (a, e) => s"$e AS $a" }.mkString(", ")
+        s"""WITH wins AS (
+           |  SELECT event_type, ts, event_id,
+           |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+           |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+           |  FROM events
+           |), full8 AS (
+           |  SELECT * FROM wins WHERE len(win) = 8
+           |), qt AS (
+           |  SELECT min(event_type) AS qtype FROM events
+           |), qw AS (
+           |  SELECT win AS qwin FROM full8, qt WHERE event_type = qtype
+           |  ORDER BY ts DESC, event_id DESC LIMIT 1
+           |), scored AS (
+           |  SELECT event_type, ts, event_id, $cells
+           |  FROM full8, qw
+           |)
+           |SELECT event_type, ts, event_id, dist, rank FROM (
+           |  SELECT event_type, ts, event_id, d_8_8 AS dist,
+           |    row_number() OVER (ORDER BY d_8_8, event_type, ts, event_id)
+           |      AS rank
+           |  FROM scored) WHERE rank <= 10""".stripMargin
+      }
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+      val wins = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          collect_list(col("value")).over(w).as("win"))
+        .filter(size(col("win")) === 8)
+      val minType = Tables.events(s, d).agg(min(col("event_type")).as("qtype"))
+      val qw = wins.join(broadcast(minType), col("event_type") === col("qtype"))
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(col("win").as("qwin"))
+      val cells = graft.ops.Dtw.cellExprs(
+        i => s"element_at(win, $i)", j => s"element_at(qwin, $j)", 8, 2)
+      val wr = Window.orderBy(
+        col("dist"), col("event_type"), col("ts"), col("event_id"))
+      wins.crossJoin(broadcast(qw))
+        .selectExpr(Seq("event_type", "ts", "event_id") ++
+          cells.map { case (a, e) => s"$e AS $a" }: _*)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("d_8_8").as("dist"))
+        .orderBy(col("dist"), col("event_type"), col("ts"), col("event_id"))
+        .limit(10)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+    },
+
     // ---- set operations: INTERSECT / EXCEPT between two derived key
     //      sets (hash-dedup semantics, no sort) ----
     QueryDef.sql(
@@ -678,6 +814,58 @@ object ExtQueries {
         .select(
           col("event_id"), col("xc"), col("yc"),
           expr(ZOrder.zvalueSql("xc", "yc")).as("zval"))
+    },
+
+    // ---- 3-dimensional z-order: 21-bit cells over (value, event_id,
+    //      ts-seconds) interleaved into one 63-bit Morton key — the
+    //      layout key for a table filtered on any of THREE dimensions
+    //      (e.g. time AND price AND id range at 100 TB). Same shared-SQL
+    //      construction as q_zorder; ts seconds via the epoch_us/1e6 ≡
+    //      cast-to-double identity used by q_trend_corr ----
+    QueryDef.sql(
+      "q_zorder3",
+      s"""WITH st AS (
+         |  SELECT min(value) AS xmn, max(value) AS xmx,
+         |         min(CAST(event_id AS DOUBLE)) AS ymn,
+         |         max(CAST(event_id AS DOUBLE)) AS ymx,
+         |         min(CAST(epoch_us(ts) AS DOUBLE) / 1e6) AS zmn,
+         |         max(CAST(epoch_us(ts) AS DOUBLE) / 1e6) AS zmx
+         |  FROM events
+         |), c AS (
+         |  SELECT event_id,
+         |    CASE WHEN xmx = xmn THEN 0
+         |         ELSE least(2097151, CAST(floor((value - xmn) * 2097152e0
+         |           / (xmx - xmn)) AS BIGINT)) END AS xc,
+         |    CASE WHEN ymx = ymn THEN 0
+         |         ELSE least(2097151, CAST(floor((CAST(event_id AS DOUBLE) - ymn)
+         |           * 2097152e0 / (ymx - ymn)) AS BIGINT)) END AS yc,
+         |    CASE WHEN zmx = zmn THEN 0
+         |         ELSE least(2097151, CAST(floor((CAST(epoch_us(ts) AS DOUBLE) / 1e6
+         |           - zmn) * 2097152e0 / (zmx - zmn)) AS BIGINT)) END AS zc
+         |  FROM events, st
+         |)
+         |SELECT event_id, xc, yc, zc,
+         |  ${graft.ops.ZOrder.zvalue3Sql("xc", "yc", "zc")} AS zval
+         |FROM c""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.ZOrder
+      val ev = Tables.events(s, d)
+      val tSec = col("ts").cast("double")
+      val stats = ev.agg(
+        min(col("value").cast("double")).as("xmn"),
+        max(col("value").cast("double")).as("xmx"),
+        min(col("event_id").cast("double")).as("ymn"),
+        max(col("event_id").cast("double")).as("ymx"),
+        min(tSec).as("zmn"),
+        max(tSec).as("zmx"))
+      ev.select(col("event_id"), col("value"), tSec.as("tsec"))
+        .crossJoin(broadcast(stats))
+        .withColumn("xc", ZOrder.cell21(col("value"), col("xmn"), col("xmx")))
+        .withColumn("yc", ZOrder.cell21(col("event_id"), col("ymn"), col("ymx")))
+        .withColumn("zc", ZOrder.cell21(col("tsec"), col("zmn"), col("zmx")))
+        .select(
+          col("event_id"), col("xc"), col("yc"), col("zc"),
+          expr(ZOrder.zvalue3Sql("xc", "yc", "zc")).as("zval"))
     },
 
     // ---- analytic window-function breadth: rank family + offsets over

@@ -104,8 +104,9 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
       Set("q_knn_brute", "q_knn_ivf", "q_tfidf_terms", "q_domain_mix",
         "q_domain_mix_temp", // single-row min-domain-count frame
         "q_semdedup", "q_quantize_embeddings", // single-row dim-stats frame
-        "q_zorder", // single-row min/max stats frame
-        "q_pattern_match") // single-row query-window frame
+        "q_zorder", "q_zorder3", // single-row min/max stats frame
+        // single-row query-window frame:
+        "q_pattern_match", "q_pattern_match_znorm", "q_pattern_match_dtw")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -160,9 +161,11 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // a rank filter over an UNPARTITIONED window moves every candidate
     // into one task; pattern match must take per-partition top-10s and
     // only rank the 10 survivors
-    val plan = executed(
-      SparkEntry.queries("q_pattern_match")(spark, sfDir)).toString
-    withClue(plan) { plan should include("TakeOrderedAndProject") }
+    for (name <- Seq("q_pattern_match", "q_pattern_match_znorm",
+        "q_pattern_match_dtw")) {
+      val plan = executed(SparkEntry.queries(name)(spark, sfDir)).toString
+      withClue(s"$name:\n$plan") { plan should include("TakeOrderedAndProject") }
+    }
   }
 
   test("heavy-hitter recount joins the candidate set by broadcast") {
@@ -175,7 +178,8 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // an empty partitionSpec moves the whole input into one task; the
     // only acceptable shape is a window over an already-limited tiny
     // frame (pattern match ranks the 10 TakeOrdered survivors)
-    val allowed = Set("q_pattern_match")
+    val allowed =
+      Set("q_pattern_match", "q_pattern_match_znorm", "q_pattern_match_dtw")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>
         val df = fn(spark, sfDir)
