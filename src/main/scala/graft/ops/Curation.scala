@@ -143,6 +143,64 @@ object Curation {
           sqrt(col("min_domain").cast("double") / col("n_domain").cast("double")))
   }
 
+  /** Cap every domain at an expected `budget` tokens (the data-budget
+    * operator of mixture design: "at most B tokens of web, B' of code"):
+    * appends `t_domain` (the domain's total token count) and `kept`. A
+    * doc survives iff `(md5p60(id) % 1e6) * t_domain < budget * 1e6` —
+    * keep probability budget/t_domain, so expected kept tokens = budget
+    * exactly; domains already under budget keep everything.
+    *
+    * This is an EXPECTED-value cap, not an exact prefix cut, on purpose:
+    * an exact cut ("first docs by hash order until the budget fills")
+    * needs a per-domain ordered cumulative sum — a single reducer per
+    * domain, the anti-pattern that serializes at 100 TB with a handful
+    * of domains. The threshold form is one |domains|-row grouped sum
+    * broadcast back, an exact integer keep decision per row, and a
+    * relative token-count error that vanishes as O(1/sqrt(n_docs)).
+    * Overflow-safe while max(t_domain, budget) < ~9.2e12.
+    */
+  def capDomainTokens(
+      df: DataFrame,
+      budget: Long,
+      domain: String = "source",
+      id: String = "doc_id",
+      tokens: String = "n_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val totals = df.groupBy(col(domain)).agg(sum(col(tokens)).as("t_domain"))
+    df.join(broadcast(totals), Seq(domain))
+      .withColumn("hv_ppm", expr(s"md5p60(cast($id as string)) % 1000000"))
+      .withColumn("kept", col("hv_ppm") * col("t_domain") < lit(budget) * lit(1000000L))
+  }
+
+  /** Per-cluster representative by QUALITY instead of min-id: for each
+    * cluster, the member with the highest `score` (ties -> lowest `id`)
+    * — the "keep the best copy" policy real curation pipelines apply to
+    * near-dup clusters, where min-id keeps an arbitrary copy. Output:
+    * one row per cluster (`cluster`, rep_id, rep_score, n_members).
+    *
+    * One hash aggregation on the cluster key: the argmax travels as a
+    * `max(struct(score, -id))` — partial-aggregatable, so map-side
+    * combine collapses each partition's members before the shuffle and
+    * no per-cluster member list is ever buffered. Scores must be
+    * non-null (null rows would win max(struct) in Spark's null-last
+    * struct order on some engines but not others — filter first).
+    */
+  def bestInCluster(
+      members: DataFrame,
+      cluster: String = "cluster_id",
+      id: String = "doc_id",
+      score: String = "score"): DataFrame =
+    members
+      .groupBy(col(cluster))
+      .agg(
+        max(struct(col(score).as("s"), (-col(id)).as("ni"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col(cluster),
+        (-col("m.ni")).as("rep_id"),
+        col("m.s").as("rep_score"),
+        col("n_members"))
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic dedup: cluster embeddings with the

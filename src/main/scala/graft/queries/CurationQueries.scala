@@ -156,6 +156,36 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("n_domain"), col("kept"))
     },
 
+    // ---- per-domain token-budget cap: every source capped at an
+    //      EXPECTED 1300 tokens via a hash threshold (keep prob =
+    //      budget/t_domain, exact integer comparison). Deliberately not
+    //      an exact prefix cut: that would need a per-domain ordered
+    //      cumulative sum — one reducer per domain at 100 TB. One
+    //      grouped sum broadcast back; no window, no rand() ----
+    QueryDef.sql(
+      "q_domain_cap",
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_domain
+         |  FROM d GROUP BY source
+         |)
+         |SELECT d.doc_id, d.source, d.n_tokens, c.t_domain,
+         |  (${duckHash("CAST(d.doc_id AS VARCHAR)", 1000000L)}) * c.t_domain
+         |    < 1300 * 1000000 AS kept
+         |FROM d JOIN c USING (source)""".stripMargin
+    ) { (s, d) =>
+      Curation.capDomainTokens(
+          Tables.documents(s, d).select(
+            col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          budget = 1300L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("t_domain"), col("kept"))
+    },
+
     // ---- Gopher-style repetition signals: the repetition dimension of
     //      quality filtering (q_quality_filter covers length/punct/
     //      stopword/uniq-token) — most-frequent-token fraction,

@@ -187,6 +187,55 @@ object DataPrepQueries {
           (coalesce(col("rep"), col("doc_id")) < col("doc_id")).as("is_dup"))
     },
 
+    // ---- quality-chosen cluster representative: per near-dup cluster
+    //      (the q_dedup_cc components), keep the member with the most
+    //      content (max n_chars, ties -> lowest doc_id) instead of the
+    //      arbitrary min-id copy. One hash agg on the cluster key —
+    //      the argmax travels as max(struct(score, -id)), partial-
+    //      aggregatable, so no per-cluster member list is buffered ----
+    QueryDef.sql(
+      "q_cluster_rep",
+      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")}, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+         |), comp AS (
+         |  SELECT id, min(r) AS rep FROM reach GROUP BY id
+         |), memb AS (
+         |  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |), mx AS (
+         |  SELECT cluster_id, max(n_chars) AS rep_score,
+         |    count(*) AS n_members
+         |  FROM memb GROUP BY cluster_id
+         |)
+         |SELECT m.cluster_id, min(b.doc_id) AS rep_id, m.rep_score, m.n_members
+         |FROM mx m JOIN memb b
+         |  ON b.cluster_id = m.cluster_id AND b.n_chars = m.rep_score
+         |GROUP BY m.cluster_id, m.rep_score, m.n_members""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val pairs = graft.ops.NearDup
+        .minhashCandidatePairs(Tables.documents(s, d), ordered = true)
+      val comp = graft.ops.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val memb = docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster_id"),
+          col("n_chars"))
+      graft.ops.Curation.bestInCluster(
+        memb, cluster = "cluster_id", id = "doc_id", score = "n_chars")
+    },
+
     // ---- the WHOLE curation pipeline, hash-matched cross-engine: exact
     //      dedup -> minhash-LSH pairs -> connected-components near-dedup
     //      -> quality gate -> PII scrub -> chunking -> packed bins, every

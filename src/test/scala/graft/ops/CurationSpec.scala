@@ -79,6 +79,38 @@ class CurationSpec extends AnyFunSuite with Matchers {
     bySrc("common") shouldBe 224L +- 45L
   }
 
+  test("capDomainTokens keeps under-budget domains whole, caps big ones in expectation") {
+    // "small": 50 docs x 10 tokens = 500 <= budget; "big": 500 x 10 = 5000
+    val docs = (0L until 550L).map { i =>
+      (i, if (i < 50) "small" else "big", 10L)
+    }.toDF("doc_id", "source", "n_tokens")
+    def keptSet(parts: Int) =
+      Curation.capDomainTokens(docs.repartition(parts), budget = 1000L)
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val k = keptSet(3)
+    keptSet(1) shouldBe k // partitioning-independent
+    k.count(_ < 50L) shouldBe 50 // under budget: everything survives
+    // over budget: keep prob = 1000/5000, expected 100 kept docs
+    (k.count(_ >= 50L) * 10L) shouldBe 1000L +- 350L
+    val out = Curation.capDomainTokens(docs, budget = 1000L)
+    out.filter(col("source") === "big" && col("t_domain") =!= 5000L)
+      .count() shouldBe 0L
+  }
+
+  test("bestInCluster picks max score with min-id tie-break, one row per cluster") {
+    val memb = Seq(
+      (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L), // tie on 9 -> id 2 wins
+      (7L, 7L, 1L) // singleton cluster
+    ).toDF("doc_id", "cluster_id", "score")
+    val out = Curation.bestInCluster(memb)
+      .select("cluster_id", "rep_id", "rep_score", "n_members")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, r, s, n) => c -> ((r, s, n)) }.toMap
+    out.size shouldBe 2
+    out(1L) shouldBe ((2L, 9L, 3L))
+    out(7L) shouldBe ((7L, 1L, 1L))
+  }
+
   test("semDedup collapses exact duplicates to the min id, keeps singletons") {
     // two exact-duplicate groups (identical vectors => identical cell
     // assignment, so the collapse is guaranteed) + isolated singletons
