@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.EwmAvg.ewmAvg
+import graft.model.Tables
+
+/** Technical-analysis breadth beyond the reference's SMA/EMA/RSI core
+  * (consumer.py:107-155 computes exactly those three): the indicators the
+  * reference's users would reach for next — MACD, Bollinger bands,
+  * stochastic oscillator, drawdown-from-peak, VWAP, and gap-fill resampling
+  * (pandas `asfreq`+`ffill` parity). Same conventions as
+  * [[FinanceQueries]]: `event_type` plays stock_symbol, `ts` local_time,
+  * `value` close; every window carries `event_id` as tie-break.
+  *
+  * Scale notes (all shapes are the indicator-core shape, ONE shuffle on the
+  * symbol key then ordered streaming within partitions):
+  *   - running/rolling frames are O(1)-per-row (running max, fixed ROWS
+  *     frames, recursive EMA via [[graft.functions.EwmAvg]]);
+  *   - VWAP is a plain hash aggregation on (symbol, day) — partial
+  *     map-side combine, fixed-point exact sums;
+  *   - gap-fill builds the dense spine from a per-symbol min/max agg (5
+  *     rows) exploded executor-side — never a driver-side loop.
+  *
+  * Cross-engine determinism: EMA folds are bit-identical (same literal
+  * alphas, same fold order — the q_indicators precedent); min/max/lag are
+  * exact; small fixed-frame avgs and the derived sqrt/divide chains agree
+  * within the harness' 9-decimal rounding (established by sma_5); whole-
+  * group sums go through [[Num]] fixed-point.
+  */
+object TechQueries {
+
+  import Num.{dsum, dsumSql}
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("event_id", "event_type", "ts", "value")
+
+  private val wOrd = "PARTITION BY event_type ORDER BY ts, event_id"
+
+  private def w = Window.partitionBy(col("event_type"))
+    .orderBy(col("ts"), col("event_id"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- MACD(12,26,9): EMA fast minus EMA slow, EMA'd again into the
+    //      signal line. Exercises the recursive ewm_avg twice-cascaded —
+    //      the second EMA runs over an already-windowed null-leading
+    //      column, so the null-skipping state machine is on the hot path ----
+    QueryDef.sql(
+      "q_macd",
+      s"""WITH base AS (
+         |  SELECT event_id, event_type, ts, value FROM events
+         |), s1 AS (
+         |  SELECT *,
+         |    CASE WHEN row_number() OVER wo >= 12 THEN
+         |      list_reduce(list(value) OVER wu,
+         |                  (acc, x) -> (1e0 - 2e0/13e0)*acc + (2e0/13e0)*x)
+         |    END AS ema_12,
+         |    CASE WHEN row_number() OVER wo >= 26 THEN
+         |      list_reduce(list(value) OVER wu,
+         |                  (acc, x) -> (1e0 - 2e0/27e0)*acc + (2e0/27e0)*x)
+         |    END AS ema_26
+         |  FROM base
+         |  WINDOW
+         |    wo AS ($wOrd),
+         |    wu AS ($wOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), s2 AS (
+         |  SELECT *, ema_12 - ema_26 AS macd FROM s1
+         |), s3 AS (
+         |  SELECT *,
+         |    CASE WHEN count(macd) OVER wu2 >= 9 THEN
+         |      list_reduce(list_filter(list(macd) OVER wu2,
+         |                              x -> x IS NOT NULL),
+         |                  (acc, x) -> (1e0 - 2e0/10e0)*acc + (2e0/10e0)*x)
+         |    END AS macd_signal
+         |  FROM s2
+         |  WINDOW wu2 AS ($wOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, event_type, ts, value, ema_12, ema_26, macd,
+         |       macd_signal, macd - macd_signal AS macd_hist
+         |FROM s3""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .withColumn("ema_12", ewmAvg(col("value"), span = 12).over(w))
+        .withColumn("ema_26", ewmAvg(col("value"), span = 26).over(w))
+        .withColumn("macd", col("ema_12") - col("ema_26"))
+        // second window stage over the derived macd column — same
+        // partitioning, so Catalyst keeps it in the same exchange
+        .withColumn("macd_signal", ewmAvg(col("macd"), span = 9).over(w))
+        .withColumn("macd_hist", col("macd") - col("macd_signal"))
+    },
+
+    // ---- Bollinger(20, 2): rolling mean +- 2 sigma. Variance via the
+    //      avg-of-squares identity keeps both engines on plain windowed
+    //      avg (no engine-specific stddev kernels); %B locates the close
+    //      inside the band ----
+    QueryDef.sql(
+      "q_bollinger",
+      s"""WITH s1 AS (
+         |  SELECT event_id, event_type, ts, value,
+         |    CASE WHEN count(value) OVER w20 = 20 THEN avg(value) OVER w20 END AS bb_mid,
+         |    CASE WHEN count(value) OVER w20 = 20 THEN avg(value*value) OVER w20 END AS m2
+         |  FROM events
+         |  WINDOW w20 AS ($wOrd ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |), s2 AS (
+         |  SELECT *, sqrt(greatest(m2 - bb_mid*bb_mid, 0e0)) AS bb_sd FROM s1
+         |)
+         |SELECT event_id, event_type, ts, value, bb_mid, bb_sd,
+         |  bb_mid + 2e0*bb_sd AS bb_upper,
+         |  bb_mid - 2e0*bb_sd AS bb_lower,
+         |  (value - (bb_mid - 2e0*bb_sd))
+         |    / (CASE WHEN bb_sd <> 0e0 THEN 4e0*bb_sd END) AS pct_b
+         |FROM s2""".stripMargin
+    ) { (s, d) =>
+      val w20 = w.rowsBetween(-19, 0)
+      val full = count(col("value")).over(w20) === 20
+      ev(s, d)
+        .withColumn("bb_mid", when(full, avg(col("value")).over(w20)))
+        .withColumn("m2", when(full, avg(col("value") * col("value")).over(w20)))
+        .withColumn("bb_sd",
+          sqrt(greatest(col("m2") - col("bb_mid") * col("bb_mid"), lit(0.0))))
+        .withColumn("bb_upper", col("bb_mid") + lit(2.0) * col("bb_sd"))
+        .withColumn("bb_lower", col("bb_mid") - lit(2.0) * col("bb_sd"))
+        .withColumn("pct_b",
+          (col("value") - col("bb_lower")) /
+            when(col("bb_sd") =!= 0.0, lit(4.0) * col("bb_sd")))
+        .drop("m2")
+    },
+
+    // ---- Stochastic oscillator (14, 3): %K locates the close inside the
+    //      rolling 14-row low/high range (exact min/max), %D smooths %K
+    //      over 3 rows — a second cascaded window stage like MACD's ----
+    QueryDef.sql(
+      "q_stochastic",
+      s"""WITH s1 AS (
+         |  SELECT event_id, event_type, ts, value,
+         |    CASE WHEN count(value) OVER w14 = 14 THEN min(value) OVER w14 END AS lo_14,
+         |    CASE WHEN count(value) OVER w14 = 14 THEN max(value) OVER w14 END AS hi_14
+         |  FROM events
+         |  WINDOW w14 AS ($wOrd ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |), s2 AS (
+         |  SELECT *,
+         |    1e2 * (value - lo_14)
+         |      / (CASE WHEN hi_14 <> lo_14 THEN hi_14 - lo_14 END) AS pct_k
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT *,
+         |    CASE WHEN count(pct_k) OVER w3 = 3 THEN avg(pct_k) OVER w3 END AS pct_d
+         |  FROM s2
+         |  WINDOW w3 AS ($wOrd ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, event_type, ts, value, lo_14, hi_14, pct_k, pct_d
+         |FROM s3""".stripMargin
+    ) { (s, d) =>
+      val w14 = w.rowsBetween(-13, 0)
+      val w3 = w.rowsBetween(-2, 0)
+      val full14 = count(col("value")).over(w14) === 14
+      ev(s, d)
+        .withColumn("lo_14", when(full14, min(col("value")).over(w14)))
+        .withColumn("hi_14", when(full14, max(col("value")).over(w14)))
+        .withColumn("pct_k",
+          lit(100.0) * (col("value") - col("lo_14")) /
+            when(col("hi_14") =!= col("lo_14"), col("hi_14") - col("lo_14")))
+        .withColumn("pct_d",
+          when(count(col("pct_k")).over(w3) === 3, avg(col("pct_k")).over(w3)))
+    },
+
+    // ---- Drawdown from running peak: running max is exact (order-free),
+    //      so the whole column is bit-identical cross-engine ----
+    QueryDef.sql(
+      "q_drawdown",
+      s"""SELECT event_id, event_type, ts, value,
+         |  max(value) OVER wu AS peak,
+         |  (value - max(value) OVER wu)
+         |    / (CASE WHEN max(value) OVER wu <> 0e0
+         |            THEN max(value) OVER wu END) AS drawdown
+         |FROM events
+         |WINDOW wu AS ($wOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    ) { (s, d) =>
+      val wu = w.rowsBetween(Window.unboundedPreceding, 0)
+      val peak = max(col("value")).over(wu)
+      ev(s, d)
+        .withColumn("peak", peak)
+        .withColumn("drawdown",
+          (col("value") - col("peak")) /
+            when(col("peak") =!= 0.0, col("peak")))
+    },
+
+    // ---- Max drawdown per symbol: the scalar risk headline. min() over
+    //      the exact drawdown column — a plain partial-aggregable min ----
+    QueryDef.sql(
+      "q_max_drawdown",
+      s"""WITH dd AS (
+         |  SELECT event_type, value,
+         |    (value - max(value) OVER wu)
+         |      / (CASE WHEN max(value) OVER wu <> 0e0
+         |              THEN max(value) OVER wu END) AS drawdown
+         |  FROM events
+         |  WINDOW wu AS ($wOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_type, min(drawdown) AS max_drawdown
+         |FROM dd GROUP BY event_type""".stripMargin
+    ) { (s, d) =>
+      val wu = w.rowsBetween(Window.unboundedPreceding, 0)
+      val peak = max(col("value")).over(wu)
+      ev(s, d)
+        .withColumn("drawdown",
+          (col("value") - peak) / when(peak =!= 0.0, peak))
+        .groupBy(col("event_type"))
+        .agg(min(col("drawdown")).as("max_drawdown"))
+    },
+
+    // ---- VWAP per (symbol, day): volume from the props JSON payload
+    //      (`{"k": <int>}`), price*volume summed fixed-point exact. One
+    //      hash agg with map-side combine — the 100 TB shape ----
+    QueryDef.sql(
+      "q_vwap",
+      s"""WITH t AS (
+         |  SELECT event_type, date_trunc('day', ts) AS day, value,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS vol
+         |  FROM events
+         |)
+         |SELECT event_type, day,
+         |  ${dsumSql("value * vol")} / CAST(sum(vol) AS DOUBLE) AS vwap,
+         |  CAST(sum(vol) AS BIGINT) AS total_vol,
+         |  count(*) AS n_trades
+         |FROM t GROUP BY event_type, day""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("vol"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          (dsum(col("value") * col("vol")) / sum(col("vol")).cast("double"))
+            .as("vwap"),
+          sum(col("vol")).as("total_vol"),
+          count(lit(1)).as("n_trades"))
+    },
+
+    // ---- Gap-fill resample (pandas asfreq('1H') + ffill parity): dense
+    //      per-symbol hourly spine, last tick in each hour, forward-fill
+    //      across empty hours. The spine derives from a 5-row min/max agg
+    //      and explodes executor-side; the fill is a running
+    //      last-non-null — O(1)/row, one shuffle on the symbol key ----
+    QueryDef.sql(
+      "q_gap_fill",
+      """WITH bounds AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events GROUP BY event_type
+        |), spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM bounds
+        |), hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, value
+        |  FROM (
+        |    SELECT event_type, ts, value,
+        |      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1
+        |)
+        |SELECT s.event_type, s.hour_ts, h.value AS last_tick,
+        |  last_value(h.value IGNORE NULLS)
+        |    OVER (PARTITION BY s.event_type ORDER BY s.hour_ts) AS filled,
+        |  CAST(h.value IS NULL AS BIGINT) AS is_gap
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts""".stripMargin
+    ) { (s, d) =>
+      val events = Tables.events(s, d)
+      val spine = events
+        .groupBy(col("event_type"))
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour_ts"))
+      val wHour = Window
+        .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = events
+        .withColumn("rn", row_number().over(wHour))
+        .filter(col("rn") === 1)
+        .select(col("event_type").as("h_type"),
+          date_trunc("hour", col("ts")).as("h_hour"), col("value"))
+      val wFill = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      spine
+        .join(hourly,
+          col("event_type") === col("h_type") && col("hour_ts") === col("h_hour"),
+          "left")
+        .select(col("event_type"), col("hour_ts"), col("value").as("last_tick"))
+        .withColumn("filled",
+          last(col("last_tick"), ignoreNulls = true).over(wFill))
+        .withColumn("is_gap", col("last_tick").isNull.cast("long"))
+    }
+  )
+}
