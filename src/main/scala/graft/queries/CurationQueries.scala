@@ -286,6 +286,86 @@ object CurationQueries {
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       Curation.semDedup(emb, graft.ops.IvfIndex.chooseK(emb.count()), tau = 0.9)
+    },
+
+    // ---- Repeated-span removal (Lee-et-al.-style substring dedup at
+    //      8-token granularity): duplicated spans marked everywhere except
+    //      the global first occurrence, merged per doc via
+    //      gaps-and-islands. [[graft.ops.SpanDedup]]; all-integer/string
+    //      arithmetic, exact cross-engine ----
+    QueryDef.sql(
+      "q_span_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ss FROM documents
+         |), occ AS (
+         |  SELECT doc_id, u.s AS start,
+         |    array_to_string(ss[u.s + 1 : u.s + 8], ' ') AS gram
+         |  FROM toks, unnest(range(0, len(ss) - 7)) u(s)
+         |  WHERE len(ss) >= 8
+         |), dup AS (
+         |  SELECT gram, min(doc_id * 1048576 + start) AS first_key
+         |  FROM occ GROUP BY gram HAVING count(*) >= 2
+         |), marked AS (
+         |  SELECT o.doc_id, o.start, o.start + 7 AS e
+         |  FROM occ o JOIN dup d USING (gram)
+         |  WHERE o.doc_id * 1048576 + o.start <> d.first_key
+         |), isl AS (
+         |  SELECT doc_id, start, e,
+         |    CASE WHEN max(e) OVER wprev IS NULL
+         |           OR start > max(e) OVER wprev + 1 THEN 1 ELSE 0 END AS is_new
+         |  FROM marked
+         |  WINDOW wprev AS (PARTITION BY doc_id ORDER BY start
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |), isl2 AS (
+         |  SELECT doc_id, start, e,
+         |    CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS island
+         |  FROM isl
+         |)
+         |SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+         |       max(e) - min(start) + 1 AS span_len
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin
+    ) { (s, d) =>
+      graft.ops.SpanDedup.removalSpans(
+        Tables.documents(s, d), "doc_id", "text", n = 8)
+    },
+
+    // ---- The apply side: delete the marked ranges, reassemble every doc
+    //      (untouched docs pass through; fully-duplicated docs -> '') ----
+    QueryDef.sql(
+      "q_span_dedup_clean",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ss FROM documents
+         |), occ AS (
+         |  SELECT doc_id, u.s AS start,
+         |    array_to_string(ss[u.s + 1 : u.s + 8], ' ') AS gram
+         |  FROM toks, unnest(range(0, len(ss) - 7)) u(s)
+         |  WHERE len(ss) >= 8
+         |), dup AS (
+         |  SELECT gram, min(doc_id * 1048576 + start) AS first_key
+         |  FROM occ GROUP BY gram HAVING count(*) >= 2
+         |), rpos AS (
+         |  SELECT DISTINCT o.doc_id, o.start + u.i AS pos
+         |  FROM occ o JOIN dup d USING (gram), unnest(range(0, 8)) u(i)
+         |  WHERE o.doc_id * 1048576 + o.start <> d.first_key
+         |), positions AS (
+         |  SELECT doc_id, u.p - 1 AS pos, ss[u.p] AS tok
+         |  FROM toks, unnest(range(1, len(ss) + 1)) u(p)
+         |), kept AS (
+         |  SELECT p.doc_id, count(*) AS n_kept,
+         |    string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+         |  FROM positions p ANTI JOIN rpos r
+         |    ON p.doc_id = r.doc_id AND p.pos = r.pos
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT t.doc_id, len(t.ss) AS n_toks,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin
+    ) { (s, d) =>
+      graft.ops.SpanDedup.removeSpans(
+        Tables.documents(s, d), "doc_id", "text", n = 8)
     }
   )
 }
