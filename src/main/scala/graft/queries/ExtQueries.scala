@@ -996,6 +996,23 @@ object ExtQueries {
         .agg(least(col("vec_id"), coalesce(min(col("v_b")), col("vec_id")))
           .as("keep_vec_id"))
         .withColumn("is_dup", col("keep_vec_id") < col("vec_id"))
+    },
+
+    // ---- Edit-distance similarity join (entity resolution / typo pairs):
+    //      SymSpell deletion-neighborhood blocking, provably complete for
+    //      lev <= 2 — candidates from ONE equi-join on deletion variants,
+    //      never an all-pairs product. The oracle states the naive
+    //      quadratic form; [[graft.ops.FuzzyJoin]] must reproduce it
+    //      exactly ----
+    QueryDef.sql(
+      "q_fuzzy_join",
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+    ) { (s, d) =>
+      graft.ops.FuzzyJoin.selfJoin(Tables.part(s, d), "p_name")
     }
   )
 }
