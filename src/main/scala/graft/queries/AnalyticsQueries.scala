@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Product/behavioral analytics over the events stream — the ordered-
+  * sequence aggregations (funnel, cohort retention) that sit beside the
+  * financial indicators in any events-warehouse workload (ClickHouse's
+  * `windowFunnel`, Flink's MATCH_RECOGNIZE territory), expressed as plain
+  * joins + hash aggregations.
+  *
+  * Scale shape: every stage keys by `user_id` — one shuffle partitioning
+  * reused across the step aggregations (Catalyst reuses the exchange for
+  * the self-joins), then small grouped outputs. All arithmetic is
+  * timestamps and integer counts — exact cross-engine.
+  */
+object AnalyticsQueries {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("event_id", "event_type", "ts", "user_id")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Ordered conversion funnel view -> click -> purchase: each step
+    //      is the user's earliest qualifying event STRICTLY AFTER the
+    //      previous step (min-ts chaining, the windowFunnel contract) ----
+    QueryDef.sql(
+      "q_funnel",
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2
+        |       WHEN s1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS funnel_stage
+        |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+        |       LEFT JOIN s2 ON u.user_id = s2.user_id
+        |       LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin
+    ) { (s, d) =>
+      val e = ev(s, d)
+      val users = e.select(col("user_id")).distinct()
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      users
+        .join(s1, Seq("user_id"), "left")
+        .join(s2.withColumn("r2", lit(1)), Seq("user_id"), "left")
+        .join(s3.withColumn("r3", lit(1)), Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          when(col("r3").isNotNull, 3)
+            .when(col("r2").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("funnel_stage"))
+    },
+
+    // ---- Cohort retention: users grouped by first-activity day, distinct
+    //      actives counted at each day offset 0..7 — two hash aggs and an
+    //      equi-join, integer-exact ----
+    QueryDef.sql(
+      "q_cohort_retention",
+      """WITH firsts AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |  FROM events GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
+        |)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, a.act_day) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM firsts f JOIN activity a ON f.user_id = a.user_id
+        |WHERE date_diff('day', f.cohort_day, a.act_day) BETWEEN 0 AND 7
+        |GROUP BY f.cohort_day, day_offset""".stripMargin
+    ) { (s, d) =>
+      val e = ev(s, d)
+      val firsts = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      val activity = e
+        .select(col("user_id"), date_trunc("day", col("ts")).as("act_day"))
+        .distinct()
+      firsts.join(activity, "user_id")
+        .withColumn("day_offset",
+          datediff(col("act_day"), col("cohort_day")))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }
+  )
+}
