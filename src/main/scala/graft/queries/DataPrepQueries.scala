@@ -1099,6 +1099,70 @@ object DataPrepQueries {
             least(greatest(col("value"), col("p01")), col("p99"))).as("clipped"))
     },
 
+    // ---- Robust outlier detection (median/MAD, the data-cleaning
+    //      complement of winsorize's quantile clip): two grouped
+    //      percentile passes + broadcast joins back — never a per-group
+    //      window. Same percentile machinery as q_winsorize, so the
+    //      interpolated medians agree cross-engine ----
+    QueryDef.sql(
+      "q_outliers_mad",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 5e-1) AS med
+        |  FROM events GROUP BY event_type
+        |), mad AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 5e-1) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+        |  abs(e.value - m.med) > 3e0 * 1.4826e0 * d.mad AS is_outlier
+        |FROM events e
+        |JOIN med m USING (event_type)
+        |JOIN mad d USING (event_type)""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+      ev.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"),
+          (abs(col("value") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad")).as("is_outlier"))
+    },
+
+    // ---- Seasonal baseline + residual (seasonal decomposition lite):
+    //      hour-of-day profile per symbol via exact fixed-point means,
+    //      broadcast back — the two-pass grouped-stats shape, never a
+    //      25-partition window ----
+    QueryDef.sql(
+      "q_seasonal_baseline",
+      s"""WITH prof AS (
+         |  SELECT event_type, extract(hour FROM ts) AS hod,
+         |    ${Num.davgSql("value")} AS baseline
+         |  FROM events GROUP BY event_type, hod
+         |)
+         |SELECT e.event_id, e.event_type, e.ts, e.value, p.hod, p.baseline,
+         |  e.value - p.baseline AS residual
+         |FROM events e JOIN prof p
+         |  ON e.event_type = p.event_type
+         |  AND extract(hour FROM e.ts) = p.hod""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val prof = ev
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(Num.davg(col("value")).as("baseline"))
+      ev.withColumn("hod", hour(col("ts")))
+        .join(broadcast(prof), Seq("event_type", "hod"))
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+          col("hod").cast("long").as("hod"), col("baseline"),
+          (col("value") - col("baseline")).as("residual"))
+    },
+
     // ---- per-doc top terms by a log-free TF-IDF score: tf * N / df.
     //      ln() is NOT bit-reproducible across engines, so the score uses
     //      the exact-integer ratio (monotone in idf for fixed tf) — same
@@ -1184,6 +1248,59 @@ object DataPrepQueries {
         .select("doc_id", "status")
     },
 
+    // ---- MERGE INTO semantics (warehouse-style upsert+delete, the apply
+    //      side of q_dataset_diff): a deterministic change-set (update /
+    //      delete / insert by key residue) folds into the snapshot via ONE
+    //      full-outer join on the key — the scale-out MERGE plan: shuffle
+    //      both sides once on the join key, no row ever visits the
+    //      driver ----
+    QueryDef.sql(
+      "q_merge_upsert",
+      """WITH snap AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        |  FROM orders
+        |), chg AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice + 1e1 AS new_price, 'X' AS new_status
+        |  FROM orders WHERE o_orderkey % 10 < 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 AS k, 'I' AS op,
+        |    o_totalprice AS new_price, 'N' AS new_status
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |)
+        |SELECT k,
+        |  CASE WHEN op IS NULL THEN price ELSE new_price END AS price,
+        |  CASE WHEN op IS NULL THEN status ELSE new_status END AS status,
+        |  CASE WHEN op IS NULL THEN 'kept'
+        |       WHEN op = 'I' THEN 'inserted' ELSE 'updated' END AS merge_action
+        |FROM snap FULL JOIN chg USING (k)
+        |WHERE op IS NULL OR op <> 'D'""".stripMargin
+    ) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val snap = orders.select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      val chg = orders.filter(col("o_orderkey") % 10 < 3)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+          (col("o_totalprice") + lit(10.0)).as("new_price"),
+          lit("X").as("new_status"))
+        .unionAll(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"), lit("I").as("op"),
+            col("o_totalprice").as("new_price"), lit("N").as("new_status")))
+      snap.join(chg, Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k"),
+          when(col("op").isNull, col("price")).otherwise(col("new_price"))
+            .as("price"),
+          when(col("op").isNull, col("status")).otherwise(col("new_status"))
+            .as("status"),
+          when(col("op").isNull, "kept")
+            .when(col("op") === "I", "inserted")
+            .otherwise("updated").as("merge_action"))
+    },
+
     // ---- corpus bigram vocabulary: top-20 by frequency — the n-gram
     //      counting pass behind vocab/tokenizer construction. Global
     //      top-k is TakeOrdered (distributed partial top-k per
@@ -1214,6 +1331,30 @@ object DataPrepQueries {
         .agg(count(lit(1)).as("n_occ"))
         .orderBy(col("n_occ").desc, col("bigram"))
         .limit(20)
+    },
+
+    // ---- Distributed BPE tokenizer training ([[graft.ops.BpeTrainer]]):
+    //      the learned merge table for k=24 rounds over the corpus word
+    //      counts. Iterative (one pair-count agg + 1-row fetch per round)
+    //      — not ANSI-SQL-expressible (DuckDB's list_reduce cannot carry
+    //      an array accumulator), so rows-only here; BpeTrainerSpec pins
+    //      the exact merge sequence against a serial reference ----
+    QueryDef.rowsOnly("q_bpe_merges") { (s, d) =>
+      val words = graft.ops.BpeTrainer.wordTable(Tables.documents(s, d), "text")
+      graft.ops.BpeTrainer.mergesDf(s, graft.ops.BpeTrainer.train(words, k = 24))
+    },
+
+    // ---- The apply side: corpus tokenized with the learned merges —
+    //      per-row folds, linear; token arrays serialized for the
+    //      harness (no raw arrays in compared output) ----
+    QueryDef.rowsOnly("q_bpe_tokenize") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = graft.ops.BpeTrainer.wordTable(docs, "text")
+      val merges = graft.ops.BpeTrainer.train(words, k = 24)
+      graft.ops.BpeTrainer.tokenize(
+        docs.select("doc_id", "text"), "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+          array_join(col("tokens"), " ").as("tokens_joined"))
     }
   )
 }

@@ -21,8 +21,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // q_approx_distinct -> ApproxDistinctSpec and q_quantiles_approx ->
   // ApproxQuantilesSpec: DuckDB's sketches differ, so the contract is an
   // error bound, not a hash match)
+  // q_bpe_* -> BpeTrainerSpec (iterative merge apply is not ANSI-SQL-
+  // expressible: DuckDB's list_reduce cannot carry an array accumulator)
   private val rowsOnlyAllowed =
-    Set("q_media_features", "q_approx_distinct", "q_quantiles_approx")
+    Set("q_media_features", "q_approx_distinct", "q_quantiles_approx",
+      "q_bpe_merges", "q_bpe_tokenize")
 
   test("every query has either an oracle or a documented reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
