@@ -207,6 +207,115 @@ object TpchQueries {
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(5)
+    },
+
+    // ---- TPC-H Q6 shape: forecast-revenue — pure scan + conjunctive
+    //      range predicates + ONE scalar agg. The predicates must all
+    //      reach the parquet scan (PushedFilters); zero joins, zero
+    //      window — the cheapest full-table query there is ----
+    QueryDef.sql(
+      "q_q6_revenue",
+      s"""SELECT ${dsum2Sql("l_extendedprice * l_discount")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 5e-2 AND 7e-2
+         |  AND l_quantity < 24e0""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24.0)
+        .agg(
+          dsum2(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q18 shape: large-quantity orders — grouped HAVING on the
+    //      fact table first (shrinks before any join), then customer
+    //      enrichment on the tiny survivor set ----
+    QueryDef.sql(
+      "q_large_orders",
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${dsumSql("l_quantity")} > 220e0
+         |)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         |       o.o_totalprice, b.total_qty
+         |FROM big b
+         |JOIN orders o ON b.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+    ) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 220.0)
+      big
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice", "total_qty")
+    },
+
+    // ---- TPC-H Q7 shape: bilateral trade volume — the 5-way join with
+    //      TWO independent nation lookups (supplier side + customer
+    //      side), grouped by the nation pair and year. Both nation dims
+    //      broadcast; the fact table shuffles once for the final agg ----
+    QueryDef.sql(
+      "q_nation_trade",
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  year(o.o_orderdate) AS o_year,
+         |  ${dsum2Sql("l.l_extendedprice * (1e0 - l.l_discount)")} AS volume
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         |WHERE ns.n_name <> nc.n_name
+         |GROUP BY supp_nation, cust_nation, o_year""".stripMargin
+    ) { (s, d) =>
+      val nc = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val ns = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+    },
+
+    // ---- TPC-H Q14 shape: promo revenue share — conditional-agg ratio
+    //      over a fact-dim join; both sums fixed-point exact so the
+    //      ratio is one correctly-rounded divide ----
+    QueryDef.sql(
+      "q_promo_share",
+      s"""SELECT
+         |  ${dsum2Sql("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1e0 - l.l_discount) ELSE 0e0 END")}
+         |    AS promo_revenue,
+         |  ${dsum2Sql("l.l_extendedprice * (1e0 - l.l_discount)")} AS total_revenue,
+         |  (${dsum2Sql("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1e0 - l.l_discount) ELSE 0e0 END")})
+         |    / (${dsum2Sql("l.l_extendedprice * (1e0 - l.l_discount)")}) AS promo_share
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+    ) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val promo = when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum2(promo).as("promo_revenue"),
+          dsum2(rev).as("total_revenue"),
+          (dsum2(promo) / dsum2(rev)).as("promo_share"))
     }
   )
 }
