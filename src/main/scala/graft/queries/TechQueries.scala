@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.EwmAvg.ewmAvg
 import graft.model.Tables
 
 /** Technical-analysis breadth beyond the reference's SMA/EMA/RSI core
@@ -38,9 +37,6 @@ object TechQueries {
     Tables.events(s, d).select("event_id", "event_type", "ts", "value")
 
   private val wOrd = "PARTITION BY event_type ORDER BY ts, event_id"
-
-  private def w = Window.partitionBy(col("event_type"))
-    .orderBy(col("ts"), col("event_id"))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -82,14 +78,9 @@ object TechQueries {
          |       macd_signal, macd - macd_signal AS macd_hist
          |FROM s3""".stripMargin
     ) { (s, d) =>
-      ev(s, d)
-        .withColumn("ema_12", ewmAvg(col("value"), span = 12).over(w))
-        .withColumn("ema_26", ewmAvg(col("value"), span = 26).over(w))
-        .withColumn("macd", col("ema_12") - col("ema_26"))
-        // second window stage over the derived macd column — same
-        // partitioning, so Catalyst keeps it in the same exchange
-        .withColumn("macd_signal", ewmAvg(col("macd"), span = 9).over(w))
-        .withColumn("macd_hist", col("macd") - col("macd_signal"))
+      graft.ops.TechIndicators.macd(ev(s, d),
+        symbol = col("event_type"), time = col("ts"), close = col("value"),
+        tieBreak = Seq(col("event_id")))
     },
 
     // ---- Bollinger(20, 2): rolling mean +- 2 sigma. Variance via the
@@ -114,19 +105,9 @@ object TechQueries {
          |    / (CASE WHEN bb_sd <> 0e0 THEN 4e0*bb_sd END) AS pct_b
          |FROM s2""".stripMargin
     ) { (s, d) =>
-      val w20 = w.rowsBetween(-19, 0)
-      val full = count(col("value")).over(w20) === 20
-      ev(s, d)
-        .withColumn("bb_mid", when(full, avg(col("value")).over(w20)))
-        .withColumn("m2", when(full, avg(col("value") * col("value")).over(w20)))
-        .withColumn("bb_sd",
-          sqrt(greatest(col("m2") - col("bb_mid") * col("bb_mid"), lit(0.0))))
-        .withColumn("bb_upper", col("bb_mid") + lit(2.0) * col("bb_sd"))
-        .withColumn("bb_lower", col("bb_mid") - lit(2.0) * col("bb_sd"))
-        .withColumn("pct_b",
-          (col("value") - col("bb_lower")) /
-            when(col("bb_sd") =!= 0.0, lit(4.0) * col("bb_sd")))
-        .drop("m2")
+      graft.ops.TechIndicators.bollinger(ev(s, d),
+        symbol = col("event_type"), time = col("ts"), close = col("value"),
+        tieBreak = Seq(col("event_id")))
     },
 
     // ---- Stochastic oscillator (14, 3): %K locates the close inside the
@@ -154,17 +135,9 @@ object TechQueries {
          |SELECT event_id, event_type, ts, value, lo_14, hi_14, pct_k, pct_d
          |FROM s3""".stripMargin
     ) { (s, d) =>
-      val w14 = w.rowsBetween(-13, 0)
-      val w3 = w.rowsBetween(-2, 0)
-      val full14 = count(col("value")).over(w14) === 14
-      ev(s, d)
-        .withColumn("lo_14", when(full14, min(col("value")).over(w14)))
-        .withColumn("hi_14", when(full14, max(col("value")).over(w14)))
-        .withColumn("pct_k",
-          lit(100.0) * (col("value") - col("lo_14")) /
-            when(col("hi_14") =!= col("lo_14"), col("hi_14") - col("lo_14")))
-        .withColumn("pct_d",
-          when(count(col("pct_k")).over(w3) === 3, avg(col("pct_k")).over(w3)))
+      graft.ops.TechIndicators.stochastic(ev(s, d),
+        symbol = col("event_type"), time = col("ts"), close = col("value"),
+        tieBreak = Seq(col("event_id")))
     },
 
     // ---- Drawdown from running peak: running max is exact (order-free),
@@ -179,13 +152,9 @@ object TechQueries {
          |FROM events
          |WINDOW wu AS ($wOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
     ) { (s, d) =>
-      val wu = w.rowsBetween(Window.unboundedPreceding, 0)
-      val peak = max(col("value")).over(wu)
-      ev(s, d)
-        .withColumn("peak", peak)
-        .withColumn("drawdown",
-          (col("value") - col("peak")) /
-            when(col("peak") =!= 0.0, col("peak")))
+      graft.ops.TechIndicators.drawdown(ev(s, d),
+        symbol = col("event_type"), time = col("ts"), close = col("value"),
+        tieBreak = Seq(col("event_id")))
     },
 
     // ---- Max drawdown per symbol: the scalar risk headline. min() over
@@ -203,11 +172,9 @@ object TechQueries {
          |SELECT event_type, min(drawdown) AS max_drawdown
          |FROM dd GROUP BY event_type""".stripMargin
     ) { (s, d) =>
-      val wu = w.rowsBetween(Window.unboundedPreceding, 0)
-      val peak = max(col("value")).over(wu)
-      ev(s, d)
-        .withColumn("drawdown",
-          (col("value") - peak) / when(peak =!= 0.0, peak))
+      graft.ops.TechIndicators.drawdown(ev(s, d),
+        symbol = col("event_type"), time = col("ts"), close = col("value"),
+        tieBreak = Seq(col("event_id")))
         .groupBy(col("event_type"))
         .agg(min(col("drawdown")).as("max_drawdown"))
     },
