@@ -207,6 +207,85 @@ object TechQueries {
           count(lit(1)).as("n_trades"))
     },
 
+    // ---- Rolling pair correlation + beta (pairs-trading analytics):
+    //      both symbols resampled to hourly last-ticks, joined on the
+    //      hour, then 24-row rolling Pearson correlation computed from
+    //      EXACT integer window sums of 1e-3-quantized values — the
+    //      moments are order-independent BIGINTs (all products stay under
+    //      2^53), so the only floating-point ops are the final sqrt and
+    //      divide. Deterministic at any parallelism, like Num's sums ----
+    QueryDef.sql(
+      "q_pair_corr",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, value
+        |  FROM (
+        |    SELECT event_type, ts, value,
+        |      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1
+        |), joined AS (
+        |  SELECT a.hour_ts,
+        |    CAST(floor(a.value * 1e3) AS BIGINT) AS xa,
+        |    CAST(floor(b.value * 1e3) AS BIGINT) AS xb
+        |  FROM hourly a JOIN hourly b ON a.hour_ts = b.hour_ts
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |), sums AS (
+        |  SELECT hour_ts,
+        |    CAST(count(*) OVER w24 AS BIGINT) AS n,
+        |    CAST(sum(xa) OVER w24 AS BIGINT) AS sx,
+        |    CAST(sum(xb) OVER w24 AS BIGINT) AS sy,
+        |    CAST(sum(xa * xa) OVER w24 AS BIGINT) AS sxx,
+        |    CAST(sum(xb * xb) OVER w24 AS BIGINT) AS syy,
+        |    CAST(sum(xa * xb) OVER w24 AS BIGINT) AS sxy
+        |  FROM joined
+        |  WINDOW w24 AS (ORDER BY hour_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT hour_ts,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |            THEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END)
+        |    AS corr_24h,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CASE WHEN (n * sxx - sx * sx) > 0
+        |            THEN CAST(n * sxx - sx * sx AS DOUBLE) END) AS beta_24h
+        |FROM sums WHERE n = 24""".stripMargin
+    ) { (s, d) =>
+      val wHour = Window
+        .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .withColumn("rn", row_number().over(wHour))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_ts"), col("value"))
+      val a = hourly.filter(col("event_type") === "view")
+        .select(col("hour_ts"),
+          floor(col("value") * lit(1e3)).cast("long").as("xa"))
+      val b = hourly.filter(col("event_type") === "click")
+        .select(col("hour_ts").as("hb"),
+          floor(col("value") * lit(1e3)).cast("long").as("xb"))
+      val w24 = Window.orderBy(col("hour_ts")).rowsBetween(-23, 0)
+      val sums = a.join(b, col("hour_ts") === col("hb"))
+        .select(col("hour_ts"), col("xa"), col("xb"))
+        .withColumn("n", count(lit(1)).over(w24))
+        .withColumn("sx", sum(col("xa")).over(w24))
+        .withColumn("sy", sum(col("xb")).over(w24))
+        .withColumn("sxx", sum(col("xa") * col("xa")).over(w24))
+        .withColumn("syy", sum(col("xb") * col("xb")).over(w24))
+        .withColumn("sxy", sum(col("xa") * col("xb")).over(w24))
+        .filter(col("n") === 24)
+      val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("hour_ts"),
+        (covN / when(varX > 0 && varY > 0,
+          sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+          .as("corr_24h"),
+        (covN / when(varX > 0, varX.cast("double"))).as("beta_24h"))
+    },
+
     // ---- Gap-fill resample (pandas asfreq('1H') + ffill parity): dense
     //      per-symbol hourly spine, last tick in each hour, forward-fill
     //      across empty hours. The spine derives from a 5-row min/max agg

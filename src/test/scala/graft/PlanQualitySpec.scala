@@ -176,10 +176,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
 
   test("NO query runs an unpartitioned window over unbounded input") {
     // an empty partitionSpec moves the whole input into one task; the
-    // only acceptable shape is a window over an already-limited tiny
-    // frame (pattern match ranks the 10 TakeOrdered survivors)
+    // only acceptable shapes are a window over an already-limited tiny
+    // frame (pattern match ranks the 10 TakeOrdered survivors) or over a
+    // time-bounded series (q_pair_corr rolls over the JOINT HOURLY series
+    // of one symbol pair — cardinality grows with wall-clock hours, not
+    // with data volume: ~9k rows/year at any scale factor)
     val allowed =
-      Set("q_pattern_match", "q_pattern_match_znorm", "q_pattern_match_dtw")
+      Set("q_pattern_match", "q_pattern_match_znorm", "q_pattern_match_dtw",
+        "q_pair_corr")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>
         val df = fn(spark, sfDir)
