@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Pq
+
+/** Product-quantization ANN queries — the compressed-index scale path for
+  * embedding search (16 bytes/vector codes, ADC scan, exact re-rank of a
+  * 64-candidate shortlist). See [[graft.ops.Pq]] for the cost model and
+  * the cross-engine determinism contract the oracles rely on.
+  */
+object PqQueries {
+
+  private def normalizedEmb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Pq.normalized(col("embedding")).as("embedding"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- PQ encoding gate: the per-subspace k-means codebooks and the
+    //      code assignment, checked in isolation (one CSV row per vector;
+    //      the full search path is gated by q_knn_pq below). ----
+    QueryDef.sql(
+      "q_pq_codes",
+      s"""WITH ${OraclePq.codesCtes}
+         |SELECT vec_id,
+         |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub_id) AS code_csv
+         |FROM codes GROUP BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val emb = normalizedEmb(s, d)
+      val k = Pq.chooseKsub(emb.count())
+      val cb = Pq.codebooks(emb, Pq.M, k, iters = 2)
+      Pq.encode(emb, cb, Pq.M)
+        .groupBy(col("vec_id"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(sub_id, code))), s -> CAST(s.code AS STRING)), ',')")
+          .as("code_csv"))
+    },
+
+    // ---- PQ ANN end-to-end: ADC shortlist over the codes (approximate
+    //      cosine = ordered fold of m broadcast-table lookups), exact
+    //      cosine re-rank of the shortlist. The oracle unrolls the
+    //      identical codebooks + codes + ADC, so the gate checks the
+    //      whole compressed-search path; PqSpec pins the quality side
+    //      (recall@5 vs q_knn_brute). ----
+    QueryDef.sql(
+      "q_knn_pq", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH ${OraclePq.codesCtes},
+           |tbl AS (
+           |  SELECT q.vec_id AS q_id, q.sub_id, c.cent_id,
+           |    ${OracleVec.dot("q.sub_emb", "c.cent_emb")} AS pdot
+           |  FROM sq q JOIN cb2 c ON c.sub_id = q.sub_id WHERE q.vec_id < 10
+           |), adc AS (
+           |  SELECT t.q_id, co.vec_id AS c_id, list(t.pdot ORDER BY t.sub_id) AS ps
+           |  FROM codes co JOIN tbl t
+           |    ON t.sub_id = co.sub_id AND t.cent_id = co.code
+           |  WHERE co.vec_id <> t.q_id
+           |  GROUP BY t.q_id, co.vec_id
+           |), sc AS (
+           |  SELECT q_id, c_id,
+           |    list_reduce(list_prepend(0e0, ps), (acc, v) -> acc + v) AS score_pq
+           |  FROM adc
+           |), short AS (
+           |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY score_pq DESC, c_id) AS srk FROM sc)
+           |  WHERE srk <= ${Pq.Shortlist}
+           |), rr AS (
+           |  SELECT s.q_id, s.c_id, s.score_pq,
+           |    ${cosDuck("qe.embedding", "ce.embedding")} AS cosine
+           |  FROM short s JOIN embeddings qe ON qe.vec_id = s.q_id
+           |               JOIN embeddings ce ON ce.vec_id = s.c_id
+           |)
+           |SELECT q_id, c_id, score_pq, cosine, CAST(rank AS BIGINT) AS rank
+           |FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, c_id) AS rank FROM rr)
+           |WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, d) =>
+      val raw = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val emb = normalizedEmb(s, d)
+      val k = Pq.chooseKsub(emb.count())
+      val cb = Pq.codebooks(emb, Pq.M, k, iters = 2)
+      Pq.search(emb, raw, cb, Pq.M, col("vec_id") < 10, topK = 5)
+    }
+  )
+}

@@ -174,6 +174,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     bhj should not be empty
   }
 
+  test("PQ ADC search joins the broadcast lookup table (codes side streams)") {
+    // the ADC contract: the corpus-sized codes frame is scanned once and
+    // joined to the tiny (queries x m x k) dot-product table by broadcast;
+    // a sort-merge join here would shuffle the whole compressed index
+    val df = SparkEntry.queries("q_knn_pq")(spark, sfDir)
+    val bhj = collectAll(df) { case j: BroadcastHashJoinExec => j }
+    bhj should not be empty
+    val plan = executed(df).toString
+    withClue(plan) { plan should not include "SortMergeJoin" }
+  }
+
   test("NO query runs an unpartitioned window over unbounded input") {
     // an empty partitionSpec moves the whole input into one task; the
     // only acceptable shapes are a window over an already-limited tiny
