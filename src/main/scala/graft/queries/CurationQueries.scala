@@ -366,6 +366,39 @@ object CurationQueries {
     ) { (s, d) =>
       graft.ops.SpanDedup.removeSpans(
         Tables.documents(s, d), "doc_id", "text", n = 8)
+    },
+
+    // ---- Bloom-gated incremental dedup: incoming events keep only the
+    //      (user_id, event_type) pairs never seen in the history slice —
+    //      first-touch detection. The bloom routes rows (no false
+    //      negatives); the exact verify joins broadcast only the tiny
+    //      maybe-dup key sets, so neither history nor incoming shuffles
+    //      ([[graft.ops.BloomDedup]]). The oracle states the pure
+    //      anti-join semantics the bloom must not change. ----
+    QueryDef.sql(
+      "q_dedup_bloom",
+      """WITH cnt AS (SELECT count(*)//10 AS cut FROM events),
+        |hist AS (
+        |  SELECT DISTINCT user_id, event_type FROM events, cnt
+        |  WHERE event_id < cut
+        |), inc AS (
+        |  SELECT event_id, user_id, event_type, ts, value FROM events, cnt
+        |  WHERE event_id >= cut
+        |)
+        |SELECT i.event_id, i.user_id, i.event_type, i.ts, i.value
+        |FROM inc i WHERE NOT EXISTS (
+        |  SELECT 1 FROM hist h
+        |  WHERE h.user_id = i.user_id AND h.event_type = i.event_type)""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      // one count() to place the history cut — sizing metadata, same role
+      // as the LSH band-width count
+      val cut = ev.count() / 10
+      val hist = ev.filter(col("event_id") < cut)
+        .select("user_id", "event_type")
+      val inc = ev.filter(col("event_id") >= cut)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      graft.ops.BloomDedup.newRows(hist, inc, Seq("user_id", "event_type"))
     }
   )
 }
