@@ -76,19 +76,39 @@ object Pq {
   private def d2(a: Column, b: Column): Column =
     VecOps.vecDot(a, a) - lit(2.0) * VecOps.vecDot(a, b) + VecOps.vecDot(b, b)
 
+  /** d2 with the two self-dots precomputed: ((aa - 2*a.b) + bb). The
+    * VALUE is bit-identical to [[d2]] (each dot is a deterministic fold),
+    * but the assignment hot loop pays ONE fold per candidate instead of
+    * three — aa is computed once per sub-vector on the stream side, bb
+    * once per codeword on the broadcast build side.
+    */
+  private def d2Cached(aa: Column, a: Column, b: Column, bb: Column): Column =
+    aa - lit(2.0) * VecOps.vecDot(a, b) + bb
+
   /** Nearest-codeword assignment per (vec_id, sub_id); ties -> lowest
     * cent_id. `sub` is (vec_id, sub_id, sub_emb); `cb` is (sub_id,
     * cent_id, cent_emb) and travels by broadcast.
+    *
+    * The argmin is a partial-aggregable `min(struct(dist2, cent_id,
+    * sub_emb))`: the broadcast join's n*m*k candidate rows collapse
+    * map-side to one best-so-far row per (vec_id, sub_id) BEFORE the
+    * shuffle, so only n*m compact rows ever move — a window row_number
+    * here would shuffle and sort all n*m*k. (dist2, cent_id) is unique
+    * per group, so the trailing sub_emb never participates in ordering;
+    * the (dist2 ASC, cent_id ASC) semantics match the oracle's
+    * row_number tie-break exactly.
     */
-  def assignSub(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
-      .orderBy(col("dist2"), col("cent_id"))
-    sub.join(broadcast(cb), "sub_id")
-      .withColumn("dist2", d2(col("sub_emb"), col("cent_emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub_id"), col("sub_emb"), col("cent_id"))
-  }
+  def assignSub(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub
+      .withColumn("sub_c2", VecOps.vecDot(col("sub_emb"), col("sub_emb")))
+      .join(broadcast(cb.withColumn("cent_c2",
+        VecOps.vecDot(col("cent_emb"), col("cent_emb")))), "sub_id")
+      .withColumn("dist2",
+        d2Cached(col("sub_c2"), col("sub_emb"), col("cent_emb"), col("cent_c2")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("dist2"), col("cent_id"), col("sub_emb"))).as("m"))
+      .select(col("vec_id"), col("sub_id"),
+        col("m.sub_emb").as("sub_emb"), col("m.cent_id").as("cent_id"))
 
   /** Deterministic per-subspace codebooks (sub_id, cent_id, cent_emb):
     * the k seed rows (smallest (md5(vec_id), vec_id)) are shared by all

@@ -84,6 +84,39 @@ object PqQueries {
       val k = Pq.chooseKsub(emb.count())
       val cb = Pq.codebooks(emb, Pq.M, k, iters = 2)
       Pq.search(emb, raw, cb, Pq.M, col("vec_id") < 10, topK = 5)
+    },
+
+    // ---- Johnson-Lindenstrauss random projection: 64 -> 16 dims via the
+    //      deterministic hyperplane family of the LSH bucketer (offset
+    //      j+64 so the projection planes are disjoint from the LSH
+    //      bucket planes), scaled 1/sqrt(16) = exact /4. Row-local, zero
+    //      shuffle — the cheap precursor that cuts every downstream
+    //      distance computation 4x. Output quantized to a CSV scalar
+    //      (driver harness cannot sort raw arrays). ----
+    QueryDef.sql(
+      "q_project_embeddings", {
+        val ProjDims = 16
+        s"""SELECT vec_id,
+           |  string_agg(CAST(CAST(floor(pv / 4e0 * 1e6) AS BIGINT) AS VARCHAR),
+           |             ',' ORDER BY j) AS proj_q6
+           |FROM (
+           |  SELECT e.vec_id, t.j,
+           |    list_reduce(list_prepend(0e0, list_transform(range(1, len(e.embedding) + 1),
+           |      i -> CAST(e.embedding[i] AS DOUBLE)
+           |        * ((((i * (1000003 + (t.j + 64) * 7919)) + ((t.j + 64) * 271 + 17)) % 1000) * 1e-3 - 5e-1))),
+           |      (acc, x) -> acc + x) AS pv
+           |  FROM embeddings e, range(0, $ProjDims) t(j)
+           |) GROUP BY vec_id""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps.planeDot
+      val comps = (0 until 16).map { j =>
+        val jj = j + 64
+        floor(planeDot(col("embedding"), 1000003 + jj * 7919, jj * 271 + 17)
+          / lit(4.0) * lit(1e6)).cast("string")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), concat_ws(",", array(comps: _*)).as("proj_q6"))
     }
   )
 }

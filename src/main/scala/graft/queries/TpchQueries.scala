@@ -316,6 +316,122 @@ object TpchQueries {
           dsum2(promo).as("promo_revenue"),
           dsum2(rev).as("total_revenue"),
           (dsum2(promo) / dsum2(rev)).as("promo_share"))
+    },
+
+    // ---- TPC-H Q4 shape: priority count over a correlated EXISTS with a
+    //      NON-EQUI component (shipped after the order date) — a semi
+    //      join whose condition mixes the orderkey equality with an
+    //      inequality filter; the schema has no commitdate/receiptdate,
+    //      so "late line" is l_shipdate > o_orderdate ----
+    QueryDef.sql(
+      "q_priority_count",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      val ord = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      ord
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ---- TPC-H Q10 shape: returned-item revenue ranking — fact-side
+    //      filter, 3-way join, per-customer agg, exact global top-20
+    //      (TakeOrdered, never a full sort); nation broadcast ----
+    QueryDef.sql(
+      "q_returned_revenue",
+      s"""SELECT c.c_custkey, c.c_name, n.n_name,
+         |  ${dsumSql("l.l_extendedprice * (1e0 - l.l_discount)")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val ord = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- TPC-H Q12 shape: shipping-priority split — conditional counts
+    //      (CASE ... IN-list) after a fact-fact join + range filter; the
+    //      schema has no l_shipmode, so the split key is the order's
+    //      priority class ----
+    QueryDef.sql(
+      "q_priority_split",
+      """SELECT year(l.l_shipdate) AS ship_year,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY ship_year""".stripMargin
+    ) { (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d).filter(
+        col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
+    // ---- TPC-H Q19 shape: disjunctive OR-of-ANDs predicate mixing part
+    //      attributes and line quantities — the optimizer must still push
+    //      the common l_quantity envelope + join before filtering; part
+    //      is the broadcast side ----
+    QueryDef.sql(
+      "q_brand_bands",
+      s"""SELECT ${dsum2Sql("l.l_extendedprice * (1e0 - l.l_discount)")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity >= 1e0 AND l.l_quantity <= 21e0)
+         |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+         |       AND l.l_quantity >= 10e0 AND l.l_quantity <= 30e0)
+         |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+         |       AND l.l_quantity >= 20e0 AND l.l_quantity <= 40e0)""".stripMargin
+    ) { (s, d) =>
+      def band(brand: String, sizeHi: Int, qLo: Double, qHi: Double) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .filter(band("Brand#12", 15, 1.0, 21.0) ||
+          band("Brand#23", 25, 10.0, 30.0) ||
+          band("Brand#34", 35, 20.0, 40.0))
+        .agg(
+          dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
     }
   )
 }
