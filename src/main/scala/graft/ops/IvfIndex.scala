@@ -87,13 +87,38 @@ object IvfIndex {
     cb.sparkSession.createDataFrame(rows, cb.schema)
   }
 
-  /** Nearest-cell assignment: (emb.*, cent_id); ties -> lowest cent_id. */
+  /** cosine(a, b) with the two norms precomputed: dot(a,b)/(na*nb). The
+    * VALUE is bit-identical to [[VecOps.cosine]] (each dot is a
+    * deterministic fold and sqrt is correctly rounded), but the
+    * assignment hot loop pays ONE fold per candidate instead of three —
+    * na once per corpus row, nb once per centroid on the broadcast side.
+    */
+  private def cosineCached(a: Column, na: Column, b: Column, nb: Column): Column =
+    VecOps.vecDot(a, b) / (na * nb)
+
+  private def withNorm(df: DataFrame, vec: String, as: String): DataFrame =
+    df.withColumn(as, sqrt(VecOps.vecDot(col(vec), col(vec))))
+
+  /** Nearest-cell assignment: (emb.*, cent_id); ties -> lowest cent_id.
+    *
+    * The argmax is a partial-aggregable `min(struct(-cs, cent_id, ...))`:
+    * the broadcast join's n*k candidate rows collapse map-side to one
+    * best-so-far row per vec_id BEFORE the shuffle (a window row_number
+    * would shuffle and sort all n*k). Negation is an exact sign flip, so
+    * (-cs ASC, cent_id ASC) is precisely the (cs DESC, cent_id) oracle
+    * tie-break.
+    */
   def assign(emb: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
-    emb.crossJoin(broadcast(cb))
-      .withColumn("cs", VecOps.cosine(col("embedding"), col("cent_emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    val carry = emb.columns.filter(_ != "vec_id")
+    withNorm(emb, "embedding", "e_nrm")
+      .crossJoin(broadcast(withNorm(cb, "cent_emb", "c_nrm")))
+      .withColumn("cs",
+        cosineCached(col("embedding"), col("e_nrm"), col("cent_emb"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cs") * lit(-1.0) +: col("cent_id") +: carry.map(col): _*))
+        .as("m"))
+      .select(col("vec_id") +: col("m.cent_id").as("cent_id") +:
+        carry.map(c => col(s"m.$c").as(c)): _*)
       .select(emb.columns.map(col) :+ col("cent_id"): _*)
   }
 
@@ -137,10 +162,15 @@ object IvfIndex {
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cent_id").as("probe_cent"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-    assigned.join(broadcast(probes), col("cent_id") === col("probe_cent"))
+    // candidate scoring is the hot path (every vector in every probed
+    // cell): norms cached per side, one fold per candidate
+    withNorm(assigned, "embedding", "e_nrm")
+      .join(broadcast(withNorm(probes, "q_emb", "q_nrm")),
+        col("cent_id") === col("probe_cent"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
-        VecOps.cosine(col("q_emb"), col("embedding")).as("cosine"))
+        cosineCached(col("q_emb"), col("q_nrm"), col("embedding"), col("e_nrm"))
+          .as("cosine"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= topK)
   }
