@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** IVF-PQ: the production-scale ANN composition — [[IvfIndex]]'s coarse
+  * k-means cells prune the corpus to `nprobe` cells per query, and
+  * [[Pq]]'s 16-byte codes answer the in-cell scan by ADC, so a query
+  * touches `nprobe/k` of the corpus AND reads it 16x compressed; only
+  * the final shortlist is re-ranked at full precision. At n = 10^9
+  * (k = 31623 cells, nprobe = 8): ~250k candidates x 16 code bytes =
+  * 4 MB scanned per query vs 256 GB brute — with both index structures
+  * (coarse codebook, PQ codebooks) broadcast and the corpus never
+  * shuffled at search time.
+  *
+  * Determinism: the coarse side is exactly q_knn_ivf's codebook (raw
+  * vectors, cosine assignment); the PQ side exactly q_knn_pq's
+  * (normalized vectors, min-L2 codewords) — the q_knn_ivfpq oracle
+  * replays both chains and the composition end-to-end.
+  */
+object IvfPq {
+
+  /** Built index: coarse codebook, cell assignment, PQ codebooks, codes.
+    * The two codebooks are materialized local relations (index metadata);
+    * `cells` and `codes` are corpus-sized but compact (2 and 3 small
+    * columns).
+    */
+  final case class Index(
+      coarse: DataFrame, cells: DataFrame, pqCb: DataFrame, codes: DataFrame)
+
+  /** Build both index structures over a corpus given raw + normalized
+    * views of it ((vec_id, embedding) each).
+    */
+  def build(raw: DataFrame, norm: DataFrame, m: Int = Pq.M): Index = {
+    val n = raw.count()
+    val coarse = IvfIndex.materialize(IvfIndex.codebook(raw, IvfIndex.chooseK(n)))
+    val cells = IvfIndex.assign(raw, coarse).select(col("vec_id"), col("cent_id"))
+    val pqCb = Pq.codebooks(norm, m, Pq.chooseKsub(n))
+    val codes = Pq.encode(norm, pqCb, m)
+    Index(coarse, cells, pqCb, codes)
+  }
+
+  /** Top-`topK` neighbours for the corpus rows matching `queryPred`:
+    * coarse probes -> in-cell ADC -> exact re-rank.
+    * Output: (q_id, c_id, score_pq, cosine, rank).
+    */
+  def search(
+      idx: Index,
+      raw: DataFrame,
+      norm: DataFrame,
+      m: Int,
+      queryPred: Column,
+      nprobe: Int,
+      topK: Int,
+      shortlist: Int): DataFrame = {
+    // probes: queries x coarse codebook (broadcast), top-nprobe cells by
+    // raw cosine — identical scoring to q_knn_ivf's probe CTE
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("cent_id"))
+    val probes = raw.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(idx.coarse))
+      .withColumn("cs", VecOps.cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("probe_cent"))
+    // candidate ids: every vector in a probed cell (a vector lives in
+    // exactly one cell, so (q_id, c_id) pairs are already distinct)
+    val cand = idx.cells.join(broadcast(probes), col("cent_id") === col("probe_cent"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    // in-cell ADC: candidate codes x broadcast lookup table
+    val tbl = Pq.adcTable(norm, idx.pqCb, m, queryPred)
+    val scored = Pq.adcScore(
+      idx.codes.join(broadcast(cand), col("vec_id") === col("c_id"))
+        .join(broadcast(tbl),
+          col("q_id") === col("t_q") && col("sub_id") === col("t_sub") &&
+            col("code") === col("t_cent"))
+        .select(col("q_id"), col("c_id"), col("sub_id"), col("pdot")))
+    Pq.rerankExact(Pq.keepShortlist(scored, shortlist), raw, topK)
+  }
+}

@@ -155,6 +155,56 @@ object Pq {
     assignSub(subVectors(emb, "vec_id", "embedding", m), cb)
       .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
 
+  /** The ADC lookup table for the query rows of normalized corpus `emb`
+    * matching `queryPred`: (q_id, t_sub, t_cent, pdot) — queries x m x k
+    * rows of partial dots. Always broadcast by callers, so the codes scan
+    * (the only corpus-sized input) never shuffles.
+    */
+  def adcTable(emb: DataFrame, cb: DataFrame, m: Int, queryPred: Column): DataFrame =
+    subVectors(
+      emb.filter(queryPred).select(col("vec_id").as("q_id"), col("embedding")),
+      "q_id", "embedding", m)
+      .join(broadcast(cb), "sub_id")
+      .select(col("q_id").as("t_q"), col("sub_id").as("t_sub"),
+        col("cent_id").as("t_cent"),
+        VecOps.vecDot(col("sub_emb"), col("cent_emb")).as("pdot"))
+
+  /** Approximate-cosine per (q_id, c_id) from joined (q_id, c_id, sub_id,
+    * pdot) candidate rows: the m partial dots folded in subspace order —
+    * order-deterministic, same fold as the oracle's list_reduce.
+    */
+  private[ops] def adcScore(cand: DataFrame): DataFrame =
+    cand.groupBy(col("q_id"), col("c_id"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(sub_id, pdot))), s -> s.pdot), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+        .as("score_pq"))
+
+  /** Keep the per-query top-`shortlist` by (score_pq DESC, c_id). */
+  private[ops] def keepShortlist(scored: DataFrame, shortlist: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_pq").desc, col("c_id"))
+    scored.withColumn("srk", row_number().over(w))
+      .filter(col("srk") <= shortlist)
+      .select("q_id", "c_id", "score_pq")
+  }
+
+  /** Exact-cosine re-rank of a shortlist: only (queries x shortlist) rows
+    * read full vectors — the shortlist broadcasts, the corpus side stays
+    * a scan. Output: (q_id, c_id, score_pq, cosine, rank).
+    */
+  private[ops] def rerankExact(short: DataFrame, raw: DataFrame, topK: Int): DataFrame = {
+    val qv = raw.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cv = raw.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    cv.join(broadcast(short), "c_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"), col("score_pq"), col("cosine"), col("rank"))
+  }
+
   /** ADC top-`topK` search: approximate-cosine shortlist over the codes,
     * exact-cosine re-rank of the shortlist. `emb` is the normalized
     * corpus, `raw` the original vectors (for the exact re-rank), `cb` the
@@ -169,38 +219,13 @@ object Pq {
       topK: Int,
       shortlist: Int = Shortlist): DataFrame = {
     val codes = encode(emb, cb, m)
-    val qsub = subVectors(
-      emb.filter(queryPred).select(col("vec_id").as("q_id"), col("embedding")),
-      "q_id", "embedding", m)
-    // the ADC table: queries x m x k rows of partial dots — broadcast, so
-    // the codes scan (the only corpus-sized input) never shuffles
-    val tbl = qsub.join(broadcast(cb), "sub_id")
-      .select(col("q_id"), col("sub_id").as("t_sub"), col("cent_id").as("t_cent"),
-        VecOps.vecDot(col("sub_emb"), col("cent_emb")).as("pdot"))
-    val wShort = Window.partitionBy(col("q_id"))
-      .orderBy(col("score_pq").desc, col("c_id"))
-    val short = codes
+    val tbl = adcTable(emb, cb, m, queryPred)
+    val cand = codes
       .join(broadcast(tbl),
         col("sub_id") === col("t_sub") && col("code") === col("t_cent"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id").as("c_id"))
-      // fold the m partial dots in subspace order — order-deterministic
-      .agg(expr(
-        "aggregate(transform(array_sort(collect_list(struct(sub_id, pdot))), s -> s.pdot), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-        .as("score_pq"))
-      .withColumn("srk", row_number().over(wShort))
-      .filter(col("srk") <= shortlist)
-    // exact re-rank: only shortlist rows (queries x shortlist) read full
-    // vectors — the shortlist broadcasts, the corpus side stays a scan
-    val qv = raw.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cv = raw.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    cv.join(broadcast(short.select("q_id", "c_id", "score_pq")), "c_id")
-      .join(broadcast(qv), "q_id")
-      .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("c_id"), col("score_pq"), col("cosine"), col("rank"))
+      .filter(col("vec_id") =!= col("t_q"))
+      .select(col("t_q").as("q_id"), col("vec_id").as("c_id"),
+        col("sub_id"), col("pdot"))
+    rerankExact(keepShortlist(adcScore(cand), shortlist), raw, topK)
   }
 }

@@ -46,11 +46,11 @@ private[queries] object OraclePq {
        |  GROUP BY sub_id, cent_id
        |)""".stripMargin
 
-  /** The full chain: normalization (ne), sub-vectors (sq), shared seeds,
-    * 2 Lloyd iterations (cb0..cb2), final assignment (a3) and `codes`.
+  /** The full chain: normalization (ne), sub-vectors (sq), shared pseeds,
+    * 2 Lloyd iterations (pcb0..pcb2), final assignment (pa3) and `codes`.
     */
   def codesCtes: String =
-    s"""kq AS (
+    s"""pkq AS (
        |  SELECT least(256, greatest(4, CAST(ceil(sqrt(count(*))) AS INT))) AS k
        |  FROM embeddings
        |), ne AS (
@@ -63,16 +63,16 @@ private[queries] object OraclePq {
        |    e.nemb[CAST(t.s * (len(e.nemb)//$M) + 1 AS INT)
        |           : CAST((t.s+1) * (len(e.nemb)//$M) AS INT)] AS sub_emb
        |  FROM ne e, range(0, $M) t(s)
-       |), seeds AS (
+       |), pseeds AS (
        |  SELECT vec_id,
        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
        |      AS cent_id
        |  FROM embeddings
-       |), cb0 AS (
+       |), pcb0 AS (
        |  SELECT s.sub_id, sd.cent_id, s.sub_emb AS cent_emb
-       |  FROM seeds sd JOIN sq s USING (vec_id), kq WHERE sd.cent_id < kq.k
-       |), ${assignCte("a1", "cb0")}, ${updateCte("cb1", "a1")},
-       |${assignCte("a2", "cb1")}, ${updateCte("cb2", "a2")},
-       |${assignCte("a3", "cb2")},
-       |codes AS (SELECT vec_id, sub_id, cent_id AS code FROM a3)""".stripMargin
+       |  FROM pseeds sd JOIN sq s USING (vec_id), pkq WHERE sd.cent_id < pkq.k
+       |), ${assignCte("pa1", "pcb0")}, ${updateCte("pcb1", "pa1")},
+       |${assignCte("pa2", "pcb1")}, ${updateCte("pcb2", "pa2")},
+       |${assignCte("pa3", "pcb2")},
+       |codes AS (SELECT vec_id, sub_id, cent_id AS code FROM pa3)""".stripMargin
 }

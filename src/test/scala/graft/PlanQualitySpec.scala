@@ -101,7 +101,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // are the intended shape for these; everything else must be an
     // equi join
     val intendedNestedLoop =
-      Set("q_knn_brute", "q_knn_ivf", "q_tfidf_terms", "q_domain_mix",
+      Set("q_knn_brute", "q_knn_ivf", "q_knn_ivfpq", "q_tfidf_terms", "q_domain_mix",
         "q_domain_mix_temp", // single-row min-domain-count frame
         "q_semdedup", "q_quantize_embeddings", // single-row dim-stats frame
         "q_zorder", "q_zorder3", // single-row min/max stats frame
