@@ -43,24 +43,24 @@ object IvfPq {
     Index(coarse, cells, pqCb, codes)
   }
 
-  /** Top-`topK` neighbours for the corpus rows matching `queryPred`:
+  /** Top-`topK` neighbours for RAW query vectors `queries` ((q_id,
+    * q_emb) — corpus members or external; a candidate with c_id == q_id
+    * is excluded, so external id spaces should not reuse corpus ids):
     * coarse probes -> in-cell ADC -> exact re-rank.
     * Output: (q_id, c_id, score_pq, cosine, rank).
     */
-  def search(
+  def searchWith(
       idx: Index,
+      queries: DataFrame,
       raw: DataFrame,
-      norm: DataFrame,
       m: Int,
-      queryPred: Column,
       nprobe: Int,
       topK: Int,
       shortlist: Int): DataFrame = {
     // probes: queries x coarse codebook (broadcast), top-nprobe cells by
     // raw cosine — identical scoring to q_knn_ivf's probe CTE
     val wP = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("cent_id"))
-    val probes = raw.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = queries
       .crossJoin(broadcast(idx.coarse))
       .withColumn("cs", VecOps.cosine(col("q_emb"), col("cent_emb")))
       .withColumn("rk", row_number().over(wP))
@@ -71,14 +71,51 @@ object IvfPq {
     val cand = idx.cells.join(broadcast(probes), col("cent_id") === col("probe_cent"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"))
-    // in-cell ADC: candidate codes x broadcast lookup table
-    val tbl = Pq.adcTable(norm, idx.pqCb, m, queryPred)
+    // in-cell ADC: candidate codes x broadcast lookup table built from
+    // the unit-normalized queries (same normalization as the corpus side)
+    val qNorm = queries.select(col("q_id"),
+      Pq.normalized(col("q_emb")).as("embedding"))
+    val tbl = Pq.adcTableFor(qNorm, idx.pqCb, m)
     val scored = Pq.adcScore(
       idx.codes.join(broadcast(cand), col("vec_id") === col("c_id"))
         .join(broadcast(tbl),
           col("q_id") === col("t_q") && col("sub_id") === col("t_sub") &&
             col("code") === col("t_cent"))
         .select(col("q_id"), col("c_id"), col("sub_id"), col("pdot")))
-    Pq.rerankExact(Pq.keepShortlist(scored, shortlist), raw, topK)
+    Pq.rerankExact(Pq.keepShortlist(scored, shortlist), raw, queries, topK)
+  }
+
+  /** Top-`topK` neighbours for the corpus rows matching `queryPred`. */
+  def search(
+      idx: Index,
+      raw: DataFrame,
+      m: Int,
+      queryPred: Column,
+      nprobe: Int,
+      topK: Int,
+      shortlist: Int): DataFrame =
+    searchWith(idx,
+      raw.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      raw, m, nprobe, topK, shortlist)
+
+  /** A served IVF-PQ index: materialized codebooks + cached cells and
+    * codes. Build once, answer many query batches
+    * ([[graft.streaming.AnnServe.startPq]]); per batch a query reads the
+    * two broadcast codebooks and the probed cells' CODES — never the
+    * full-precision corpus beyond its shortlist. `close()` releases the
+    * cached frames.
+    */
+  final case class Served(idx: Index, raw: DataFrame, m: Int) {
+    def query(queries: DataFrame, nprobe: Int, topK: Int, shortlist: Int): DataFrame =
+      searchWith(idx, queries, raw, m, nprobe, topK, shortlist)
+    def close(): Unit = { idx.cells.unpersist(); idx.codes.unpersist(); () }
+  }
+
+  /** Build a served index (cells + codes cached; codebooks local). */
+  def buildServed(raw: DataFrame, m: Int = Pq.M): Served = {
+    val norm = raw.select(col("vec_id"), Pq.normalized(col("embedding")).as("embedding"))
+    val idx0 = build(raw, norm, m)
+    Served(idx0.copy(cells = idx0.cells.cache(), codes = idx0.codes.cache()), raw, m)
   }
 }

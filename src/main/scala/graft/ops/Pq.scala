@@ -155,19 +155,23 @@ object Pq {
     assignSub(subVectors(emb, "vec_id", "embedding", m), cb)
       .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
 
-  /** The ADC lookup table for the query rows of normalized corpus `emb`
-    * matching `queryPred`: (q_id, t_sub, t_cent, pdot) — queries x m x k
+  /** The ADC lookup table for NORMALIZED query vectors `queries`
+    * ((q_id, embedding)): (t_q, t_sub, t_cent, pdot) — queries x m x k
     * rows of partial dots. Always broadcast by callers, so the codes scan
     * (the only corpus-sized input) never shuffles.
     */
-  def adcTable(emb: DataFrame, cb: DataFrame, m: Int, queryPred: Column): DataFrame =
-    subVectors(
-      emb.filter(queryPred).select(col("vec_id").as("q_id"), col("embedding")),
-      "q_id", "embedding", m)
+  def adcTableFor(queries: DataFrame, cb: DataFrame, m: Int): DataFrame =
+    subVectors(queries, "q_id", "embedding", m)
       .join(broadcast(cb), "sub_id")
       .select(col("q_id").as("t_q"), col("sub_id").as("t_sub"),
         col("cent_id").as("t_cent"),
         VecOps.vecDot(col("sub_emb"), col("cent_emb")).as("pdot"))
+
+  /** [[adcTableFor]] over the corpus-member queries matching `queryPred`. */
+  def adcTable(emb: DataFrame, cb: DataFrame, m: Int, queryPred: Column): DataFrame =
+    adcTableFor(
+      emb.filter(queryPred).select(col("vec_id").as("q_id"), col("embedding")),
+      cb, m)
 
   /** Approximate-cosine per (q_id, c_id) from joined (q_id, c_id, sub_id,
     * pdot) candidate rows: the m partial dots folded in subspace order —
@@ -190,10 +194,12 @@ object Pq {
 
   /** Exact-cosine re-rank of a shortlist: only (queries x shortlist) rows
     * read full vectors — the shortlist broadcasts, the corpus side stays
-    * a scan. Output: (q_id, c_id, score_pq, cosine, rank).
+    * a scan. `queries` is the RAW (q_id, q_emb) frame (corpus-member or
+    * external). Output: (q_id, c_id, score_pq, cosine, rank).
     */
-  private[ops] def rerankExact(short: DataFrame, raw: DataFrame, topK: Int): DataFrame = {
-    val qv = raw.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+  private[ops] def rerankExact(
+      short: DataFrame, raw: DataFrame, queries: DataFrame, topK: Int): DataFrame = {
+    val qv = queries.select(col("q_id"), col("q_emb"))
     val cv = raw.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
@@ -226,6 +232,8 @@ object Pq {
       .filter(col("vec_id") =!= col("t_q"))
       .select(col("t_q").as("q_id"), col("vec_id").as("c_id"),
         col("sub_id"), col("pdot"))
-    rerankExact(keepShortlist(adcScore(cand), shortlist), raw, topK)
+    val queries = raw.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    rerankExact(keepShortlist(adcScore(cand), shortlist), raw, queries, topK)
   }
 }

@@ -1099,6 +1099,33 @@ object DataPrepQueries {
             least(greatest(col("value"), col("p01")), col("p99"))).as("clipped"))
     },
 
+    // ---- Quantile discretization (feature binning): per-group decile
+    //      boundaries from ONE grouped percentile pass, broadcast back;
+    //      bucket = |{boundaries < value}| — integer-exact given the
+    //      same interpolated boundaries (same percentile machinery as
+    //      q_winsorize). Never a per-group window. ----
+    QueryDef.sql(
+      "q_decile_bucket",
+      """WITH s AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, [1e-1, 2e-1, 3e-1, 4e-1, 5e-1, 6e-1, 7e-1, 8e-1, 9e-1])
+        |      AS bounds
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST(len(list_filter(s.bounds, b -> e.value > b)) AS BIGINT) AS decile
+        |FROM events e JOIN s USING (event_type)""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+          .as("bounds"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(
+          col("event_id"), col("event_type"), col("value"),
+          expr("CAST(size(filter(bounds, b -> value > b)) AS BIGINT)").as("decile"))
+    },
+
     // ---- Robust outlier detection (median/MAD, the data-cleaning
     //      complement of winsorize's quantile clip): two grouped
     //      percentile passes + broadcast joins back — never a per-group

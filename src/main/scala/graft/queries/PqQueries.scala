@@ -148,7 +148,7 @@ object PqQueries {
       val raw = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val norm = normalizedEmb(s, d)
       val idx = IvfPq.build(raw, norm)
-      IvfPq.search(idx, raw, norm, Pq.M, col("vec_id") < 10,
+      IvfPq.search(idx, raw, Pq.M, col("vec_id") < 10,
         nprobe = 4, topK = 5, shortlist = 32)
     },
 

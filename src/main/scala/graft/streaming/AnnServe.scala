@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
-import graft.ops.IvfIndex
+import graft.ops.{IvfIndex, IvfPq}
 
 /** Streaming ANN lookup service: a stream of query vectors answered per
   * micro-batch against a pre-built static IVF index
@@ -50,4 +50,31 @@ object AnnServe {
       nprobe: Int,
       topK: Int)(onResult: (DataFrame, Long) => Unit): StreamingQuery =
     writer(queries, index, nprobe, topK)(onResult).start()
+
+  /** IVF-PQ-backed variant ([[IvfPq.buildServed]]): per batch the probed
+    * cells are scanned as 16-byte codes (ADC against a broadcast lookup
+    * table built from the batch's queries) and only the shortlist reads
+    * full-precision vectors — the per-batch cost that survives a 10^9-row
+    * corpus. Results carry (q_id, c_id, score_pq, cosine, rank).
+    */
+  def writerPq(
+      queries: Dataset[QueryVec],
+      served: IvfPq.Served,
+      nprobe: Int,
+      topK: Int,
+      shortlist: Int)(onResult: (DataFrame, Long) => Unit): DataStreamWriter[QueryVec] =
+    queries.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[QueryVec], batchId: Long) =>
+        onResult(served.query(batch.toDF(), nprobe, topK, shortlist), batchId)
+      }
+
+  /** Start the IVF-PQ service with a no-frills callback sink. */
+  def startPq(
+      queries: Dataset[QueryVec],
+      served: IvfPq.Served,
+      nprobe: Int,
+      topK: Int,
+      shortlist: Int)(onResult: (DataFrame, Long) => Unit): StreamingQuery =
+    writerPq(queries, served, nprobe, topK, shortlist)(onResult).start()
 }

@@ -52,7 +52,7 @@ class IvfPqSpec extends AnyFunSuite with Matchers {
       Pq.normalized(col("embedding")).as("embedding"))
     val truth = bruteTop5(raw.select(col("vec_id"), col("embedding").as("q_emb")))
     val idx = IvfPq.build(raw, norm)
-    val got = IvfPq.search(idx, raw, norm, Pq.M, col("vec_id") < 10,
+    val got = IvfPq.search(idx, raw, Pq.M, col("vec_id") < 10,
       nprobe = 2, topK = 5, shortlist = 32)
       .select("q_id", "c_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
