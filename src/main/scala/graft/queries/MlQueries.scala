@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+import graft.model.Tables
+import graft.ops.Classify
+
+/** Classification / evaluation queries over the labelled embedding corpus
+  * ([[graft.ops.Classify]]): nearest-centroid prediction, kNN
+  * majority-vote, and the confusion-matrix eval — the quality-measurement
+  * end of a training-data pipeline (how separable is the embedding space
+  * the dedup/ANN operators run on?).
+  */
+object MlQueries {
+
+  /** DuckDB CTE chain ending in `pred(vec_id, true_label, pred_label)`:
+    * per-label fixed-point centroids + max-cosine assignment — the exact
+    * twin of [[Classify.nearestCentroid]] (same mean arithmetic as the
+    * k-means oracle's update step, same (cos DESC, label) tie-break).
+    */
+  private def centroidPredCtes: String =
+    s"""cb AS (
+       |  SELECT cent_id, list(val ORDER BY pos) AS cent_emb FROM (
+       |    SELECT CAST(label AS BIGINT) AS cent_id, pos,
+       |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+       |        / CAST(count(*) AS DOUBLE) AS val
+       |    FROM (
+       |      SELECT label, unnest(embedding) AS x,
+       |        unnest(range(1, len(embedding) + 1)) AS pos
+       |      FROM embeddings)
+       |    GROUP BY label, pos)
+       |  GROUP BY cent_id
+       |), pred AS (
+       |  SELECT vec_id, true_label, CAST(cent_id AS INT) AS pred_label FROM (
+       |    SELECT e.vec_id, e.label AS true_label, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${OracleVec.cos("e.embedding", "c.cent_emb")} DESC, c.cent_id)
+       |        AS rk
+       |    FROM embeddings e, cb c) WHERE rk = 1
+       |)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Nearest-centroid classification (linear-probe sanity check of
+    //      the embedding space): centroids from ONE posexplode agg
+    //      (labels x dim groups), assignment via the broadcast argmax —
+    //      the corpus is never shuffled and never windowed. ----
+    QueryDef.sql(
+      "q_centroid_classify",
+      s"""WITH $centroidPredCtes
+         |SELECT vec_id, true_label, pred_label FROM pred""".stripMargin
+    ) { (s, d) =>
+      Classify.nearestCentroid(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
+    },
+
+    // ---- Confusion-matrix eval of the same prediction chain:
+    //      (true_label, pred_label, n) — integer-exact. ----
+    QueryDef.sql(
+      "q_eval_confusion",
+      s"""WITH $centroidPredCtes
+         |SELECT true_label, pred_label, count(*) AS n
+         |FROM pred GROUP BY true_label, pred_label""".stripMargin
+    ) { (s, d) =>
+      Classify.nearestCentroid(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- kNN majority-vote classification: brute exact top-5 neighbour
+    //      frame (the ANN variants produce the same (q_id, c_id) shape)
+    //      -> per-query vote with a partial-aggregable argmax. ----
+    QueryDef.sql(
+      "q_knn_classify", {
+        def dot(a: String, b: String) = OracleVec.dot(a, b)
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           |  WHERE vec_id < 20
+           |), p AS (
+           |  SELECT q_id, c.vec_id AS c_id,
+           |    ${dot("q_emb", "c.embedding")}
+           |    / (sqrt(${dot("q_emb", "q_emb")})
+           |       * sqrt(${dot("c.embedding", "c.embedding")})) AS cosine
+           |  FROM q, embeddings c WHERE q_id <> c.vec_id
+           |), nb AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5
+           |), v AS (
+           |  SELECT q_id, e.label, count(*) AS votes
+           |  FROM nb JOIN embeddings e ON nb.c_id = e.vec_id
+           |  GROUP BY q_id, e.label
+           |), m AS (
+           |  SELECT q_id, label AS pred_label, votes FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1
+           |)
+           |SELECT m.q_id, e.label AS true_label, m.pred_label, m.votes
+           |FROM m JOIN embeddings e ON m.q_id = e.vec_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      val nb = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .crossJoin(broadcast(qv))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"))
+      Classify.knnVote(nb, emb.select(col("vec_id"), col("label")))
+        .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+        .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
+    }
+  )
+}
