@@ -132,7 +132,8 @@ object CurationQueries {
     ) { (s, d) =>
       Curation.mixToUniform(Tables.documents(s, d).select(col("doc_id"), col("source")))
         .select(col("doc_id"), col("source"), col("n_domain"), col("kept"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row min-domain-count frame"),
 
     // ---- sqrt-temperature domain mixing (alpha = 1/2): keep prob
     //      sqrt(min/n_d) — alpha fixed at 1/2 because sqrt is the one
@@ -154,7 +155,8 @@ object CurationQueries {
       Curation.mixWithSqrtTemperature(
           Tables.documents(s, d).select(col("doc_id"), col("source")))
         .select(col("doc_id"), col("source"), col("n_domain"), col("kept"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row min-domain-count frame"),
 
     // ---- per-domain token-budget cap: every source capped at an
     //      EXPECTED 1300 tokens via a hash threshold (keep prob =
@@ -286,7 +288,8 @@ object CurationQueries {
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       Curation.semDedup(emb, graft.ops.IvfIndex.chooseK(emb.count()), tau = 0.9)
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the k ~ sqrt(n) centroid codebook"),
 
     // ---- Repeated-span removal (Lee-et-al.-style substring dedup at
     //      8-token granularity): duplicated spans marked everywhere except

@@ -756,7 +756,8 @@ object DataPrepQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "cosine", "rank")
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the 10-row probe set; corpus streams once"),
 
     // ---- gap-based sessionization over the event stream ----
     QueryDef.sql(
@@ -1231,7 +1232,8 @@ object DataPrepQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rk")
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row corpus-count frame"),
 
     // ---- dataset-version diff: which documents were added / removed /
     //      changed between two snapshots — the audit pass behind

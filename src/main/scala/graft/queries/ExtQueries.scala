@@ -253,7 +253,10 @@ object ExtQueries {
         .orderBy(col("dist"), col("event_type"), col("ts"), col("event_id"))
         .limit(10)
         .withColumn("rank", row_number().over(wr).cast("long"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row query-window frame")
+      .intendsGlobalWindow(
+        "rank window runs on the 10 TakeOrdered survivors only"),
 
     // ---- z-normalized pattern matching: each 8-point window is
     //      standardized to (x - mu) / sd before the Euclidean fold, so
@@ -330,7 +333,10 @@ object ExtQueries {
         .orderBy(col("dist"), col("event_type"), col("ts"), col("event_id"))
         .limit(10)
         .withColumn("rank", row_number().over(wr).cast("long"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row query-window frame")
+      .intendsGlobalWindow(
+        "rank window runs on the 10 TakeOrdered survivors only"),
 
     // ---- DTW pattern matching: banded (Sakoe-Chiba r=2) dynamic time
     //      warping between the query window and every candidate window —
@@ -389,7 +395,10 @@ object ExtQueries {
         .orderBy(col("dist"), col("event_type"), col("ts"), col("event_id"))
         .limit(10)
         .withColumn("rank", row_number().over(wr).cast("long"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row query-window frame")
+      .intendsGlobalWindow(
+        "rank window runs on the 10 TakeOrdered survivors only"),
 
     // ---- set operations: INTERSECT / EXCEPT between two derived key
     //      sets (hash-dedup semantics, no sort) ----
@@ -770,7 +779,8 @@ object ExtQueries {
               |    + (element_at(qarr, i + 1) + 0.5D)
               |      * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256.0D))))"""
               .stripMargin).as("max_abs_err"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row per-dim stats frame"),
 
     // ---- z-order (Morton) cell + z-value of the (value, event_id)
     //      plane: the clustering key behind ZOrder.writeZOrdered's
@@ -814,7 +824,8 @@ object ExtQueries {
         .select(
           col("event_id"), col("xc"), col("yc"),
           expr(ZOrder.zvalueSql("xc", "yc")).as("zval"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row min/max stats frame"),
 
     // ---- 3-dimensional z-order: 21-bit cells over (value, event_id,
     //      ts-seconds) interleaved into one 63-bit Morton key — the
@@ -866,7 +877,8 @@ object ExtQueries {
         .select(
           col("event_id"), col("xc"), col("yc"), col("zc"),
           expr(ZOrder.zvalue3Sql("xc", "yc", "zc")).as("zval"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row min/max stats frame"),
 
     // ---- analytic window-function breadth: rank family + offsets over
     //      the per-symbol ordered series (one shuffle, shared window) ----
@@ -949,7 +961,8 @@ object ExtQueries {
       val cb = IvfIndex.materialize(IvfIndex.codebook(emb, k, iters = 2))
       IvfIndex.search(emb, cb, col("vec_id") < 10, nprobe = 2, topK = 5)
         .select("q_id", "c_id", "cosine", "rank")
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the k ~ sqrt(n) centroid codebook"),
 
     // ---- embedding-cosine near-dup dedup: banded LSH -> in-bucket pairs
     //      above threshold -> min-id representative per vector. Candidates

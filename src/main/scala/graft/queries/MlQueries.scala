@@ -54,7 +54,8 @@ object MlQueries {
     ) { (s, d) =>
       Classify.nearestCentroid(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the #labels-row centroid codebook"),
 
     // ---- Confusion-matrix eval of the same prediction chain:
     //      (true_label, pred_label, n) — integer-exact. ----
@@ -68,7 +69,8 @@ object MlQueries {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
         .groupBy(col("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the #labels-row centroid codebook"),
 
     // ---- kNN majority-vote classification: brute exact top-5 neighbour
     //      frame (the ANN variants produce the same (q_id, c_id) shape)
@@ -116,6 +118,7 @@ object MlQueries {
       Classify.knnVote(nb, emb.select(col("vec_id"), col("label")))
         .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
         .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
-    }
+    }.intendsNestedLoop(
+      "broadcast side is the 20-row query frame (brute kNN baseline)")
   )
 }

@@ -150,7 +150,9 @@ object PqQueries {
       val idx = IvfPq.build(raw, norm)
       IvfPq.search(idx, raw, Pq.M, col("vec_id") < 10,
         nprobe = 4, topK = 5, shortlist = 32)
-    },
+    }.intendsNestedLoop(
+      "broadcast sides are the sqrt(n) coarse codebook and the " +
+        "(queries x m x k) ADC table"),
 
     // ---- Johnson-Lindenstrauss random projection: 64 -> 16 dims via the
     //      deterministic hyperplane family of the LSH bucketer (offset

@@ -284,7 +284,9 @@ object TechQueries {
           sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
           .as("corr_24h"),
         (covN / when(varX > 0, varX.cast("double"))).as("beta_24h"))
-    },
+    }.intendsGlobalWindow(
+      "rolls over the joint HOURLY series of one symbol pair — " +
+        "cardinality grows with wall-clock hours, not data volume"),
 
     // ---- Gap-fill resample (pandas asfreq('1H') + ffill parity): dense
     //      per-symbol hourly spine, last tick in each hour, forward-fill

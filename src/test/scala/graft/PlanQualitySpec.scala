@@ -99,14 +99,12 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // semdedup: k ~ sqrt(n) centroid rows) — or the single-row corpus
     // stats frame (tfidf's doc count, domain_mix's min-domain count) —
     // are the intended shape for these; everything else must be an
-    // equi join
-    val intendedNestedLoop =
-      Set("q_knn_brute", "q_knn_ivf", "q_knn_ivfpq", "q_tfidf_terms", "q_domain_mix",
-        "q_domain_mix_temp", // single-row min-domain-count frame
-        "q_semdedup", "q_quantize_embeddings", // single-row dim-stats frame
-        "q_zorder", "q_zorder3", // single-row min/max stats frame
-        // single-row query-window frame:
-        "q_pattern_match", "q_pattern_match_znorm", "q_pattern_match_dtw")
+    // equi join. Intent lives ON the QueryDef (with a justification
+    // string), so a new query cannot silently skip this gate by editing
+    // a spec-local whitelist — it has to declare its shape where the
+    // query is defined.
+    val intendedNestedLoop = SparkEntry.allQueries
+      .filter(_.planIntent.broadcastNestedLoop.isDefined).map(_.name).toSet
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -116,6 +114,20 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
         if (cartesian || bnlj) Some(name) else None
     }
     offenders shouldBe empty
+  }
+
+  test("declared plan intent is not stale: every intent-annotated query still plans that shape") {
+    // the inverse gate — an intent annotation on a query whose plan no
+    // longer contains the declared shape is dead documentation and must
+    // be removed (keeps the QueryDef metadata honest over time)
+    val stale = SparkEntry.allQueries
+      .filter(_.planIntent.broadcastNestedLoop.isDefined)
+      .filterNot { q =>
+        q.fn(spark, sfDir).queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin")
+      }
+      .map(_.name)
+    stale shouldBe empty
   }
 
   test("per-key min/max normalization uses grouped agg + broadcast, never a whole-partition window") {
@@ -192,9 +204,8 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // time-bounded series (q_pair_corr rolls over the JOINT HOURLY series
     // of one symbol pair — cardinality grows with wall-clock hours, not
     // with data volume: ~9k rows/year at any scale factor)
-    val allowed =
-      Set("q_pattern_match", "q_pattern_match_znorm", "q_pattern_match_dtw",
-        "q_pair_corr")
+    val allowed = SparkEntry.allQueries
+      .filter(_.planIntent.globalWindow.isDefined).map(_.name).toSet
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>
         val df = fn(spark, sfDir)
