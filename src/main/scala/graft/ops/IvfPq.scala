@@ -23,13 +23,18 @@ import graft.functions.VecOps
   */
 object IvfPq {
 
-  /** Built index: coarse codebook, cell assignment, PQ codebooks, codes.
-    * The two codebooks are materialized local relations (index metadata);
-    * `cells` and `codes` are corpus-sized but compact (2 and 3 small
-    * columns).
+  /** Built index: coarse codebook, cell assignment, PQ codebooks, codes,
+    * and the search-time frame `cellCodes` = codes keyed by their coarse
+    * cell (the PQ code rows pre-joined to the cell assignment at BUILD
+    * time). The two codebooks are materialized local relations (index
+    * metadata); `cells`, `codes` and `cellCodes` are corpus-sized but
+    * compact (small fixed columns). On a real cluster `cellCodes` is the
+    * frame you persist bucketed/partitioned BY `cent_id`, so a probe
+    * touches only its cells' files.
     */
   final case class Index(
-      coarse: DataFrame, cells: DataFrame, pqCb: DataFrame, codes: DataFrame)
+      coarse: DataFrame, cells: DataFrame, pqCb: DataFrame, codes: DataFrame,
+      cellCodes: DataFrame)
 
   /** Build both index structures over a corpus given raw + normalized
     * views of it ((vec_id, embedding) each).
@@ -40,7 +45,11 @@ object IvfPq {
     val cells = IvfIndex.assign(raw, coarse).select(col("vec_id"), col("cent_id"))
     val pqCb = Pq.codebooks(norm, m, Pq.chooseKsub(n))
     val codes = Pq.encode(norm, pqCb, m)
-    Index(coarse, cells, pqCb, codes)
+    // one build-time equi join keys every code row by its coarse cell —
+    // search then never joins corpus-sized frames to each other again
+    val cellCodes = cells.join(codes, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+    Index(coarse, cells, pqCb, codes, cellCodes)
   }
 
   /** Top-`topK` neighbours for RAW query vectors `queries` ((q_id,
@@ -66,22 +75,26 @@ object IvfPq {
       .withColumn("rk", row_number().over(wP))
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("cent_id").as("probe_cent"))
-    // candidate ids: every vector in a probed cell (a vector lives in
-    // exactly one cell, so (q_id, c_id) pairs are already distinct)
-    val cand = idx.cells.join(broadcast(probes), col("cent_id") === col("probe_cent"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"))
-    // in-cell ADC: candidate codes x broadcast lookup table built from
-    // the unit-normalized queries (same normalization as the corpus side)
+    // in-cell ADC: the cell-keyed codes frame streams ONCE against the
+    // broadcast probe set and the broadcast (queries x m x k_sub) dot
+    // table built from the unit-normalized queries. Both broadcasts are
+    // bounded by the QUERY BATCH (nprobe rows/query; m*k_sub rows/query),
+    // never by cell size — the earlier shape broadcast the (queries x
+    // nprobe x cell-size) candidate-id set, which at n = 10^9 is ~250k
+    // rows PER QUERY and blows the broadcast limit for a batch of
+    // hundreds. A vector lives in exactly one cell, so (q_id, c_id)
+    // pairs are distinct by construction.
     val qNorm = queries.select(col("q_id"),
       Pq.normalized(col("q_emb")).as("embedding"))
     val tbl = Pq.adcTableFor(qNorm, idx.pqCb, m)
     val scored = Pq.adcScore(
-      idx.codes.join(broadcast(cand), col("vec_id") === col("c_id"))
+      idx.cellCodes
+        .join(broadcast(probes), col("cent_id") === col("probe_cent"))
+        .filter(col("vec_id") =!= col("q_id"))
         .join(broadcast(tbl),
           col("q_id") === col("t_q") && col("sub_id") === col("t_sub") &&
             col("code") === col("t_cent"))
-        .select(col("q_id"), col("c_id"), col("sub_id"), col("pdot")))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("sub_id"), col("pdot")))
     Pq.rerankExact(Pq.keepShortlist(scored, shortlist), raw, queries, topK)
   }
 
@@ -109,13 +122,19 @@ object IvfPq {
   final case class Served(idx: Index, raw: DataFrame, m: Int) {
     def query(queries: DataFrame, nprobe: Int, topK: Int, shortlist: Int): DataFrame =
       searchWith(idx, queries, raw, m, nprobe, topK, shortlist)
-    def close(): Unit = { idx.cells.unpersist(); idx.codes.unpersist(); () }
+    def close(): Unit = { idx.cellCodes.unpersist(); () }
   }
 
-  /** Build a served index (cells + codes cached; codebooks local). */
+  /** Build a served index (the cell-keyed codes frame cached; codebooks
+    * local). Per-batch driver-side state is two broadcasts bounded by the
+    * batch: nprobe rows/query (probes) and m*k_sub rows/query (ADC table,
+    * ~4k rows/query at the defaults) — size batches so batch * 4k stays
+    * comfortably under the broadcast threshold (e.g. <= ~2k queries/batch
+    * at the defaults; above that, split the batch).
+    */
   def buildServed(raw: DataFrame, m: Int = Pq.M): Served = {
     val norm = raw.select(col("vec_id"), Pq.normalized(col("embedding")).as("embedding"))
     val idx0 = build(raw, norm, m)
-    Served(idx0.copy(cells = idx0.cells.cache(), codes = idx0.codes.cache()), raw, m)
+    Served(idx0.copy(cellCodes = idx0.cellCodes.cache()), raw, m)
   }
 }
