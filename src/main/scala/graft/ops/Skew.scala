@@ -14,21 +14,20 @@ import org.apache.spark.sql.functions._
   * can be salted this way; the helper exposes exactly those.
   *
   * The salt must be deterministic for retry-safety (a task retry must
-  * re-salt a row identically), so it hashes the whole input row rather
-  * than using rand().
+  * re-salt a row identically), so it hashes the whole input row PLUS the
+  * input partition id rather than using rand() or a row index
+  * (monotonically_increasing_id is only stable when partition-local row
+  * ORDER is stable; spark_partition_id is stable whenever the
+  * partitioning itself is deterministic, which every upstream shape here
+  * — file scan or hash shuffle — guarantees).
   *
-  * KNOWN LIMITATION: because the salt is a pure function of row content,
-  * fully IDENTICAL duplicate rows of a hot key all land in the same salt
-  * bucket and get no fan-out. That trade is deliberate: the alternative —
-  * mixing in a per-partition row index (e.g. monotonically_increasing_id)
-  * — is only retry-stable when the source partitioning and row order are
-  * themselves stable (true for file scans, NOT true downstream of a
-  * shuffle), and a retry-unstable salt breaks exactly-once sinks. Callers
-  * with identical-duplicate-row skew should pre-aggregate the duplicates
-  * first (groupBy all columns + count — itself content-hash-partitioned,
-  * but each group collapses to one row so the hot reducer does O(dups)
-  * trivial work, not O(dups) full aggregation states) and feed the
-  * weighted rows here.
+  * Identical-duplicate-row skew: mixing in the partition id spreads
+  * identical rows of a hot key across as many salt buckets as they span
+  * input partitions. Copies WITHIN one input partition still share a
+  * bucket — and that residue is free, because phase 1's map-side partial
+  * aggregation collapses them into a single (key, salt) state inside
+  * that task before anything shuffles; no reducer ever sees the
+  * duplicate fan-in.
   */
 object Skew {
 
@@ -58,7 +57,8 @@ object Skew {
       aggs: Seq[(String, SaltedAgg)]): DataFrame = {
     require(salts > 0)
     val salted = df.withColumn(
-      "__salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
+      "__salt",
+      pmod(hash((df.columns.map(col) :+ spark_partition_id()): _*), lit(salts)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(

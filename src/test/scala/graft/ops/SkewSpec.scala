@@ -64,10 +64,29 @@ class SkewSpec extends AnyFunSuite with Matchers {
   }
 
   test("salt is deterministic: same input row always lands in the same salt") {
-    val a = skewed.withColumn("s",
-      pmod(hash(skewed.columns.map(col): _*), lit(8))).collect()
-    val b = skewed.withColumn("s",
-      pmod(hash(skewed.columns.map(col): _*), lit(8))).collect()
-    a.map(_.toSeq) shouldBe b.map(_.toSeq)
+    def salted = skewed.withColumn("s",
+      pmod(hash((skewed.columns.map(col) :+ spark_partition_id()): _*), lit(8)))
+    salted.collect().map(_.toSeq) shouldBe salted.collect().map(_.toSeq)
+  }
+
+  test("IDENTICAL duplicate rows of a hot key fan out across salt buckets") {
+    val s = spark
+    import s.implicits._
+    // 10k bit-identical copies of one row, spread over 16 input partitions
+    // (the pre-r3 content-only salt put all of them in ONE bucket)
+    val dupes = s.sparkContext
+      .parallelize(Seq.fill(10000)(("HOT", 1L, 1.0)), 16).toDF("key", "n", "v")
+    val buckets = dupes
+      .withColumn("__salt",
+        pmod(hash((dupes.columns.map(col) :+ spark_partition_id()): _*), lit(8)))
+      .select("__salt").distinct().count()
+    buckets should be > 1L
+
+    // and parity is preserved through the two-phase aggregate
+    val got = Skew.saltedAgg(dupes, Seq("key"), salts = 8,
+      Seq("v" -> Skew.sumAgg("sum_v"), "v" -> Skew.countAgg)).collect()
+    got.length shouldBe 1
+    got.head.getAs[Double]("sum_v") shouldBe 10000.0
+    got.head.getAs[Long]("count") shouldBe 10000L
   }
 }
