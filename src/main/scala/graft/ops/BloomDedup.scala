@@ -55,17 +55,52 @@ object BloomDedup {
 
   /** The rows of `incoming` whose composite `keyNames` value does NOT
     * appear in `history` — exact, bloom-routed (see object doc).
+    *
+    * @param expectedItems caller's estimate of the history key count for
+    *   Bloom sizing (e.g. from table stats or the previous ingest's
+    *   count). When absent, a `history.count()` pass derives it — at
+    *   100 TB that is a full extra scan, so production callers should
+    *   pass the estimate. Oversizing only wastes filter bytes;
+    *   undersizing only raises the false-positive rate (more rows take
+    *   the verify join) — correctness never depends on it.
+    * @param maxBroadcastKeys bound on the maybe-dup key set the verify
+    *   path may broadcast. The maybe-set is unbounded in adversarial
+    *   batches (a batch that is mostly duplicates over a wide key
+    *   space), so above this bound the verify switches to a shuffled
+    *   anti join of the bloom-positive slice against the history keys
+    *   that a batch-side Bloom admits — batch-bounded state on every
+    *   executor, history still never shuffled beyond its matching keys.
     */
-  def newRows(history: DataFrame, incoming: DataFrame, keyNames: Seq[String]): DataFrame = {
+  def newRows(
+      history: DataFrame,
+      incoming: DataFrame,
+      keyNames: Seq[String],
+      expectedItems: Option[Long] = None,
+      maxBroadcastKeys: Long = 1L << 22): DataFrame = {
     val keyCols = keyNames.map(col)
     val bloom = buildBloom(history, keyCols,
-      expectedItems = math.max(1L, history.count()))
+      expectedItems = math.max(1L, expectedItems.getOrElse(history.count())))
     val maybe = incoming.filter(mightContain(bloom, keyCols))
       .select(keyCols: _*).distinct()
-    // confirmed existing keys: scan history once, broadcast the maybe-set
-    val confirmed = history
-      .join(broadcast(maybe), keyNames, "left_semi")
-      .select(keyCols: _*).distinct()
-    incoming.join(broadcast(confirmed), keyNames, "left_anti")
+    // batch-sized count (never history-sized): routes the verify shape
+    val maybeCount = maybe.count()
+    if (maybeCount <= maxBroadcastKeys) {
+      // confirmed existing keys: scan history once, broadcast the maybe-set
+      val confirmed = history
+        .join(broadcast(maybe), keyNames, "left_semi")
+        .select(keyCols: _*).distinct()
+      incoming.join(broadcast(confirmed), keyNames, "left_anti")
+    } else {
+      // oversized maybe-set: bloom-definite-new rows still skip all joins;
+      // the positive slice anti-joins history pruned by a BATCH-side bloom
+      // (so only history keys colliding with the batch shuffle at all)
+      val batchBloom = buildBloom(maybe, keyCols, math.max(1L, maybeCount))
+      val histSlice = history.filter(mightContain(batchBloom, keyCols))
+        .select(keyCols: _*)
+      incoming.filter(!mightContain(bloom, keyCols))
+        .unionByName(
+          incoming.filter(mightContain(bloom, keyCols))
+            .join(histSlice, keyNames, "left_anti"))
+    }
   }
 }

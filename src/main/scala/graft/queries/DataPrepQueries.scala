@@ -1114,9 +1114,19 @@ object DataPrepQueries {
         |  FROM events GROUP BY event_type
         |)
         |SELECT e.event_id, e.event_type, e.value,
-        |  CAST(len(list_filter(s.bounds, b -> e.value > b)) AS BIGINT) AS decile
+        |  CAST(len(list_filter(s.bounds,
+        |    b -> CAST(floor(e.value * 1e6) AS BIGINT)
+        |       > CAST(floor(b * 1e6) AS BIGINT))) AS BIGINT) AS decile
         |FROM events e JOIN s USING (event_type)""".stripMargin
     ) { (s, d) =>
+      // the bucket comparison quantizes BOTH sides to 1e-6 fixed point
+      // (floor(x*1e6): one correctly-rounded multiply + floor, identical
+      // in both engines) so the verdict never rests on Spark percentile()
+      // and DuckDB quantile_cont() agreeing to the last ulp of their
+      // interpolation arithmetic — a 1-ulp divergence in an interpolated
+      // boundary would otherwise flip the bucket of any value landing
+      // exactly on it (the Num fixed-point pattern, applied to the
+      // comparison instead of a sum)
       val ev = Tables.events(s, d)
       val stats = ev.groupBy(col("event_type")).agg(
         expr("percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
@@ -1124,7 +1134,9 @@ object DataPrepQueries {
       ev.join(broadcast(stats), Seq("event_type"))
         .select(
           col("event_id"), col("event_type"), col("value"),
-          expr("CAST(size(filter(bounds, b -> value > b)) AS BIGINT)").as("decile"))
+          expr("""CAST(size(filter(bounds,
+            b -> CAST(floor(value * 1e6D) AS BIGINT)
+               > CAST(floor(b * 1e6D) AS BIGINT))) AS BIGINT)""").as("decile"))
     },
 
     // ---- Robust outlier detection (median/MAD, the data-cleaning

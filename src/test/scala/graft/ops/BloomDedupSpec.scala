@@ -55,6 +55,34 @@ class BloomDedupSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("oversized maybe-set falls back to the shuffled verify, same exact result") {
+    val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+    val cut = ev.count() / 10
+    val hist = ev.filter(col("event_id") < cut).select("user_id", "event_type")
+    val inc = ev.filter(col("event_id") >= cut)
+      .select("event_id", "user_id", "event_type")
+    val expected = inc.join(hist, Seq("user_id", "event_type"), "left_anti")
+      .select("event_id").as[Long].collect().sorted
+    // force the fallback: every maybe-set bigger than 1 key overflows
+    val got = BloomDedup.newRows(hist, inc, Seq("user_id", "event_type"),
+      maxBroadcastKeys = 1L)
+      .select("event_id").as[Long].collect().sorted
+    got shouldBe expected
+  }
+
+  test("caller-supplied expectedItems skips the history count, result unchanged") {
+    val history = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("user_id", "event_type")
+    val incoming = Seq((10L, 1L, "a"), (11L, 1L, "b"), (13L, 4L, "a"))
+      .toDF("event_id", "user_id", "event_type")
+    // wildly oversized and undersized estimates both stay exact
+    for (est <- Seq(1L, 1000000L)) {
+      BloomDedup.newRows(history, incoming, Seq("user_id", "event_type"),
+        expectedItems = Some(est))
+        .select("event_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+    }
+  }
+
   test("verify joins broadcast: no sort-merge join, no shuffle of either side") {
     val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
     val cut = ev.count() / 10
