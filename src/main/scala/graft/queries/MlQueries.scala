@@ -119,6 +119,48 @@ object MlQueries {
         .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
         .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
     }.intendsNestedLoop(
-      "broadcast side is the 20-row query frame (brute kNN baseline)")
+      "broadcast side is the 20-row query frame (brute kNN baseline)"),
+
+    // ---- kNN classification over the IVF-PQ index — the shape a 100 TB
+    //      label-propagation job actually runs: neighbours come from the
+    //      compressed coarse-pruned index (nprobe cells, 16-byte codes,
+    //      exact re-rank), not a brute scan, then the same
+    //      partial-aggregable majority vote. The oracle replays the
+    //      whole two-chain IVF-PQ search (shared CTEs with q_knn_ivfpq)
+    //      plus the vote, so the gate is hash-exact end-to-end;
+    //      MlAnnAgreementSpec pins the quality side (agreement with the
+    //      brute-kNN vote on a clustered corpus). ----
+    QueryDef.sql(
+      "q_knn_classify_ann",
+      s"""WITH ${OraclePq.ivfpqSearchCtes("vec_id < 20", nprobe = 4, shortlist = 32)},
+         |nb AS (
+         |  SELECT q_id, c_id FROM ranked WHERE rank <= 5
+         |), v AS (
+         |  SELECT q_id, e.label, count(*) AS votes
+         |  FROM nb JOIN embeddings e ON nb.c_id = e.vec_id
+         |  GROUP BY q_id, e.label
+         |), m AS (
+         |  SELECT q_id, label AS pred_label, votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1
+         |)
+         |SELECT m.q_id, e.label AS true_label, m.pred_label, m.votes
+         |FROM m JOIN embeddings e ON m.q_id = e.vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.{IvfPq, Pq}
+      val emb = Tables.embeddings(s, d)
+      val raw = emb.select(col("vec_id"), col("embedding"))
+      val norm = raw.select(col("vec_id"),
+        Pq.normalized(col("embedding")).as("embedding"))
+      val idx = IvfPq.build(raw, norm)
+      val nb = IvfPq.search(idx, raw, Pq.M, col("vec_id") < 20,
+        nprobe = 4, topK = 5, shortlist = 32)
+        .select(col("q_id"), col("c_id"))
+      Classify.knnVote(nb, emb.select(col("vec_id"), col("label")))
+        .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+        .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
+    }.intendsNestedLoop(
+      "broadcast sides are the sqrt(n) coarse codebook and the " +
+        "(queries x m x k) ADC table")
   )
 }

@@ -94,55 +94,12 @@ object PqQueries {
     //      the gate checks the full production-ANN shape end-to-end.
     //      [[graft.ops.IvfPq]] has the 10^9-row cost model. ----
     QueryDef.sql(
-      "q_knn_ivfpq", {
-        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
-        s"""WITH ${OracleKmeans.codebookCtes},
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.cent_id,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
-           |  FROM embeddings e, cb2 c
-           |), cells AS (
-           |  SELECT vec_id, cent_id FROM scored WHERE rk = 1
-           |), probes AS (
-           |  SELECT vec_id AS q_id, cent_id AS probe_cent
-           |  FROM scored WHERE vec_id < 10 AND rk <= 4
-           |), ${OraclePq.codesCtes},
-           |tbl AS (
-           |  SELECT q.vec_id AS q_id, q.sub_id, c.cent_id,
-           |    ${OracleVec.dot("q.sub_emb", "c.cent_emb")} AS pdot
-           |  FROM sq q JOIN pcb2 c ON c.sub_id = q.sub_id WHERE q.vec_id < 10
-           |), cand AS (
-           |  SELECT p.q_id, ce.vec_id AS c_id
-           |  FROM probes p JOIN cells ce ON ce.cent_id = p.probe_cent
-           |  WHERE ce.vec_id <> p.q_id
-           |), adc AS (
-           |  SELECT ca.q_id, ca.c_id, list(t.pdot ORDER BY t.sub_id) AS ps
-           |  FROM cand ca
-           |  JOIN codes co ON co.vec_id = ca.c_id
-           |  JOIN tbl t ON t.q_id = ca.q_id AND t.sub_id = co.sub_id
-           |    AND t.cent_id = co.code
-           |  GROUP BY ca.q_id, ca.c_id
-           |), sc AS (
-           |  SELECT q_id, c_id,
-           |    list_reduce(list_prepend(0e0, ps), (acc, v) -> acc + v) AS score_pq
-           |  FROM adc
-           |), short AS (
-           |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY score_pq DESC, c_id) AS srk FROM sc)
-           |  WHERE srk <= 32
-           |), rr AS (
-           |  SELECT s.q_id, s.c_id, s.score_pq,
-           |    ${cosDuck("qe.embedding", "ce.embedding")} AS cosine
-           |  FROM short s JOIN embeddings qe ON qe.vec_id = s.q_id
-           |               JOIN embeddings ce ON ce.vec_id = s.c_id
-           |)
-           |SELECT q_id, c_id, score_pq, cosine, CAST(rank AS BIGINT) AS rank
-           |FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cosine DESC, c_id) AS rank FROM rr)
-           |WHERE rank <= 5""".stripMargin
-      }
+      "q_knn_ivfpq",
+      // the whole two-chain unroll lives in OraclePq.ivfpqSearchCtes,
+      // shared with q_knn_classify_ann's oracle
+      s"""WITH ${OraclePq.ivfpqSearchCtes("vec_id < 10", nprobe = 4, shortlist = 32)}
+         |SELECT q_id, c_id, score_pq, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
     ) { (s, d) =>
       import graft.ops.IvfPq
       val raw = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
