@@ -1377,18 +1377,29 @@ object DataPrepQueries {
     // ---- Distributed BPE tokenizer training ([[graft.ops.BpeTrainer]]):
     //      the learned merge table for k=24 rounds over the corpus word
     //      counts. Iterative (one pair-count agg + 1-row fetch per round)
-    //      — not ANSI-SQL-expressible (DuckDB's list_reduce cannot carry
-    //      an array accumulator), so rows-only here; BpeTrainerSpec pins
-    //      the exact merge sequence against a serial reference ----
-    QueryDef.rowsOnly("q_bpe_merges") { (s, d) =>
+    //      — the oracle unrolls all 24 rounds into DuckDB CTEs
+    //      ([[OracleBpe]]: relational greedy-merge via gaps-and-islands
+    //      parity, since list_reduce cannot carry an array accumulator),
+    //      so the gate is hash-exact; BpeTrainerSpec additionally pins
+    //      the merge sequence against a serial in-memory reference ----
+    QueryDef.sql(
+      "q_bpe_merges",
+      s"""WITH ${OracleBpe.trainCtes(24)}
+         |${OracleBpe.mergesSelect(24)}""".stripMargin
+    ) { (s, d) =>
       val words = graft.ops.BpeTrainer.wordTable(Tables.documents(s, d), "text")
       graft.ops.BpeTrainer.mergesDf(s, graft.ops.BpeTrainer.train(words, k = 24))
     },
 
     // ---- The apply side: corpus tokenized with the learned merges —
-    //      per-row folds, linear; token arrays serialized for the
-    //      harness (no raw arrays in compared output) ----
-    QueryDef.rowsOnly("q_bpe_tokenize") { (s, d) =>
+    //      per-row folds over the DISTINCT-word table, linear; token
+    //      arrays serialized for the harness (no raw arrays in compared
+    //      output). The oracle reuses the training unroll: after k
+    //      rounds w{k}.syms IS each word's tokenization ----
+    QueryDef.sql(
+      "q_bpe_tokenize",
+      s"""WITH ${OracleBpe.trainCtes(24)}${OracleBpe.tokenizeSelect(24)}""".stripMargin
+    ) { (s, d) =>
       val docs = Tables.documents(s, d)
       val words = graft.ops.BpeTrainer.wordTable(docs, "text")
       val merges = graft.ops.BpeTrainer.train(words, k = 24)
