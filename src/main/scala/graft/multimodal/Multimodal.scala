@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * shuffle (the pipeline is embarrassingly parallel until the caller
   * aggregates).
   *
-  * The actual image/audio codecs are NOT available in this environment, so
-  * [[FakeCodec]] is a clearly-marked deterministic stand-in: it derives
-  * "pixels" from the payload bytes themselves. Everything around it — the
-  * schema, the binary column handling, the batch shape, the partitioning —
-  * is the real production plumbing: swapping in a JNI/Java codec is a
-  * one-object change.
+  * Image payloads decode through the REAL [[ImageIoCodec]] (the JDK's
+  * javax.imageio: PNG/BMP/GIF/JPEG), routed by payload magic bytes via
+  * [[SniffingCodec]]. Audio/video codecs are not available in this
+  * environment, so [[FakeCodec]] remains the clearly-marked deterministic
+  * stand-in for those: it derives "pixels" from the payload bytes
+  * themselves. Everything around the codec seam — the schema, the binary
+  * column handling, the batch shape, the partitioning — is the real
+  * production plumbing either way.
   *
   * At 100 TB scale the design holds because media rows are processed
   * streaming per-partition (constant memory per row, no
@@ -49,15 +51,44 @@ object Multimodal {
       std_intensity: Double,
       thumb_4x4: Array[Float])
 
-  /** ======================== STUB BOUNDARY ========================
-    * A real deployment implements this with javax.imageio / ffmpeg /
-    * libsndfile behind JNI. This fake is deterministic in the payload
-    * bytes so tests and reruns are stable.
-    */
   trait MediaCodec extends Serializable {
     def decode(mediaType: String, blob: Array[Byte]): Decoded
   }
 
+  /** REAL image codec: the JDK's javax.imageio registry (PNG, BMP, GIF,
+    * JPEG, WBMP — no external deps, works on any executor). Pixels are
+    * Rec.601 luma (0.299 R + 0.587 G + 0.114 B) in [0, 255]: integer
+    * channel reads and three correctly-rounded double ops per pixel, so
+    * the plane is deterministic across JVMs.
+    */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(mediaType: String, blob: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      require(img != null, s"payload is not a decodable image (${blob.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          px(y * w + x) = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, px)
+    }
+  }
+
+  /** ======================== STUB BOUNDARY ========================
+    * Audio/video codecs (ffmpeg / libsndfile behind JNI) are NOT
+    * available in this environment; [[FakeCodec]] is the clearly-marked
+    * deterministic stand-in for those payloads. Image payloads have the
+    * real decoder above.
+    */
   object FakeCodec extends MediaCodec {
     /** Interprets the payload as unsigned bytes row-major in a W×H plane,
       * W = ceil(sqrt(n)) — a stand-in for "decode to grayscale".
@@ -73,6 +104,28 @@ object Multimodal {
     }
   }
   /* ====================== END STUB BOUNDARY ====================== */
+
+  /** Production router: sniffs the payload's magic bytes and hands real
+    * image containers (PNG / BMP / GIF / JPEG) to [[ImageIoCodec]];
+    * everything else falls through to the declared stand-in. Content
+    * sniffing (not the `media_type` column) decides, so a mislabelled
+    * row can't crash the image decoder.
+    */
+  object SniffingCodec extends MediaCodec {
+    private def hasPrefix(blob: Array[Byte], sig: Int*): Boolean =
+      blob.length >= sig.length &&
+        sig.indices.forall(i => (blob(i) & 0xff) == sig(i))
+
+    def isImage(blob: Array[Byte]): Boolean =
+      hasPrefix(blob, 0x89, 'P', 'N', 'G') || // PNG
+        hasPrefix(blob, 'B', 'M') || // BMP
+        hasPrefix(blob, 'G', 'I', 'F', '8') || // GIF
+        hasPrefix(blob, 0xff, 0xd8, 0xff) // JPEG
+
+    override def decode(mediaType: String, blob: Array[Byte]): Decoded =
+      if (isImage(blob)) ImageIoCodec.decode(mediaType, blob)
+      else FakeCodec.decode(mediaType, blob)
+  }
 
   /** Block-average resize to a fixed `tw`×`th` thumbnail — real logic (not
     * part of the stub): works on any codec's output.

@@ -52,6 +52,65 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     f2.mean_intensity shouldBe 0.0
   }
 
+  private def encodeImage(format: String, w: Int, h: Int)(
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos) shouldBe true
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes a real PNG to the exact luma plane") {
+    // 2x1: pure red then pure white
+    val png = encodeImage("png", 2, 1)((x, _) => if (x == 0) 0xff0000 else 0xffffff)
+    val d = ImageIoCodec.decode("image", png)
+    d.w shouldBe 2
+    d.h shouldBe 1
+    d.pixels(0) shouldBe 0.299 * 255 +- 1e-12
+    d.pixels(1) shouldBe 255.0 +- 1e-12
+  }
+
+  test("SniffingCodec routes by magic bytes: real containers to imageio, rest to the stub") {
+    val gray = encodeImage("bmp", 3, 2)((_, _) => 0x808080)
+    SniffingCodec.isImage(gray) shouldBe true
+    val d = SniffingCodec.decode("image", gray)
+    d.w shouldBe 3
+    d.h shouldBe 2
+    all(d.pixels) shouldBe 128.0 +- 1e-9
+    // non-container payloads keep the deterministic stand-in behavior
+    val raw = Array[Byte](0, 1, 2, 3)
+    SniffingCodec.isImage(raw) shouldBe false
+    val sniffed = SniffingCodec.decode("audio", raw)
+    val stub = FakeCodec.decode("audio", raw)
+    (sniffed.w, sniffed.h) shouldBe ((stub.w, stub.h))
+    sniffed.pixels shouldBe stub.pixels
+  }
+
+  test("real PNG payloads flow through the production mapPartitions path") {
+    import spark.implicits._
+    // 4x4 gradient PNG: intensity = (y*4+x) * 16, pure gray so luma = value
+    val png = encodeImage("png", 4, 4) { (x, y) =>
+      val v = (y * 4 + x) * 16; (v << 16) | (v << 8) | v
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", 4, 4, png),
+      MediaRecord(2L, "audio", 4, 1, Array[Byte](10, 20, 30, 40))
+    ).toDS().repartition(2)
+    val feats = extractFeatures(media, SniffingCodec).collect().sortBy(_.doc_id)
+
+    val f1 = feats.head
+    f1.n_bytes shouldBe png.length.toLong
+    val vals = (0 until 16).map(_ * 16.0)
+    f1.mean_intensity shouldBe (vals.sum / 16) +- 1e-9
+    // decoded 4x4 resized to the 4x4 thumb is the identity
+    f1.thumb_4x4.map(_.toDouble) shouldBe vals.toArray
+
+    // the audio row went through the stub unchanged
+    feats(1).mean_intensity shouldBe 25.0 +- 1e-12
+  }
+
   test("sampleFrames: stride windows, cap, and empty-payload guard") {
     import spark.implicits._
     // 100 bytes -> frames at offsets 0 and 64 (floor((100-32)/64)+1 = 2)
