@@ -52,6 +52,11 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // store maintenance under small-file pressure: compact a sliver-heavy
+    // day-partitioned store (the streaming-sink debris pattern) into
+    // right-sized files
+    results("pipeline_compact") =
+      try compactReplay(spark, sfDir) catch { case _: Throwable => -1.0 }
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
@@ -60,6 +65,49 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Small-file compaction: seed a day-partitioned store with the sliver
+    * debris a micro-batch sink leaves behind (64 writer tasks x every
+    * day), then time [[graft.sources.PartitionedStore.compactInto]]
+    * rewriting it into size-targeted sorted files. The seed write is
+    * setup, not part of the measured window; before/after file counts go
+    * to stderr and the collapse is asserted.
+    */
+  def compactReplay(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    graft.model.Tables.events(spark, sfDir)
+      .select(col("event_type").as("stock_symbol"), col("ts").as("local_time"),
+        col("value"), col("user_id"), col("event_id"))
+      .withColumn(graft.sources.PartitionedStore.PartitionCol,
+        to_date(col("local_time")))
+      .repartition(64) // every task writes a sliver of every day
+      .write.mode("overwrite")
+      .partitionBy(graft.sources.PartitionedStore.PartitionCol)
+      .parquet(src)
+    def parquetFiles(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles(src)
+    val t0 = System.nanoTime()
+    graft.sources.PartitionedStore.compactInto(spark, src, dst,
+      targetFileBytes = 8L * 1024 * 1024)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val after = parquetFiles(dst)
+    require(after < before,
+      s"compaction must collapse files: $before -> $after")
+    System.err.println(
+      f"[bench] pipeline_compact: $before files -> $after files in $secs%.2f s")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    secs
   }
 
   /** Replay the documents table through the streaming doc pipeline

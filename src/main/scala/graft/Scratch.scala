@@ -23,13 +23,23 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up
     SparkEntry.queries("q_indicators")(spark, sfDir).count()
-    for (name <- args) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val t0 = System.nanoTime()
-      val n = df.count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[scratch] $name: $n rows in $secs%.2f s")
-      if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
+    for (name <- args) name match {
+      // streaming benches, runnable in isolation (the per-round bench
+      // runs them after 120+ batch queries in the same JVM — replay here
+      // to separate real regressions from shared-JVM noise)
+      case "stream_indicators" =>
+        println(f"[scratch] stream_indicators: ${Bench.streamReplay(spark, sfDir)}%.2f s")
+      case "stream_indicators_bulk" =>
+        println(f"[scratch] stream_indicators_bulk: ${Bench.streamReplay(spark, sfDir, batches = 4)}%.2f s")
+      case "stream_docs" =>
+        println(f"[scratch] stream_docs: ${Bench.docStreamReplay(spark, sfDir)}%.2f s")
+      case _ =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scratch] $name: $n rows in $secs%.2f s")
+        if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
     }
     spark.stop()
   }
