@@ -20,12 +20,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // dedicated unit spec instead (q_media_features -> MultimodalSpec,
   // q_approx_distinct -> ApproxDistinctSpec and q_quantiles_approx ->
   // ApproxQuantilesSpec: DuckDB's sketches differ, so the contract is an
-  // error bound, not a hash match)
-  // q_bpe_* -> BpeTrainerSpec (iterative merge apply is not ANSI-SQL-
-  // expressible: DuckDB's list_reduce cannot carry an array accumulator)
+  // error bound, not a hash match). The BPE pair graduated to hash-exact
+  // oracles in round 3 (OracleBpe's unrolled merge rounds).
   private val rowsOnlyAllowed =
-    Set("q_media_features", "q_approx_distinct", "q_quantiles_approx",
-      "q_bpe_merges", "q_bpe_tokenize")
+    Set("q_media_features", "q_approx_distinct", "q_quantiles_approx")
 
   test("every query has either an oracle or a documented reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

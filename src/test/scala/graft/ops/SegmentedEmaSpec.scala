@@ -60,6 +60,47 @@ class SegmentedEmaSpec extends AnyFunSuite with Matchers {
     segmented(rows, span = 10) shouldBe ref
   }
 
+  test("property: ADVERSARIAL magnitudes (1e-300..1e300) stay within 1e-12 of EwmAvg, scaled to the series") {
+    // guards the recursive/affine-summary equivalence where FP is most
+    // fragile: values spanning the whole double exponent range, mixed
+    // signs, random nulls and random segment boundaries. The sound
+    // error yardstick at these magnitudes is the series' max |v| (the
+    // EMA is a sub-convex combination, so both the value and the
+    // accumulated rounding are bounded by that scale) — relative-to-
+    // result would blow up whenever huge terms cancel to a tiny EMA.
+    val gen: Gen[(Int, List[(Double, Boolean)])] = for {
+      n <- Gen.choose(12, 60)
+      chunk <- Gen.choose(1, 16)
+      vals <- Gen.listOfN(n, for {
+        e <- Gen.choose(-300, 300)
+        m <- Gen.chooseNum(1.0, 10.0)
+        neg <- Gen.oneOf(true, false)
+      } yield (if (neg) -m else m) * math.pow(10.0, e.toDouble))
+      nulls <- Gen.listOfN(n, Gen.prob(0.15))
+    } yield (chunk, vals.zip(nulls))
+    for (i <- 0 until 12) {
+      val (chunk, data) = gen(Gen.Parameters.default, Seed(1000L + i)).get
+      val rows = data.zipWithIndex.map { case ((v, isNull), j) =>
+        SegmentedEma.In("P", (j / chunk).toLong, j.toLong, 0L,
+          if (isNull) None else Some(v))
+      }
+      val scale = data.collect { case (v, false) => math.abs(v) }
+        .foldLeft(1.0)(math.max)
+      val ref = reference(rows, span = 10)
+      val got = segmented(rows, span = 10)
+      got.keySet shouldBe ref.keySet
+      for (k <- ref.keySet) {
+        (ref(k), got(k)) match {
+          case (Some(a), Some(b)) =>
+            withClue(s"seed $i row $k: $a vs $b (scale $scale)") {
+              math.abs(a - b) should be <= 1e-12 * scale
+            }
+          case (a, b) => withClue(s"seed $i row $k nullness:") { a shouldBe b }
+        }
+      }
+    }
+  }
+
   test("property: random series + random segmentation stay within 1e-12 relative of EwmAvg") {
     val gen: Gen[(Int, List[(Double, Boolean)])] = for {
       n <- Gen.choose(12, 80)
