@@ -98,6 +98,34 @@ object IvfPq {
     Pq.rerankExact(Pq.keepShortlist(scored, shortlist), raw, queries, topK)
   }
 
+  /** Incremental index maintenance: fold a batch of NEW vectors
+    * ((vec_id, embedding), ids disjoint from the corpus) into an existing
+    * index WITHOUT retraining either codebook — assign each new vector to
+    * its nearest existing coarse cell and encode it with the existing PQ
+    * codebooks. This is the production ingest path for a growing corpus:
+    * per batch it costs one broadcast-codebook pass over the batch (never
+    * the corpus), and the result is bit-identical to an index whose
+    * cells/codes were computed over the union corpus with the SAME
+    * codebooks (IvfPqSpec pins that parity).
+    *
+    * Codebooks do go stale as the data distribution drifts — recall
+    * degrades gracefully (cells get lopsided, ADC quantization error
+    * grows), it never breaks correctness of the re-rank. Rebuild cadence
+    * is an offline policy decision, exactly like any IVF system.
+    */
+  def append(idx: Index, newRaw: DataFrame, m: Int = Pq.M): Index = {
+    val newCells = IvfIndex.assign(newRaw, idx.coarse)
+      .select(col("vec_id"), col("cent_id"))
+    val newNorm = newRaw.select(col("vec_id"),
+      Pq.normalized(col("embedding")).as("embedding"))
+    val newCodes = Pq.encode(newNorm, idx.pqCb, m)
+    val newCellCodes = newCells.join(newCodes, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+    Index(idx.coarse, idx.cells.unionByName(newCells), idx.pqCb,
+      idx.codes.unionByName(newCodes),
+      idx.cellCodes.unionByName(newCellCodes))
+  }
+
   /** Top-`topK` neighbours for the corpus rows matching `queryPred`. */
   def search(
       idx: Index,

@@ -46,6 +46,44 @@ class IvfPqSpec extends AnyFunSuite with Matchers {
       .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
   }
 
+  test("append folds new vectors in without retraining: bit-identical to same-codebook full assignment") {
+    val all = clusteredCorpus()
+    val base = all.filter(col("vec_id") < 300)
+    val extra = all.filter(col("vec_id") >= 300)
+    def norm(df: DataFrame) = df.select(col("vec_id"),
+      Pq.normalized(col("embedding")).as("embedding"))
+
+    val idx0 = IvfPq.build(base, norm(base))
+    val appended = IvfPq.append(idx0, extra)
+
+    // reference: the SAME codebooks applied to the union corpus in one go
+    val refCells = IvfIndex.assign(all, idx0.coarse)
+      .select(col("vec_id"), col("cent_id"))
+    val refCodes = Pq.encode(norm(all), idx0.pqCb, Pq.M)
+    val ref = IvfPq.Index(idx0.coarse, refCells, idx0.pqCb, refCodes,
+      refCells.join(refCodes, "vec_id")
+        .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code")))
+
+    def answers(idx: IvfPq.Index) =
+      IvfPq.search(idx, all, Pq.M, col("vec_id") < 10,
+        nprobe = 2, topK = 5, shortlist = 32)
+        .select("q_id", "c_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    answers(appended) shouldBe answers(ref)
+
+    // and the stale-codebook index still finds the true neighbours on a
+    // same-distribution batch (recall over the grown corpus)
+    val truth = bruteTop5(all.select(col("vec_id"), col("embedding").as("q_emb")))
+    val got = IvfPq.search(appended, all, Pq.M, col("vec_id") < 10,
+      nprobe = 2, topK = 5, shortlist = 32)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val qs = truth.keys.toSeq
+    val recall = qs.map(q => (truth(q) & got.getOrElse(q, Set.empty)).size / 5.0)
+      .sum / qs.size
+    recall should be >= 0.9
+  }
+
   test("clustered corpus: 2-of-8-cell probe over 16-byte codes keeps recall@5 >= 0.9") {
     val raw = clusteredCorpus()
     val norm = raw.select(col("vec_id"),
