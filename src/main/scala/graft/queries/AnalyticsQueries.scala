@@ -23,6 +23,31 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- Incremental rollup maintenance ([[graft.ops.Rollup]]): the
+    //      events history arrives as three delta batches, each summarized
+    //      ALONE and folded into the running per-(type, day) rollup —
+    //      history is never rescanned. The oracle states the full
+    //      recompute (one GROUP BY over everything); the mergeable-state
+    //      design (count / exact fixed-point sum / min / max) makes the
+    //      incremental path reproduce it bit-for-bit ----
+    QueryDef.sql(
+      "q_rollup_incremental",
+      s"""SELECT event_type, CAST(ts AS DATE) AS day, count(value) AS n,
+         |  ${Num.dsumSql("value")} AS sum_value,
+         |  ${Num.davgSql("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.Rollup
+      val evd = Tables.events(s, d).select(
+        col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
+        col("value"))
+      val batches = (0 to 2).map(i =>
+        Rollup.summarize(evd.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq("event_type", "day"), "value"))
+      Rollup.finish(Rollup.merge(batches.head, batches.tail: _*))
+    },
+
     // ---- Ordered conversion funnel view -> click -> purchase: each step
     //      is the user's earliest qualifying event STRICTLY AFTER the
     //      previous step (min-ts chaining, the windowFunnel contract) ----
