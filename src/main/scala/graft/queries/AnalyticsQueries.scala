@@ -48,6 +48,48 @@ object AnalyticsQueries {
       Rollup.finish(Rollup.merge(batches.head, batches.tail: _*))
     },
 
+    // ---- Data-quality expectations gate ([[graft.ops.Expectations]]):
+    //      row-level checks + uniqueness in ONE aggregate over ONE scan
+    //      of events; referential integrity as a broadcast anti join on
+    //      orders -> customer. Output is the tiny (check, violations,
+    //      passed) table a pipeline gates on ----
+    QueryDef.sql(
+      "q_expectations",
+      """WITH ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS value_finite,
+        |    CAST(sum(CASE WHEN abs(value) > 1e6 THEN 1 ELSE 0 END) AS BIGINT) AS value_in_range,
+        |    CAST(sum(CASE WHEN ts IS NULL OR year(ts) NOT BETWEEN 2020 AND 2030 THEN 1 ELSE 0 END) AS BIGINT) AS ts_bounds,
+        |    CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS user_id_valid,
+        |    CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS event_id_unique
+        |  FROM events
+        |), ri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL
+        |    AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |)
+        |SELECT "check", violations, violations = 0 AS passed FROM (
+        |  SELECT 'value_finite' AS "check", value_finite AS violations FROM ag
+        |  UNION ALL SELECT 'value_in_range', value_in_range FROM ag
+        |  UNION ALL SELECT 'ts_bounds', ts_bounds FROM ag
+        |  UNION ALL SELECT 'user_id_valid', user_id_valid FROM ag
+        |  UNION ALL SELECT 'event_id_unique', event_id_unique FROM ag
+        |  UNION ALL SELECT 'orders_customer_fk', v FROM ri)""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.Expectations
+      val evd = Tables.events(s, d)
+      Expectations.check(
+        evd,
+        rowChecks = Seq(
+          "value_finite" -> (col("value").isNull || isnan(col("value"))),
+          "value_in_range" -> (abs(col("value")) > 1e6),
+          "ts_bounds" -> (col("ts").isNull || !year(col("ts")).between(2020, 2030)),
+          "user_id_valid" -> (col("user_id").isNull || col("user_id") < 0)),
+        uniqueCols = Seq("event_id"))
+        .unionByName(Expectations.refCheck("orders_customer_fk",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+    },
+
     // ---- Ordered conversion funnel view -> click -> purchase: each step
     //      is the user's earliest qualifying event STRICTLY AFTER the
     //      previous step (min-ts chaining, the windowFunnel contract) ----
