@@ -25,7 +25,11 @@ object Plans {
     "q_dedup_embedding", // banded-LSH equality join, linear candidates
     "q_quantize_embeddings", // row-local quantize, corpus never shuffled
     "q_sample_per_group", // threshold prune, window on survivors only
-    "q_pattern_match" // distributed TakeOrdered top-k, rank on 10 rows
+    "q_pattern_match", // distributed TakeOrdered top-k, rank on 10 rows
+    "q_knn_ivfpq", // cell-keyed codes stream vs broadcast probes + ADC table
+    "q_knn_classify_ann", // IVF-PQ search -> partial-aggregable vote
+    "q_rollup_incremental", // batch-sized delta aggs, keys-sized merge
+    "q_expectations" // one-scan conditional counts + broadcast FK anti join
   )
 
   def main(args: Array[String]): Unit = {
