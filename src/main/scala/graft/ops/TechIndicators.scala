@@ -53,8 +53,19 @@ object TechIndicators {
       k: Double = 2.0): DataFrame = {
     val wn = w(symbol, time, tieBreak).rowsBetween(-(n - 1), 0)
     val full = count(close).over(wn) === n
-    df.withColumn("bb_mid", when(full, avg(close).over(wn)))
-      .withColumn("__m2", when(full, avg(close * close).over(wn)))
+    // moments from EXACT integer window sums of 1e-2-quantized ticks
+    // (round-to-nearest recovers the price grid losslessly; |close| < 9e4
+    // keeps sum(q^2) under 2^53). A windowed avg of raw doubles is
+    // summation-ORDER-dependent — Spark's sliding accumulator and
+    // DuckDB's recompute disagree by an ulp, which the sd's
+    // cancellation then amplifies across the 9-decimal compare boundary
+    // (observed at sf0.1). Integer sums are order-free, so every
+    // downstream double op is bit-identical cross-engine.
+    df.withColumn("__q", floor(close * lit(1e2) + lit(0.5)).cast("long"))
+      .withColumn("bb_mid", when(full,
+        sum(col("__q")).over(wn).cast("double") / lit(1e2) / lit(n.toDouble)))
+      .withColumn("__m2", when(full,
+        sum(col("__q") * col("__q")).over(wn).cast("double") / lit(1e4) / lit(n.toDouble)))
       .withColumn("bb_sd",
         sqrt(greatest(col("__m2") - col("bb_mid") * col("bb_mid"), lit(0.0))))
       .withColumn("bb_upper", col("bb_mid") + lit(k) * col("bb_sd"))
@@ -62,7 +73,7 @@ object TechIndicators {
       .withColumn("pct_b",
         (close - col("bb_lower")) /
           when(col("bb_sd") =!= 0.0, lit(2 * k) * col("bb_sd")))
-      .drop("__m2")
+      .drop("__m2", "__q")
   }
 
   /** Stochastic oscillator (n, d): %K from exact rolling min/max, %D a

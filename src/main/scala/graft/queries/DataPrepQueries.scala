@@ -1107,36 +1107,46 @@ object DataPrepQueries {
     //      q_winsorize). Never a per-group window. ----
     QueryDef.sql(
       "q_decile_bucket",
-      """WITH s AS (
-        |  SELECT event_type,
-        |    quantile_cont(value, [1e-1, 2e-1, 3e-1, 4e-1, 5e-1, 6e-1, 7e-1, 8e-1, 9e-1])
-        |      AS bounds
-        |  FROM events GROUP BY event_type
+      """WITH vc AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, value
+        |), cum AS (
+        |  SELECT event_type, value,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cnt_lt
+        |  FROM vc
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_grp
+        |  FROM vc GROUP BY event_type
         |)
         |SELECT e.event_id, e.event_type, e.value,
-        |  CAST(len(list_filter(s.bounds,
-        |    b -> CAST(floor(e.value * 1e6) AS BIGINT)
-        |       > CAST(floor(b * 1e6) AS BIGINT))) AS BIGINT) AS decile
-        |FROM events e JOIN s USING (event_type)""".stripMargin
+        |  CAST(floor(1e1 * cm.cnt_lt / t.n_grp) AS BIGINT) AS decile
+        |FROM events e
+        |JOIN cum cm USING (event_type, value)
+        |JOIN tot t USING (event_type)""".stripMargin
     ) { (s, d) =>
-      // the bucket comparison quantizes BOTH sides to 1e-6 fixed point
-      // (floor(x*1e6): one correctly-rounded multiply + floor, identical
-      // in both engines) so the verdict never rests on Spark percentile()
-      // and DuckDB quantile_cont() agreeing to the last ulp of their
-      // interpolation arithmetic — a 1-ulp divergence in an interpolated
-      // boundary would otherwise flip the bucket of any value landing
-      // exactly on it (the Num fixed-point pattern, applied to the
-      // comparison instead of a sum)
-      val ev = Tables.events(s, d)
-      val stats = ev.groupBy(col("event_type")).agg(
-        expr("percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
-          .as("bounds"))
-      ev.join(broadcast(stats), Seq("event_type"))
-        .select(
-          col("event_id"), col("event_type"), col("value"),
-          expr("""CAST(size(filter(bounds,
-            b -> CAST(floor(value * 1e6D) AS BIGINT)
-               > CAST(floor(b * 1e6D) AS BIGINT))) AS BIGINT)""").as("decile"))
+      // EMPIRICAL-CDF decile: bucket = floor(10 * |{x < v}| / n) — the
+      // whole computation is integer counts plus one double divide whose
+      // nearest-integer gap (1/n) dwarfs an ulp, so it is deterministic
+      // cross-engine AT ANY SCALE. (The previous formulation counted
+      // interpolated percentile boundaries below the value; Spark's and
+      // DuckDB's interpolation arithmetic differ in association, and at
+      // sf0.1 a boundary landed an ulp across the fixed-point grid line
+      // from its twin, flipping buckets.) The rank window runs over the
+      // DISTINCT-VALUE table — bounded by the price-tick grid, not by
+      // data volume — and broadcasts back; the corpus is never windowed.
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      val vc = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = vc.select(col("event_type"), col("value"),
+        coalesce(sum(col("c")).over(wcum), lit(0L)).as("cnt_lt"))
+      val tot = vc.groupBy(col("event_type")).agg(sum(col("c")).as("n_grp"))
+      ev.join(broadcast(cum.join(tot, "event_type")), Seq("event_type", "value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(lit(10.0) * col("cnt_lt") / col("n_grp")).cast("long").as("decile"))
     },
 
     // ---- Robust outlier detection (median/MAD, the data-cleaning

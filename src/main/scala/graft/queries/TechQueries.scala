@@ -83,17 +83,25 @@ object TechQueries {
         tieBreak = Seq(col("event_id")))
     },
 
-    // ---- Bollinger(20, 2): rolling mean +- 2 sigma. Variance via the
-    //      avg-of-squares identity keeps both engines on plain windowed
-    //      avg (no engine-specific stddev kernels); %B locates the close
-    //      inside the band ----
+    // ---- Bollinger(20, 2): rolling mean +- 2 sigma. Moments from EXACT
+    //      integer window sums of 1e-2-quantized ticks (order-free, so
+    //      the engines agree bit-for-bit; raw windowed avg diverges by
+    //      an ulp between Spark's sliding accumulator and DuckDB's
+    //      recompute, amplified by the variance cancellation); %B
+    //      locates the close inside the band ----
     QueryDef.sql(
       "q_bollinger",
-      s"""WITH s1 AS (
+      s"""WITH s0 AS (
          |  SELECT event_id, event_type, ts, value,
-         |    CASE WHEN count(value) OVER w20 = 20 THEN avg(value) OVER w20 END AS bb_mid,
-         |    CASE WHEN count(value) OVER w20 = 20 THEN avg(value*value) OVER w20 END AS m2
+         |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS q
          |  FROM events
+         |), s1 AS (
+         |  SELECT event_id, event_type, ts, value,
+         |    CASE WHEN count(value) OVER w20 = 20
+         |         THEN CAST(sum(q) OVER w20 AS DOUBLE) / 1e2 / 20e0 END AS bb_mid,
+         |    CASE WHEN count(value) OVER w20 = 20
+         |         THEN CAST(sum(q*q) OVER w20 AS DOUBLE) / 1e4 / 20e0 END AS m2
+         |  FROM s0
          |  WINDOW w20 AS ($wOrd ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |), s2 AS (
          |  SELECT *, sqrt(greatest(m2 - bb_mid*bb_mid, 0e0)) AS bb_sd FROM s1
