@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list, in exact integer fixed-point arithmetic.
+  *
+  * Motivation (training-data pipeline): link-graph centrality is a
+  * standard document-quality prior for web-scale corpus curation —
+  * rank the crawl graph, keep/boost high-centrality hosts (the
+  * "Common-Crawl PageRank filter" step) — and the same kernel ranks
+  * entity graphs built from co-occurrence edges.
+  *
+  * Numeric contract: ranks are integers in units of 1e-9 "mass"
+  * (`scale` = 1e9 per node initially). Every step is integer-only —
+  * `div` for per-edge contribution splits, exact integer sums, and the
+  * damping `d = dampNum/100` applied as `(dampNum * x) div 100` — so
+  * the result is bit-identical at ANY parallelism and reproducible by
+  * any engine with 64-bit integers (the DuckDB oracle unrolls the same
+  * recurrence). Floating-point PageRank cannot be cross-engine exact
+  * (sum order); fixed-point is the same trick `Num.dsum` uses, applied
+  * to the whole recurrence rather than a single reduction.
+  *
+  * Per iteration:
+  * {{{
+  *   contrib(u->v) = r(u) div outdeg(u)                 // integer split
+  *   dangling      = sum of r(u) over nodes with no out-edges
+  *   r'(v) = ((100-dampNum)*scale) div 100
+  *         + (dampNum * (inflow(v) + dangling div n)) div 100
+  * }}}
+  *
+  * Scale shape: one hash join (ranks x edges, both partitioned on the
+  * source key) + one groupBy(dst) sum per iteration — never all-pairs,
+  * no driver-side graph. The dangling term is one scalar aggregate per
+  * round (same accepted driver-roundtrip budget as `BpeTrainer`'s
+  * per-round argmax; 10 rounds = 10 scalars). Every round materializes
+  * through a checkpoint so the plan stays flat across iterations (the
+  * `ConnectedComponents.run` pattern). Integer headroom: total mass is
+  * ~n*scale ~ 1e9 * 1e9 = 1e18 at n=1e9 nodes, inside int64; for
+  * larger graphs lower `scale` (the contract names the precision, not
+  * the representation).
+  */
+object PageRank {
+
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Rank every node of `edges` (directed, self-loops dropped,
+    * duplicates collapsed). Output: (node, r_fp) with r_fp the integer
+    * fixed-point rank after `iters` rounds; `r_fp / scale` ~ the
+    * conventional rank relative to uniform=1.
+    */
+  def run(
+      edges: DataFrame, src: String = "src", dst: String = "dst",
+      iters: Int = 10, dampNum: Int = 85, scale: Long = 1000000000L)
+      : DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
+    val spark = edges.sparkSession
+
+    val e = materialize(
+      edges.select(col(src).as("src"), col(dst).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    val nodes = materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val outdeg = materialize(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    // one scalar: node count (needed for the dangling split; an agg, not
+    // a data collect)
+    val n = nodes.count()
+    val base = (100L - dampNum) * scale / 100L
+
+    var ranks = materialize(nodes.withColumn("r", lit(scale)))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(
+        outdeg, ranks("node") === outdeg("src"), "left")
+      // dangling mass: one scalar aggregate per round
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val perNodeDangling = dangling / n
+      val inflow = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("src"), expr("r div outdeg").as("c"))
+        .join(e, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      val next = materialize(
+        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .select(
+            col("node"),
+            (lit(base) + expr(
+              s"($dampNum * (coalesce(inflow, 0L) + ${perNodeDangling}L)) div 100")
+            ).as("r")))
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks.select(col("node"), col("r").as("r_fp"))
+  }
+
+  /** The same recurrence as unrolled DuckDB SQL over a `graft_edges`
+    * CTE with columns (src, dst) — the oracle twin of [[run]]. Kept
+    * next to the Scala so the two stay in sync.
+    */
+  def oracleSql(iters: Int = 10, dampNum: Int = 85,
+      scale: Long = 1000000000L): String = {
+    val base = (100L - dampNum) * scale / 100L
+    // AS MATERIALIZED: without it DuckDB inlines each CTE at every
+    // reference site — the unrolled recurrence references `e` ~3x per
+    // iteration, which re-plans the parquet scan tens of times and
+    // exhausts file handles
+    val head =
+      s"""e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM graft_edges WHERE src <> dst
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e
+         |), odeg AS MATERIALIZED (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+         |), nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST($scale AS BIGINT) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""dang$i AS MATERIALIZED (
+         |  SELECT COALESCE(CAST(sum(r) AS BIGINT), 0) AS dm
+         |  FROM $p LEFT JOIN odeg ON $p.node = odeg.src
+         |  WHERE odeg.src IS NULL
+         |), inf$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(r // outdeg) AS BIGINT) AS f
+         |  FROM $p JOIN odeg ON $p.node = odeg.src JOIN e ON e.src = $p.node
+         |  GROUP BY e.dst
+         |), r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    CAST($base + ($dampNum * (COALESCE(f, 0) + dm // n)) // 100
+         |      AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dang$i
+         |  LEFT JOIN inf$i ON nodes.node = inf$i.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, r AS r_fp FROM r$iters"
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.PageRank
+
+/** Ranking operators for corpus curation and retrieval: link-graph
+  * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
+  * (the lexical-search baseline every retrieval pipeline starts from).
+  *
+  * Cross-engine exactness: PageRank runs entirely in integer fixed
+  * point ([[graft.ops.PageRank]]); BM25 quantizes each per-term score
+  * contribution with `floor(x * 1e6)` BEFORE the order-dependent sum —
+  * the `Num` scheme — so both engines rank identical integers. The
+  * double expressions are written in the SAME textual op order on both
+  * sides (left-assoc `*`/`/` chains match IEEE op-for-op; only `ln`
+  * carries a 1-ulp cross-library risk, absorbed by the quantization
+  * except on a measure-zero boundary set).
+  */
+object RankQueries {
+
+  /** Shared edge-list SQL (DuckDB): supplier -> customer for every
+    * lineitem, customer -> supplier back-edges only for even order
+    * keys, so odd-only customers become dangling nodes and the
+    * dangling-mass redistribution path is exercised for real.
+    */
+  private val edgesDuck: String =
+    """SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+      |       'C' || CAST(o_custkey AS VARCHAR) AS dst
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'C' || CAST(o_custkey AS VARCHAR),
+      |       'S' || CAST(l_suppkey AS VARCHAR)
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey % 2 = 0""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- PageRank over the supplier<->customer trade graph: 10
+    //      exact-integer iterations (see ops.PageRank for the scale
+    //      audit: one partitioned join + one groupBy sum per round,
+    //      checkpointed, dangling mass as a per-round scalar agg) ----
+    QueryDef.sql(
+      "q_pagerank",
+      s"WITH graft_edges AS (\n$edgesDuck\n),\n" + PageRank.oracleSql()
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      PageRank.run(fwd.union(rev))
+    },
+
+    // ---- BM25 top-5 per query (k1=1.2, b=0.75, Robertson-style
+    //      idf = ln(1 + (N - df + 0.5)/(df + 0.5))). The query
+    //      workload is derived from the corpus itself (top-30
+    //      document-frequency terms, 3 per query -> 10 queries), so
+    //      it is a pure function of driver data. Scale shape: tf/df
+    //      are single groupBy passes; the query-term set and the
+    //      (N, total-token) scalars are broadcast; scoring is one
+    //      partial-aggregable groupBy over the postings join; top-5
+    //      is a per-query (partitioned) window ----
+    QueryDef.sql(
+      "q_bm25_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), nt AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tottok FROM dl
+        |), qt AS (
+        |  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk
+        |  FROM df ORDER BY df DESC, term LIMIT 30
+        |), q AS (
+        |  SELECT term, df, (rk - 1) // 3 AS query_id FROM qt
+        |), c AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(ln(1e0 + (nt.n - q.df + 5e-1) / (q.df + 5e-1))
+        |      * tf.tf * 22e-1
+        |      / (tf.tf + 12e-1 * (25e-2 + 75e-2 * dl.dl * nt.n / nt.tottok))
+        |      * 1e6) AS BIGINT) AS cfp
+        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN nt
+        |), sc AS (
+        |  SELECT query_id, doc_id, CAST(sum(cfp) AS BIGINT) AS score_fp
+        |  FROM c GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, doc_id, score_fp, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_fp DESC, doc_id) AS rk
+        |  FROM sc) WHERE rk <= 5""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      // dl and df both derived from tf — one tokenize pass total
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nt = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tottok"))
+      val qt = df.orderBy(col("df").desc, col("term")).limit(30)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("df").desc, col("term"))))
+        .withColumn("query_id", expr("(rk - 1) div 3"))
+        .select("term", "df", "query_id")
+      val c = tf.join(broadcast(qt), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nt))
+        .select(col("query_id"), col("doc_id"),
+          floor(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") * col("n") / col("tottok")))
+            * lit(1e6)).cast("long").as("cfp"))
+      val sc = c.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("cfp")).as("score_fp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("query_id", "doc_id", "score_fp", "rk")
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row (N, total-token) scalar frame"
+    ).intendsGlobalWindow(
+      "rank assignment over the query-term frame AFTER limit(30) — " +
+        "30 rows regardless of corpus size")
+  )
+}
