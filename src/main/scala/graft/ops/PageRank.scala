@@ -51,19 +51,29 @@ object PageRank {
     * duplicates collapsed). Output: (node, r_fp) with r_fp the integer
     * fixed-point rank after `iters` rounds; `r_fp / scale` ~ the
     * conventional rank relative to uniform=1.
+    *
+    * With `seeds` (personalized PageRank / TrustRank, Gyöngyi et al.
+    * 2004): teleport and dangling mass flow ONLY to the seed set —
+    * per-seed base = `((100-d) * n * scale) div (100 * |S|)`, per-seed
+    * dangling share = `dangling div |S|`. Trust then propagates
+    * outward through links, which is the standard seed-site quality
+    * prior for crawl curation. `seeds` rows not present in the graph
+    * are ignored. Integer headroom: `(100-d) * n * scale` must stay
+    * inside int64 — at the default scale that bounds n at ~6e8 nodes;
+    * lower `scale` for larger graphs (same contract as the uniform
+    * path, one order tighter).
     */
   def run(
       edges: DataFrame, src: String = "src", dst: String = "dst",
-      iters: Int = 10, dampNum: Int = 85, scale: Long = 1000000000L)
-      : DataFrame = {
+      iters: Int = 10, dampNum: Int = 85, scale: Long = 1000000000L,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
-    val spark = edges.sparkSession
 
     val e = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    val nodes = materialize(
+    val nodes0 = materialize(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct())
@@ -71,17 +81,39 @@ object PageRank {
       e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     // one scalar: node count (needed for the dangling split; an agg, not
     // a data collect)
-    val n = nodes.count()
-    val base = (100L - dampNum) * scale / 100L
+    val n = nodes0.count()
 
-    var ranks = materialize(nodes.withColumn("r", lit(scale)))
+    // nodes tagged with seed membership (uniform mode: every node is a
+    // "seed" with the plain base share)
+    val nodes = seeds match {
+      case Some(sd) => materialize(
+        nodes0.join(
+          sd.select(sd.columns.head).toDF("node").distinct()
+            .withColumn("is_seed", lit(true)),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")))
+      case None => nodes0.withColumn("is_seed", lit(true))
+    }
+    val nSeeds = seeds match {
+      case Some(_) =>
+        val s = nodes.filter(col("is_seed")).count()
+        require(s > 0, "no seed appears in the graph")
+        s
+      case None => n
+    }
+    val base = seeds match {
+      case Some(_) => (100L - dampNum) * n * scale / (100L * nSeeds)
+      case None => (100L - dampNum) * scale / 100L
+    }
+
+    var ranks = materialize(nodes.select(col("node"), lit(scale).as("r")))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(
         outdeg, ranks("node") === outdeg("src"), "left")
       // dangling mass: one scalar aggregate per round
       val dangling = withDeg.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      val perNodeDangling = dangling / n
+      val perSeedDangling = dangling / nSeeds
       val inflow = withDeg.filter(col("outdeg").isNotNull)
         .select(col("src"), expr("r div outdeg").as("c"))
         .join(e, "src")
@@ -89,9 +121,11 @@ object PageRank {
       val next = materialize(
         nodes.join(inflow, nodes("node") === inflow("dst"), "left")
           .select(
-            col("node"),
-            (lit(base) + expr(
-              s"($dampNum * (coalesce(inflow, 0L) + ${perNodeDangling}L)) div 100")
+            col("node"), col("is_seed"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L)) + expr(
+              s"""($dampNum * (coalesce(inflow, 0L) +
+                 |  (case when is_seed then ${perSeedDangling}L else 0L end)))
+                 |  div 100""".stripMargin)
             ).as("r")))
       ranks.unpersist()
       ranks = next
@@ -100,12 +134,15 @@ object PageRank {
   }
 
   /** The same recurrence as unrolled DuckDB SQL over a `graft_edges`
-    * CTE with columns (src, dst) — the oracle twin of [[run]]. Kept
-    * next to the Scala so the two stay in sync.
+    * CTE with columns (src, dst) — the oracle twin of [[run]]. With
+    * `seeded = true` the caller must also define a `graft_seeds(node)`
+    * CTE, and the teleport/dangling terms flow only to seeds present
+    * in the graph (the TrustRank recurrence). Kept next to the Scala
+    * so the two stay in sync.
     */
   def oracleSql(iters: Int = 10, dampNum: Int = 85,
-      scale: Long = 1000000000L): String = {
-    val base = (100L - dampNum) * scale / 100L
+      scale: Long = 1000000000L, seeded: Boolean = false): String = {
+    val uniformBase = (100L - dampNum) * scale / 100L
     // AS MATERIALIZED: without it DuckDB inlines each CTE at every
     // reference site — the unrolled recurrence references `e` ~3x per
     // iteration, which re-plans the parquet scan tens of times and
@@ -118,8 +155,37 @@ object PageRank {
          |  UNION SELECT DISTINCT dst FROM e
          |), odeg AS MATERIALIZED (
          |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
-         |), nn AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT node, CAST($scale AS BIGINT) AS r FROM nodes)""".stripMargin
+         |), nn AS (SELECT count(*) AS n FROM nodes),""".stripMargin +
+        (if (seeded)
+          s"""
+             |sd AS MATERIALIZED (
+             |  SELECT DISTINCT node FROM graft_seeds JOIN nodes USING (node)
+             |), ns AS (SELECT count(*) AS s FROM sd),""".stripMargin
+        else "") +
+        s"""
+           |r0 AS (SELECT node, CAST($scale AS BIGINT) AS r FROM nodes)""".stripMargin
+    // per-iteration rank update: uniform mode inlines the constant base
+    // and gives every node the dangling share; seeded mode computes the
+    // base from (n, |S|) and gates both terms on seed membership
+    def update(i: Int): String =
+      if (seeded)
+        s"""  SELECT nodes.node,
+           |    CAST((CASE WHEN sd.node IS NOT NULL
+           |        THEN ((100 - $dampNum) * nn.n * $scale) // (100 * ns.s)
+           |        ELSE 0 END)
+           |      + ($dampNum * (COALESCE(f, 0)
+           |          + (CASE WHEN sd.node IS NOT NULL THEN dm // ns.s
+           |             ELSE 0 END))) // 100
+           |      AS BIGINT) AS r
+           |  FROM nodes CROSS JOIN nn CROSS JOIN ns CROSS JOIN dang$i
+           |  LEFT JOIN inf$i ON nodes.node = inf$i.node
+           |  LEFT JOIN sd ON nodes.node = sd.node""".stripMargin
+      else
+        s"""  SELECT nodes.node,
+           |    CAST($uniformBase + ($dampNum * (COALESCE(f, 0) + dm // n)) // 100
+           |      AS BIGINT) AS r
+           |  FROM nodes CROSS JOIN nn CROSS JOIN dang$i
+           |  LEFT JOIN inf$i ON nodes.node = inf$i.node""".stripMargin
     val steps = (1 to iters).map { i =>
       val p = s"r${i - 1}"
       s"""dang$i AS MATERIALIZED (
@@ -131,11 +197,7 @@ object PageRank {
          |  FROM $p JOIN odeg ON $p.node = odeg.src JOIN e ON e.src = $p.node
          |  GROUP BY e.dst
          |), r$i AS MATERIALIZED (
-         |  SELECT nodes.node,
-         |    CAST($base + ($dampNum * (COALESCE(f, 0) + dm // n)) // 100
-         |      AS BIGINT) AS r
-         |  FROM nodes CROSS JOIN nn CROSS JOIN dang$i
-         |  LEFT JOIN inf$i ON nodes.node = inf$i.node)""".stripMargin
+         |${update(i)})""".stripMargin
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT node, r AS r_fp FROM r$iters"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.PageRank
+import graft.ops.{Mmr, PageRank}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -56,6 +56,35 @@ object RankQueries {
         concat(lit("C"), col("o_custkey")).as("src"),
         concat(lit("S"), col("l_suppkey")).as("dst"))
       PageRank.run(fwd.union(rev))
+    },
+
+    // ---- TrustRank (Gyöngyi et al. 2004): personalized PageRank
+    //      whose teleport + dangling mass flows only to a trusted seed
+    //      set (suppliers from nations 0-4) — trust propagates outward
+    //      through trade links; the standard seed-site quality prior
+    //      for crawl curation. Same exact-integer recurrence and scale
+    //      shape as q_pagerank ----
+    QueryDef.sql(
+      "q_trustrank",
+      s"""WITH graft_edges AS (\n$edgesDuck\n),
+         |graft_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+         |  FROM supplier WHERE s_nationkey < 5
+         |),\n""".stripMargin + PageRank.oracleSql(seeded = true)
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 5)
+        .select(concat(lit("S"), col("s_suppkey")).as("node"))
+      PageRank.run(fwd.union(rev), seeds = Some(seeds))
     },
 
     // ---- BM25 top-5 per query (k1=1.2, b=0.75, Robertson-style
@@ -132,6 +161,65 @@ object RankQueries {
       "cross join against the broadcast 1-row (N, total-token) scalar frame"
     ).intendsGlobalWindow(
       "rank assignment over the query-term frame AFTER limit(30) — " +
-        "30 rows regardless of corpus size")
+        "30 rows regardless of corpus size"),
+
+    // ---- MMR diversification (lambda=1/2) over the brute-force
+    //      top-20 candidates of 10 queries: greedy k=5 unrolled as
+    //      per-query anti-join + max-sim + argmax rounds (see ops.Mmr
+    //      for the integer-exact contract). Candidate-candidate sims
+    //      are in-cell pairs only (20x19 per query) ----
+    QueryDef.sql(
+      "q_mmr_rerank", {
+        def cos(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           |  WHERE vec_id < 10
+           |), c AS (
+           |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+           |), p AS (
+           |  SELECT q_id, c_id, c_emb, ${cos("q_emb", "c_emb")} AS cosine
+           |  FROM q, c WHERE q_id <> c_id
+           |), t20 AS MATERIALIZED (
+           |  SELECT q_id, c_id, c_emb,
+           |    CAST(floor(cosine * 1e6) AS BIGINT) AS rel_fp
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, c_id) AS rk FROM p) WHERE rk <= 20
+           |), mmr_cand AS MATERIALIZED (
+           |  SELECT q_id, c_id, rel_fp FROM t20
+           |), mmr_sims AS MATERIALIZED (
+           |  SELECT x.q_id, x.c_id AS a, y.c_id AS b,
+           |    CAST(floor(${cos("x.c_emb", "y.c_emb")} * 1e6) AS BIGINT)
+           |      AS s_fp
+           |  FROM t20 x JOIN t20 y
+           |    ON x.q_id = y.q_id AND x.c_id <> y.c_id
+           |),
+           |${Mmr.oracleCtes(5)}
+           |SELECT q_id, c_id, mmr_rank FROM mmr_out""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      val t20 = cand.crossJoin(broadcast(qv))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          graft.functions.VecOps.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("q_id"), col("c_id"), col("c_emb"),
+          floor(col("cosine") * lit(1e6)).cast("long").as("rel_fp"))
+        .localCheckpoint(true) // tiny (10x20 rows); reused by cand + sims
+      val x = t20.select(col("q_id"), col("c_id").as("a"), col("c_emb").as("a_emb"))
+      val y = t20.select(col("q_id"), col("c_id").as("b"), col("c_emb").as("b_emb"))
+      val sims = x.join(y, Seq("q_id"))
+        .filter(col("a") =!= col("b"))
+        .select(col("q_id"), col("a"), col("b"),
+          floor(graft.functions.VecOps.cosine(col("a_emb"), col("b_emb")) * lit(1e6))
+            .cast("long").as("s_fp"))
+      Mmr.rerank(t20.select("q_id", "c_id", "rel_fp"), sims, 5)
+    }.intendsNestedLoop(
+      "broadcast side is the 10-row probe set; corpus streams once")
   )
 }

@@ -52,6 +52,43 @@ class PageRankSpec extends AnyFunSuite with Matchers {
     r("a") shouldBe r("b") // symmetric spokes tie exactly
   }
 
+  test("TrustRank: one seeded iteration matches the hand-computed recurrence") {
+    import spark.implicits._
+    // A -> B, seeds={A}: base(A) = (15*2*1e9) div 100 = 3e8, base(B)=0;
+    // all dangling mass (B's 1e9) teleports to A
+    // r'(A) = 3e8 + (85 * (0   + 1e9)) div 100 = 1_150_000_000
+    // r'(B) = 0   + (85 * (1e9 + 0  )) div 100 =   850_000_000
+    val r = PageRank.run(
+      Seq("A" -> "B").toDF("src", "dst"), iters = 1,
+      seeds = Some(Seq("A").toDF("node")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r("A") shouldBe 1150000000L
+    r("B") shouldBe 850000000L
+  }
+
+  test("TrustRank with seeds = all nodes degenerates to uniform PageRank") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+    val uniform = ranks(edges, iters = 6)
+    val allSeeds = Seq("a", "b", "c", "d").toDF("node")
+    val seeded = PageRank.run(
+      edges.toDF("src", "dst"), iters = 6, seeds = Some(allSeeds))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    seeded shouldBe uniform
+  }
+
+  test("TrustRank: trust decays with distance from the seed") {
+    import spark.implicits._
+    // chain s -> m -> t plus a back edge t -> s keeping the graph live
+    val edges = Seq("s" -> "m", "m" -> "t", "t" -> "s")
+    val r = PageRank.run(
+      edges.toDF("src", "dst"), iters = 12,
+      seeds = Some(Seq("s").toDF("node")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r("s") should be > r("m")
+    r("m") should be > r("t")
+  }
+
   test("result is bit-identical across input partitioning") {
     import spark.implicits._
     val edges = (0 until 200).map(i => s"v${i % 37}" -> s"v${(i * 13) % 41}")
