@@ -202,15 +202,19 @@ object RankQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-      val t20 = cand.crossJoin(broadcast(qv))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine",
-          graft.functions.VecOps.cosine(col("q_emb"), col("c_emb")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
-        .select(col("q_id"), col("c_id"), col("c_emb"),
-          floor(col("cosine") * lit(1e6)).cast("long").as("rel_fp"))
-        .localCheckpoint(true) // tiny (10x20 rows); reused by cand + sims
+      // the retriever's output for this query batch is 10x20 rows —
+      // materialize it as a local relation (the IvfIndex codebook
+      // pattern) so the corpus-wide brute scoring runs ONCE, not once
+      // per MMR round; bounded by (batch x top-N), never by the corpus
+      val t20 = graft.ops.IvfIndex.materialize(
+        cand.crossJoin(broadcast(qv))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cosine",
+            graft.functions.VecOps.cosine(col("q_emb"), col("c_emb")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("q_id"), col("c_id"), col("c_emb"),
+            floor(col("cosine") * lit(1e6)).cast("long").as("rel_fp")))
       val x = t20.select(col("q_id"), col("c_id").as("a"), col("c_emb").as("a_emb"))
       val y = t20.select(col("q_id"), col("c_id").as("b"), col("c_emb").as("b_emb"))
       val sims = x.join(y, Seq("q_id"))
@@ -219,7 +223,6 @@ object RankQueries {
           floor(graft.functions.VecOps.cosine(col("a_emb"), col("b_emb")) * lit(1e6))
             .cast("long").as("s_fp"))
       Mmr.rerank(t20.select("q_id", "c_id", "rel_fp"), sims, 5)
-    }.intendsNestedLoop(
-      "broadcast side is the 10-row probe set; corpus streams once")
+    }
   )
 }
