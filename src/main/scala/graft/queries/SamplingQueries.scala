@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Corpus sampling and novelty accounting.
+  *
+  * `q_stratified_sample`: EXACT proportional allocation (largest-
+  * remainder / Hamilton method) of a fixed sample budget across strata
+  * — the correct way to cut an evaluation or annotation subset from a
+  * skewed corpus. Every step is integer arithmetic (`(S*n_i) div N`,
+  * integer remainders for the +1 round), then a deterministic
+  * md5-keyed pick inside each stratum — bit-reproducible at any
+  * parallelism, no `rand()`.
+  *
+  * `q_ngram_novelty`: per-document novelty = the fraction of its
+  * distinct token trigrams whose FIRST corpus occurrence (min doc_id)
+  * is this document — the "how much of this doc is new text"
+  * curve that drives crawl-dedup payoff analysis (cf. the repetition
+  * measurements in Lee et al. 2022).
+  *
+  * Scale shapes: the stratum allocation frame is |strata| rows
+  * (broadcast); the in-stratum pick is a partitioned window. Trigram
+  * extraction is row-local; the first-occurrence pass is one groupBy
+  * over distinct (ngram) — bounded by distinct-trigram count — and one
+  * equi join back, never all-pairs.
+  */
+object SamplingQueries {
+
+  private val SampleN = 100L
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_stratified_sample",
+      s"""WITH st AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+         |), tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS big_n, count(*) AS n_strata
+         |  FROM st
+         |), alloc0 AS (
+         |  SELECT st.lang, st.n,
+         |    ($SampleN * st.n) // tot.big_n AS base,
+         |    $SampleN * st.n - (($SampleN * st.n) // tot.big_n) * tot.big_n
+         |      AS rem
+         |  FROM st CROSS JOIN tot
+         |), leftover AS (
+         |  SELECT $SampleN - CAST(sum(base) AS BIGINT) AS k FROM alloc0
+         |), alloc AS (
+         |  SELECT lang,
+         |    base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+         |                  <= leftover.k THEN 1 ELSE 0 END) AS quota
+         |  FROM alloc0 CROSS JOIN leftover
+         |), keyed AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |        AS BIGINT), doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT k.doc_id, k.lang FROM keyed k
+         |JOIN alloc a ON k.lang = a.lang AND k.rk <= a.quota""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val st = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = st.agg(sum(col("n")).as("big_n"), count(lit(1)).as("n_strata"))
+      val alloc0 = st.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          expr(s"($SampleN * n) div big_n").as("base"),
+          expr(s"$SampleN * n - (($SampleN * n) div big_n) * big_n").as("rem"))
+      val leftover = alloc0.agg((lit(SampleN) - sum(col("base"))).as("k"))
+      // the allocation frame is |strata| rows: the global round-robin
+      // window is over that tiny frame, not the corpus
+      val alloc = alloc0.crossJoin(broadcast(leftover))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .select(col("lang"),
+          (col("base") + when(col("rn") <= col("k"), 1L).otherwise(0L))
+            .as("quota"))
+      val keyed = docs.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(expr("md5p60(cast(doc_id as string))"), col("doc_id"))))
+      keyed.join(broadcast(alloc), Seq("lang"))
+        .filter(col("rk") <= col("quota"))
+        .select("doc_id", "lang")
+    }.intendsNestedLoop(
+      "cross joins against broadcast 1-row corpus-total / leftover scalar frames"
+    ).intendsGlobalWindow(
+      "largest-remainder round-robin over the |strata|-row allocation " +
+        "frame (5 langs), never the corpus"),
+
+    QueryDef.sql(
+      "q_ngram_novelty",
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), tri AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(3, len(l) + 1),
+        |      i -> l[i - 2] || ' ' || l[i - 1] || ' ' || l[i])) AS ngram
+        |  FROM docs
+        |), first_seen AS (
+        |  SELECT ngram, min(doc_id) AS first_doc FROM tri GROUP BY ngram
+        |)
+        |SELECT tri.doc_id,
+        |  count(*) AS n_ngrams,
+        |  count(*) FILTER (WHERE first_seen.first_doc = tri.doc_id)
+        |    AS n_novel,
+        |  CAST(count(*) FILTER (WHERE first_seen.first_doc = tri.doc_id)
+        |    AS DOUBLE) / count(*) AS novelty
+        |FROM tri JOIN first_seen USING (ngram)
+        |GROUP BY tri.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
+      val tri = docs.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(3, size(l)), i -> concat_ws(' ', " +
+            "element_at(l, i - 2), element_at(l, i - 1), element_at(l, i)))"
+        )).as("ngram"))
+        .distinct()
+      val firstSeen = tri.groupBy(col("ngram")).agg(min(col("doc_id")).as("first_doc"))
+      tri.join(firstSeen, Seq("ngram"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_ngrams"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_ngrams")).as("novelty"))
+    }
+  )
+}
