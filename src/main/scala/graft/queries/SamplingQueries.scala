@@ -92,6 +92,36 @@ object SamplingQueries {
       "largest-remainder round-robin over the |strata|-row allocation " +
         "frame (5 langs), never the corpus"),
 
+    // ---- Weighted sampling without replacement (Efraimidis–Spirakis
+    //      A-ES): key_i = u_i^(1/w_i), keep the top-k keys — here in log
+    //      space, score = ln(u)/w with w = n_chars, so the sample is
+    //      length-proportional (the token-budget-weighted cut a training
+    //      mix actually takes). u is deterministic md5 "randomness"
+    //      (reproducible at any parallelism, no rand()); the score is
+    //      quantized to 1e-6 with a doc_id tie-break so the cross-engine
+    //      compare never rests on the last ulp of ln(). Scale shape:
+    //      row-local score + global top-k = TakeOrderedAndProject, no
+    //      shuffle, no window ----
+    QueryDef.sql(
+      "q_weighted_sample",
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(floor(1e6 *
+        |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) + 1e0) / 1152921504606846977e0)
+        |    / n_chars) AS BIGINT) AS sq
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY sq DESC, doc_id LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val u = (expr("md5p60(cast(doc_id as string))").cast("double") + lit(1.0)) /
+        lit(1.152921504606846977e18) // 2^60 + 1: u in (0, 1]
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          floor(lit(1e6) * log(u) / col("n_chars")).cast("long").as("sq"))
+        .orderBy(col("sq").desc, col("doc_id"))
+        .limit(100)
+    },
+
     QueryDef.sql(
       "q_ngram_novelty",
       """WITH docs AS (

@@ -432,6 +432,240 @@ object TpchQueries {
           dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"),
           count(lit(1)).as("n_lines"))
-    }
+    },
+
+    // ---- TPC-H Q8 shape: national market share — the 8-way join (two
+    //      independent nation lookups again) reduced to a conditional-agg
+    //      ratio per year. Every dimension broadcasts; the fact table is
+    //      filtered through the broadcast part dim BEFORE the orders join
+    //      so the expensive fact-fact join runs on the 1/5 type slice ----
+    QueryDef.sql(
+      "q_market_share",
+      s"""WITH vols AS (
+         |  SELECT year(o_orderdate) AS o_year,
+         |    l_extendedprice * (1e0 - l_discount) AS volume,
+         |    ns.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region ON nc.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         |)
+         |SELECT o_year,
+         |  ${dsum2Sql("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0e0 END")}
+         |    AS nation_volume,
+         |  ${dsum2Sql("volume")} AS total_volume,
+         |  (${dsum2Sql("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0e0 END")})
+         |    / (${dsum2Sql("volume")}) AS mkt_share
+         |FROM vols GROUP BY o_year""".stripMargin
+    ) { (s, d) =>
+      val stdParts = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD").select("p_partkey")
+      val asiaCust = Tables.nation(s, d)
+        .join(
+          broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val ns = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val natVol = when(col("supp_nation") === "NATION_2", vol).otherwise(lit(0.0))
+      Tables.lineitem(s, d)
+        .join(broadcast(stdParts), col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaCust), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(dsum2(natVol).as("nation_volume"), dsum2(vol).as("total_volume"))
+        .select(col("o_year"), col("nation_volume"), col("total_volume"),
+          (col("nation_volume") / col("total_volume")).as("mkt_share"))
+    },
+
+    // ---- TPC-H Q13 shape: customer order-count distribution — an OUTER
+    //      join with a join-side filter (the filter must stay in the join
+    //      condition, not become a WHERE that would turn it inner), then a
+    //      double aggregation: per-customer count, then a histogram over
+    //      those counts (second agg runs on |customers| rows) ----
+    QueryDef.sql(
+      "q_custdist",
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .join(
+          Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // ---- TPC-H Q15 shape: top supplier — revenue per supplier for a
+    //      quarter, then an agg-of-agg (global max) equi-joined back on
+    //      the VALUE. The fixed-point revenue makes the equality exact
+    //      cross-engine; the 1-row max frame broadcasts so the rejoin is
+    //      a BroadcastHashJoin, never a sort or nested loop ----
+    QueryDef.sql(
+      "q_top_supplier",
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${dsum2Sql("l_extendedprice * (1e0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      Tables.supplier(s, d)
+        .join(
+          broadcast(rev.join(broadcast(mx), col("total_revenue") === col("mx"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    },
+
+    // ---- TPC-H Q17 shape: small-quantity revenue — a correlated
+    //      per-part scalar average rewritten as a grouped agg over the
+    //      SAME brand-filtered slice, broadcast back onto it (the agg
+    //      frame is |parts of one brand| rows). The threshold compare
+    //      touches only the fixed-point-exact average, so the row set is
+    //      identical cross-engine ----
+    QueryDef.sql(
+      "q_small_qty_revenue",
+      s"""WITH pa AS (
+         |  SELECT l_partkey AS a_partkey, ${davgSql("l_quantity")} AS avg_qty
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_brand = 'Brand#9'
+         |  GROUP BY l_partkey
+         |)
+         |SELECT ${dsum2Sql("l_extendedprice")} / 7e0 AS avg_yearly,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |JOIN pa ON a_partkey = l_partkey
+         |WHERE p_brand = 'Brand#9' AND l_quantity < 5e-1 * avg_qty""".stripMargin
+    ) { (s, d) =>
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#9").select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"))
+      val pa = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(pa), col("a_partkey") === col("l_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(
+          (dsum2(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q21 shape: the lone late supplier — a semi join AND an
+    //      anti join on the same fact table, each with a non-equi
+    //      component (different supplier; the anti side also correlates
+    //      on the outer order date). Both stay hash joins on the orderkey
+    //      equality; the schema has no commit/receipt dates, so "late" is
+    //      shipped-after-order-date ----
+    QueryDef.sql(
+      "q_late_supplier",
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l2 = li.select(col("l_orderkey").as("x2_orderkey"),
+        col("l_suppkey").as("x2_suppkey"))
+      val l3 = li.select(col("l_orderkey").as("x3_orderkey"),
+        col("l_suppkey").as("x3_suppkey"), col("l_shipdate").as("x3_shipdate"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .join(l2,
+          col("l_orderkey") === col("x2_orderkey") &&
+            col("l_suppkey") =!= col("x2_suppkey"),
+          "left_semi")
+        .join(l3,
+          col("l_orderkey") === col("x3_orderkey") &&
+            col("l_suppkey") =!= col("x3_suppkey") &&
+            col("x3_shipdate") > col("o_orderdate"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+
+    // ---- TPC-H Q22 shape: dormant high-balance customers — a scalar
+    //      subquery threshold (fixed-point global average, broadcast as a
+    //      1-row frame) plus a dated NOT EXISTS anti join, grouped by
+    //      nation. The anti join's order-side filter prunes at the scan
+    //      before the join ----
+    QueryDef.sql(
+      "q_dormant_rich",
+      s"""WITH ab AS (
+         |  SELECT ${davgSql("c_acctbal")} AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0e0
+         |)
+         |SELECT n_name, count(*) AS numcust,
+         |  ${dsum2Sql("c_acctbal")} AS totacctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |CROSS JOIN ab
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY n_name""".stripMargin
+    ) { (s, d) =>
+      val ab = Tables.customer(s, d).filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      Tables.customer(s, d)
+        .crossJoin(broadcast(ab))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row global-average-balance frame")
   )
 }
