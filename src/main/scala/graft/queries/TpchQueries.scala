@@ -666,6 +666,198 @@ object TpchQueries {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
     }.intendsNestedLoop(
-      "cross join against the broadcast 1-row global-average-balance frame")
+      "cross join against the broadcast 1-row global-average-balance frame"),
+
+    // ---- TPC-H Q2 shape (adapted: no partsupp table — a supplier's
+    //      offered cost for a part is its min observed unit price in
+    //      lineitem): min-cost supplier per part. The oracle keeps the
+    //      CORRELATED scalar-min subquery of the original; the Spark plan
+    //      is the decorrelated form — per-part min agg joined back on
+    //      (partkey, cost). Double equality is safe because both sides
+    //      compute the identical IEEE quotient ----
+    QueryDef.sql(
+      "q_min_cost_supplier",
+      """WITH offer AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS supp_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT p_partkey, p_brand, s_name, s_acctbal,
+        |       supp_cost AS min_cost
+        |FROM part JOIN offer ON p_partkey = offer.l_partkey
+        |JOIN supplier ON s_suppkey = offer.l_suppkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'ECONOMY'
+        |  AND supp_cost = (SELECT min(o2.supp_cost) FROM offer o2
+        |                   WHERE o2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 25""".stripMargin
+    ) { (s, d) =>
+      val offer = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("uc"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("uc")).as("supp_cost"))
+      val minCost = offer.groupBy(col("l_partkey").as("mc_partkey"))
+        .agg(min(col("supp_cost")).as("min_cost"))
+      offer
+        .join(minCost, col("l_partkey") === col("mc_partkey") &&
+          col("supp_cost") === col("min_cost"))
+        .join(Tables.part(s, d).filter(
+          col("p_size").between(10, 20) && col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("s_acctbal"), col("min_cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(25)
+    },
+
+    // ---- TPC-H Q9 shape (adapted: supply cost stood in by 10% of the
+    //      part's retail price): profit by supplier nation and ship year
+    //      over a part-name substring filter. The profit expression keeps
+    //      the SAME textual operator order on both engines; the sum is
+    //      fixed-point exact ----
+    QueryDef.sql(
+      "q_profit_by_nation",
+      s"""SELECT n_name, year(l_shipdate) AS o_year,
+         |  ${dsumSql(
+             "l_extendedprice * (1e0 - l_discount) - " +
+               "p_retailprice * l_quantity * 1e-1")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY n_name, o_year""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("red")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+        .agg(dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * lit(0.1))
+          .as("sum_profit"))
+    },
+
+    // ---- TPC-H Q11 shape (adapted: part "stock value" at a nation is the
+    //      extended price its suppliers shipped): grouped agg filtered by a
+    //      GLOBAL scalar threshold — the 1-row total broadcast, never a
+    //      window; both sides of the comparison are fixed-point-exact
+    //      doubles scaled by the same literal ----
+    QueryDef.sql(
+      "q_important_parts",
+      s"""WITH natline AS (
+         |  SELECT l_partkey, l_extendedprice
+         |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation ON n_nationkey = s_nationkey
+         |  WHERE n_name = 'NATION_7'
+         |), tot AS (
+         |  SELECT ${dsumSql("l_extendedprice")} AS total FROM natline
+         |)
+         |SELECT l_partkey AS p_key, ${dsumSql("l_extendedprice")} AS value
+         |FROM natline CROSS JOIN tot
+         |GROUP BY l_partkey, total
+         |HAVING ${dsumSql("l_extendedprice")} > total * 1e-3
+         |ORDER BY value DESC, p_key""".stripMargin
+    ) { (s, d) =>
+      val natline = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val tot = natline.agg(dsum(col("l_extendedprice")).as("total"))
+      natline
+        .groupBy(col("l_partkey").as("p_key"))
+        .agg(dsum(col("l_extendedprice")).as("value"))
+        .crossJoin(broadcast(tot))
+        .filter(col("value") > col("total") * lit(1e-3))
+        .select(col("p_key"), col("value"))
+        .orderBy(col("value").desc, col("p_key"))
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row national-total frame"),
+
+    // ---- TPC-H Q16 shape (adapted: the part-supplier relation is the
+    //      distinct (partkey, suppkey) pairs observed in lineitem):
+    //      supplier-variety counts per part attribute with a NOT-IN
+    //      supplier exclusion — an anti join on the fact side feeding a
+    //      distinct aggregation ----
+    QueryDef.sql(
+      "q_supplier_variety",
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#25' AND p_type <> 'SMALL'
+        |  AND p_size IN (5, 10, 15, 20, 25, 30)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d).filter(col("s_name").endsWith("7"))
+          .select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, d).filter(
+          col("p_brand") =!= "Brand#25" && col("p_type") =!= "SMALL" &&
+            col("p_size").isin(5, 10, 15, 20, 25, 30)),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(30)
+    },
+
+    // ---- TPC-H Q20 shape (adapted): bulk shippers — suppliers whose
+    //      shipped quantity of a part exceeds the across-supplier average
+    //      for that part. Nested aggregation (per supplier-part, then per
+    //      part) with the comparison kept in EXACT integers:
+    //      qty * n_suppliers > total_qty avoids any cross-engine division.
+    //      Quantities are integral doubles, so the sums are exact ----
+    QueryDef.sql(
+      "q_bulk_shippers",
+      """WITH sq AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l_partkey
+        |), pa AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty,
+        |         count(*) AS n_supp
+        |  FROM sq GROUP BY l_partkey
+        |)
+        |SELECT s_name, s_acctbal,
+        |       CAST(count(*) AS BIGINT) AS bulk_parts
+        |FROM sq JOIN pa ON sq.l_partkey = pa.l_partkey
+        |JOIN supplier ON s_suppkey = sq.l_suppkey
+        |WHERE qty * n_supp > total_qty
+        |GROUP BY s_name, s_acctbal
+        |ORDER BY bulk_parts DESC, s_name LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val sq = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").startsWith("small"))
+          .select("p_partkey"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      val pa = sq.groupBy(col("l_partkey").as("pa_partkey"))
+        .agg(sum(col("qty")).as("total_qty"), count(lit(1)).as("n_supp"))
+      sq.join(pa, col("l_partkey") === col("pa_partkey"))
+        .filter(col("qty") * col("n_supp") > col("total_qty"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"), col("s_acctbal"))
+        .agg(count(lit(1)).as("bulk_parts"))
+        .orderBy(col("bulk_parts").desc, col("s_name"))
+        .limit(20)
+    }
   )
 }
