@@ -43,6 +43,8 @@ object Bench {
     results("stream_indicators_bulk") = streamReplay(spark, sfDir, batches = 4)
     // LLM-data streaming path: documents through dedup/quality/chunking
     results("stream_docs") = docStreamReplay(spark, sfDir)
+    // native session_window sessionization over the events replay
+    results("stream_sessions") = sessionStreamReplay(spark, sfDir)
     // end-to-end BATCH curation: exact dedup -> near-dup components ->
     // quality -> PII scrub -> chunk -> pack, one composed job
     results("pipeline_curate") = {
@@ -150,6 +152,43 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_docs: ${docs.length} docs -> $n chunks in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
+        secs
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Replay the events table through the native session_window
+    * sessionizer ([[graft.streaming.SessionStream]]) in micro-batches;
+    * returns wall seconds (sessions/s to stderr).
+    */
+  def sessionStreamReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val events = graft.model.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.SessionStream.SessionEvent]
+      .orderBy("ts") // event-time replay, same rationale as stream_docs
+      .collect()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.SessionStream.SessionEvent]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.SessionStream.sessions(input.toDS().toDF())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bench_sessions").start()
+      try {
+        events.grouped(math.max(1000, events.length / batches)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val n = spark.table("bench_sessions").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_sessions: ${events.length} events -> $n closed sessions in $secs%.2f s = ${events.length / secs}%.0f rec/s")
         secs
       } finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

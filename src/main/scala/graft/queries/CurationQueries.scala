@@ -263,6 +263,52 @@ object CurationQueries {
         k = 64)
     },
 
+    // ---- Count-Min sketch point estimates ([[graft.ops.CountMin]]):
+    //      4 md5-hash rows x 256 buckets over corpus token counts,
+    //      estimate = min over rows. Deterministic hashing makes the
+    //      sketch itself oracle-checkable — the output pins (exact, est)
+    //      side by side for the 30 most frequent tokens, so the gate
+    //      also witnesses est_cnt >= exact_cnt. CountMinSpec pins the
+    //      one-sided error and the bucket-wise merge algebra. ----
+    QueryDef.sql(
+      "q_countmin",
+      s"""WITH toks AS (
+         |  SELECT tok FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok <> ''
+         |), ex AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM toks GROUP BY tok
+         |), hrows AS (
+         |  SELECT unnest([0, 1, 2, 3]) AS i
+         |), sk AS (
+         |  SELECT i,
+         |    ${duckHash("concat(CAST(i AS VARCHAR), ':', tok)", 256)}
+         |      AS bucket,
+         |    CAST(sum(exact_cnt) AS BIGINT) AS cnt
+         |  FROM ex CROSS JOIN hrows
+         |  GROUP BY 1, 2
+         |)
+         |SELECT tok, exact_cnt, est_cnt FROM (
+         |  SELECT ex.tok, ex.exact_cnt, min(sk.cnt) AS est_cnt
+         |  FROM ex CROSS JOIN hrows r
+         |  JOIN sk ON sk.i = r.i AND sk.bucket =
+         |    ${duckHash("concat(CAST(r.i AS VARCHAR), ':', ex.tok)", 256)}
+         |  GROUP BY ex.tok, ex.exact_cnt)
+         |ORDER BY exact_cnt DESC, tok LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val ex = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val sk = graft.ops.CountMin.sketchFromCounts(
+        ex, "tok", "exact_cnt", d = 4, w = 256)
+      graft.ops.CountMin.estimates(sk, ex, "tok", d = 4, w = 256)
+        .orderBy(col("exact_cnt").desc, col("tok"))
+        .limit(30)
+    },
+
     // ---- SemDeDup-style semantic dedup: k-means cells (shared Lloyd
     //      unroll with q_knn_ivf via OracleKmeans), pairs enumerated only
     //      WITHIN a cell, cosine >= 0.9 -> min-id representative.

@@ -161,6 +161,81 @@ object MlQueries {
         .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
     }.intendsNestedLoop(
       "broadcast sides are the sqrt(n) coarse codebook and the " +
-        "(queries x m x k) ADC table")
+        "(queries x m x k) ADC table"),
+
+    // ---- Multinomial Naive Bayes text classifier (the fastText-style
+    //      "quality/domain classifier" every curation pipeline trains):
+    //      train on even doc_ids (label = lang), Laplace-smoothed token
+    //      log-likelihoods, predict the odd half. Every ln() is quantized
+    //      to floor(x*1e6) BEFORE summation (the Num/LmQueries scheme) so
+    //      doc scores are exact integer sums; argmax via a
+    //      partial-aggregable min(struct(-score, class)) — never a
+    //      per-doc window on the Spark side.
+    //      Scale shape (100 TB audit): the dense model is vocab x
+    //      #classes rows — vocabulary-bounded, independent of corpus
+    //      size; class/prior/vocab-size frames are broadcast scalars;
+    //      scoring is one shuffled hash join on token followed by a
+    //      partial-aggregable integer sum. Docs whose tokens are all
+    //      out-of-vocabulary drop out identically on both engines. ----
+    QueryDef.sql(
+      "q_nb_classify",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, token FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''
+        |), tr AS (
+        |  SELECT * FROM tok WHERE doc_id % 2 = 0
+        |), cls AS (
+        |  SELECT lang AS class, count(DISTINCT doc_id) AS n_docs
+        |  FROM tr GROUP BY lang
+        |), ntr AS (
+        |  SELECT count(DISTINCT doc_id) AS n FROM tr
+        |), tc AS (
+        |  SELECT lang AS class, token, count(*) AS cnt FROM tr GROUP BY 1, 2
+        |), ctot AS (
+        |  SELECT class, CAST(sum(cnt) AS BIGINT) AS tok_c FROM tc GROUP BY class
+        |), vocab AS (
+        |  SELECT DISTINCT token FROM tr
+        |), vsz AS (
+        |  SELECT count(*) AS v FROM vocab
+        |), model AS (
+        |  SELECT c.class, vb.token,
+        |    CAST(floor(ln((COALESCE(tc.cnt, 0) + 1e0) / (ct.tok_c + vs.v))
+        |         * 1e6) AS BIGINT) AS llfp
+        |  FROM vocab vb
+        |  CROSS JOIN cls c
+        |  JOIN ctot ct ON ct.class = c.class
+        |  CROSS JOIN vsz vs
+        |  LEFT JOIN tc ON tc.class = c.class AND tc.token = vb.token
+        |), prior AS (
+        |  SELECT cls.class,
+        |    CAST(floor(ln(cls.n_docs * 1e0 / ntr.n) * 1e6) AS BIGINT)
+        |      AS prior_fp
+        |  FROM cls CROSS JOIN ntr
+        |), te AS (
+        |  SELECT doc_id, lang AS true_label, token, count(*) AS m
+        |  FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT te.doc_id, te.true_label, model.class,
+        |    prior.prior_fp + CAST(sum(te.m * model.llfp) AS BIGINT)
+        |      AS score_fp
+        |  FROM te
+        |  JOIN model ON te.token = model.token
+        |  JOIN prior ON prior.class = model.class
+        |  GROUP BY te.doc_id, te.true_label, model.class, prior.prior_fp
+        |)
+        |SELECT doc_id, true_label, class AS pred_label, score_fp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_fp DESC, class) AS rn FROM sc) WHERE rn = 1""".stripMargin
+    ) { (s, d) =>
+      graft.ops.NaiveBayes.classify(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text",
+        trainPred = col("doc_id") % 2 === 0,
+        testPred = col("doc_id") % 2 === 1)
+    }.intendsNestedLoop(
+      "cross joins are against broadcast class-list / 1-row scalar frames " +
+        "(#classes and vocab-size), never corpus-sized")
   )
 }
