@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one hash join (ranks x edges, both partitioned on the
   * source key) + one groupBy(dst) sum per iteration — never all-pairs,
-  * no driver-side graph. The dangling term is one scalar aggregate per
-  * round (same accepted driver-roundtrip budget as `BpeTrainer`'s
-  * per-round argmax; 10 rounds = 10 scalars). Every round materializes
+  * no driver-side graph. The dangling term is a lazy 1-row aggregate
+  * frame broadcast into the update plan (no per-round driver collect —
+  * exactly one job per round). Every round materializes
   * through a checkpoint so the plan stays flat across iterations (the
   * `ConnectedComponents.run` pattern). Integer headroom: total mass is
   * ~n*scale ~ 1e9 * 1e9 = 1e18 at n=1e9 nodes, inside int64; for
@@ -110,21 +110,23 @@ object PageRank {
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(
         outdeg, ranks("node") === outdeg("src"), "left")
-      // dangling mass: one scalar aggregate per round
-      val dangling = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      val perSeedDangling = dangling / nSeeds
+      // dangling mass: a LAZY 1-row frame broadcast into the update plan
+      // (not a .head() collect) — one Spark job per round instead of two;
+      // the integer math (dangling div nSeeds) is unchanged
+      val dang = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dangling"))
       val inflow = withDeg.filter(col("outdeg").isNotNull)
         .select(col("src"), expr("r div outdeg").as("c"))
         .join(e, "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       val next = materialize(
         nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .crossJoin(broadcast(dang))
           .select(
             col("node"), col("is_seed"),
             (when(col("is_seed"), lit(base)).otherwise(lit(0L)) + expr(
               s"""($dampNum * (coalesce(inflow, 0L) +
-                 |  (case when is_seed then ${perSeedDangling}L else 0L end)))
+                 |  (case when is_seed then (dangling div ${nSeeds}L) else 0L end)))
                  |  div 100""".stripMargin)
             ).as("r")))
       ranks.unpersist()
