@@ -223,6 +223,61 @@ object RankQueries {
           floor(graft.functions.VecOps.cosine(col("a_emb"), col("b_emb")) * lit(1e6))
             .cast("long").as("s_fp"))
       Mmr.rerank(t20.select("q_id", "c_id", "rel_fp"), sims, 5)
+    },
+
+    // ---- Triangle counting over the part co-occurrence graph (parts
+    //      co-ordered in >= 2 orders are connected — the market-basket
+    //      support threshold that prunes random one-off co-occurrence
+    //      BEFORE the graph is built, the same pre-sparsification a
+    //      100 TB basket graph needs): degree-ordered orientation caps
+    //      wedge fan-out at O(sqrt(m)) per node — the shape that
+    //      survives power-law graphs; see ops.Triangles. Output: top-20
+    //      parts by triangle participation ----
+    QueryDef.sql(
+      "q_triangles",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), de AS (
+        |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |              THEN a ELSE b END AS src,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |              THEN b ELSE a END AS dst
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        |), tri AS (
+        |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+        |  FROM de w1 JOIN de w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+        |  WHERE EXISTS (SELECT 1 FROM de c
+        |                WHERE c.src = w1.dst AND c.dst = w2.dst)
+        |)
+        |SELECT node AS part, count(*) AS n_tri FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, part LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      graft.ops.Triangles.perNode(e)
+        .select(col("node").as("part"), col("n_tri"))
+        .orderBy(col("n_tri").desc, col("part"))
+        .limit(20)
     }
   )
 }
