@@ -278,6 +278,136 @@ object RankQueries {
         .select(col("node").as("part"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)
+    },
+
+    // ---- Frequent-pair mining with lift (association rules without the
+    //      FP-tree: at 100 TB, candidate pairs from a per-basket
+    //      self-join + one groupBy IS the scalable plan — baskets are
+    //      bounded, so pair fan-out is C(basket,2), never corpus²).
+    //      lift = sup(a,b)·N / (sup(a)·sup(b)), kept EXACT as
+    //      floor(sup·N·1e6 / (sa·sb)) — pure integer arithmetic, no
+    //      float division anywhere ----
+    QueryDef.sql(
+      "q_frequent_pairs",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+        |), item AS (
+        |  SELECT l_partkey, count(*) AS s FROM li GROUP BY l_partkey
+        |), pair AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS sup
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT a, b, sup,
+        |  (sup * n_orders * 1000000) // (ia.s * ib.s) AS lift_fp
+        |FROM pair
+        |JOIN item ia ON ia.l_partkey = a
+        |JOIN item ib ON ib.l_partkey = b
+        |CROSS JOIN n
+        |ORDER BY sup DESC, lift_fp DESC, a, b LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+      val pair = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+      pair
+        .join(item.select(col("l_partkey").as("a"), col("s").as("sa")), "a")
+        .join(item.select(col("l_partkey").as("b"), col("s").as("sb")), "b")
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("sup"),
+          expr("(sup * n_orders * 1000000) div (sa * sb)").as("lift_fp"))
+        .orderBy(col("sup").desc, col("lift_fp").desc, col("a"), col("b"))
+        .limit(20)
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row basket-count frame"),
+
+    // ---- Positional phrase search (the retrieval feature BM25 can't
+    //      give you): postings carry (doc_id, pos); a k-word phrase
+    //      match is k-1 adjacency self-joins on (doc_id, pos+i). The
+    //      10-phrase workload is derived from the corpus itself (top
+    //      trigrams), so it is a pure function of driver data. Scale
+    //      shape: postings shard by token (equi joins only), the query
+    //      frame is broadcast, the top-3-per-phrase window partitions
+    //      by phrase — never corpus-wide ----
+    QueryDef.sql(
+      "q_phrase_search",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(l) AS token,
+        |         unnest(range(1, len(l) + 1)) AS pos
+        |  FROM d
+        |), tri AS (
+        |  SELECT t1.token AS w1, t2.token AS w2, t3.token AS w3,
+        |         count(*) AS cnt
+        |  FROM tok t1
+        |  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+        |  WHERE t1.token <> '' AND t2.token <> '' AND t3.token <> ''
+        |  GROUP BY 1, 2, 3
+        |), q AS (
+        |  SELECT w1, w2, w3 FROM tri
+        |  ORDER BY cnt DESC, w1, w2, w3 LIMIT 10
+        |), m AS (
+        |  SELECT q.w1 || ' ' || q.w2 || ' ' || q.w3 AS phrase,
+        |         t1.doc_id, count(*) AS n_occ
+        |  FROM q
+        |  JOIN tok t1 ON t1.token = q.w1
+        |  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |    AND t2.token = q.w2
+        |  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+        |    AND t3.token = q.w3
+        |  GROUP BY 1, 2
+        |)
+        |SELECT phrase, doc_id, n_occ FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY phrase
+        |    ORDER BY n_occ DESC, doc_id) AS rn FROM m)
+        |WHERE rn <= 3""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+        .select(col("doc_id"), col("token"), (col("pos0") + 1).as("pos"))
+      def t(n: String) = tok.select(
+        col("doc_id").as(s"${n}_doc"), col("token").as(s"${n}_tok"),
+        col("pos").as(s"${n}_pos"))
+      val tri = t("t1")
+        .join(t("t2"), col("t2_doc") === col("t1_doc") &&
+          col("t2_pos") === col("t1_pos") + 1)
+        .join(t("t3"), col("t3_doc") === col("t1_doc") &&
+          col("t3_pos") === col("t1_pos") + 2)
+        .filter(col("t1_tok") =!= "" && col("t2_tok") =!= "" &&
+          col("t3_tok") =!= "")
+        .groupBy(col("t1_tok").as("w1"), col("t2_tok").as("w2"),
+          col("t3_tok").as("w3"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = tri.orderBy(col("cnt").desc, col("w1"), col("w2"), col("w3"))
+        .limit(10).select(col("w1"), col("w2"), col("w3"))
+      val m = broadcast(q)
+        .join(t("t1"), col("t1_tok") === col("w1"))
+        .join(t("t2"), col("t2_doc") === col("t1_doc") &&
+          col("t2_pos") === col("t1_pos") + 1 && col("t2_tok") === col("w2"))
+        .join(t("t3"), col("t3_doc") === col("t1_doc") &&
+          col("t3_pos") === col("t1_pos") + 2 && col("t3_tok") === col("w3"))
+        .groupBy(
+          concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"),
+          col("t1_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+      m.withColumn("rn", row_number().over(
+        Window.partitionBy(col("phrase"))
+          .orderBy(col("n_occ").desc, col("doc_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("phrase"), col("doc_id"), col("n_occ"))
     }
   )
 }
