@@ -1352,6 +1352,42 @@ object DataPrepQueries {
             .otherwise("updated").as("merge_action"))
     },
 
+    // ---- SCD Type-2 dimension history: fold a per-key change stream
+    //      (events as attribute updates) into versioned rows — collapse
+    //      consecutive identical values, then valid_from/valid_to from
+    //      the change boundaries (lead), open-ended row = current. Two
+    //      windows over the SAME (user_id) partitioning — one exchange,
+    //      both windows pipeline in a single sort. The warehouse twin of
+    //      q_merge_upsert (SCD1). ----
+    QueryDef.sql(
+      "q_scd2_history",
+      """WITH chg AS (
+        |  SELECT user_id, value, ts FROM (
+        |    SELECT user_id, value, ts,
+        |      lag(value) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM events)
+        |  WHERE prev IS NULL OR value <> prev
+        |)
+        |SELECT user_id, value, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    AS is_current
+        |FROM chg""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val chg = Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNull || col("value") =!= col("prev"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      chg
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("value"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    },
+
     // ---- corpus bigram vocabulary: top-20 by frequency — the n-gram
     //      counting pass behind vocab/tokenizer construction. Global
     //      top-k is TakeOrdered (distributed partial top-k per

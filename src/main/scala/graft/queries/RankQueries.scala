@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Mmr, PageRank}
+import graft.ops.{Hits, Mmr, PageRank}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -85,6 +85,28 @@ object RankQueries {
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
       PageRank.run(fwd.union(rev), seeds = Some(seeds))
+    },
+
+    // ---- HITS hubs & authorities over the same trade graph: exact
+    //      integer max-normalized power iteration (see ops.Hits — one
+    //      equi join + groupBy sum per half-step, lazy 1-row max
+    //      broadcast, checkpointed rounds). A second centrality axis
+    //      next to q_pagerank: directory-like hubs vs destination
+    //      authorities ----
+    QueryDef.sql(
+      "q_hits",
+      s"WITH graft_edges AS (\n$edgesDuck\n),\n" + Hits.oracleSql()
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      Hits.run(fwd.union(rev))
     },
 
     // ---- BM25 top-5 per query (k1=1.2, b=0.75, Robertson-style
