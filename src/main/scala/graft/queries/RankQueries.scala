@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Hits, Mmr, PageRank}
+import graft.ops.{Hits, LabelProp, Mmr, PageRank}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -85,6 +85,40 @@ object RankQueries {
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
       PageRank.run(fwd.union(rev), seeds = Some(seeds))
+    },
+
+    // ---- Label propagation with clamped seeds (see ops.LabelProp):
+    //      supplier nation-group labels spread over the UNDIRECTED
+    //      trade graph by synchronous integer majority vote — the
+    //      weak-supervision pass that turns a small trusted label set
+    //      into corpus-wide labels ----
+    QueryDef.sql(
+      "q_label_prop",
+      s"""WITH base AS (
+         |  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         |         'C' || CAST(o_custkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), graft_edges AS (
+         |  SELECT src, dst FROM base
+         |  UNION ALL SELECT dst, src FROM base
+         |), graft_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+         |         'L' || CAST(s_nationkey % 5 AS VARCHAR) AS label
+         |  FROM supplier
+         |),\n""".stripMargin + LabelProp.oracleSql()
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(
+          concat(lit("S"), col("l_suppkey")).as("src"),
+          concat(lit("C"), col("o_custkey")).as("dst"))
+      val und = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.supplier(s, d).select(
+        concat(lit("S"), col("s_suppkey")).as("node"),
+        concat(lit("L"), pmod(col("s_nationkey"), lit(5))).as("label"))
+      LabelProp.run(und, seeds)
     },
 
     // ---- HITS hubs & authorities over the same trade graph: exact
