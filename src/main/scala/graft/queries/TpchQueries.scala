@@ -755,7 +755,7 @@ object TpchQueries {
          |  SELECT l_partkey, l_extendedprice
          |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
          |  JOIN nation ON n_nationkey = s_nationkey
-         |  WHERE n_name = 'NATION_7'
+         |  WHERE n_name = 'NATION_3'
          |), tot AS (
          |  SELECT ${dsumSql("l_extendedprice")} AS total FROM natline
          |)
@@ -768,7 +768,7 @@ object TpchQueries {
       val natline = Tables.lineitem(s, d)
         .join(broadcast(Tables.supplier(s, d)),
           col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
           col("n_nationkey") === col("s_nationkey"))
         .select(col("l_partkey"), col("l_extendedprice"))
       val tot = natline.agg(dsum(col("l_extendedprice")).as("total"))
