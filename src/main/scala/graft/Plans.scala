@@ -29,7 +29,12 @@ object Plans {
     "q_knn_ivfpq", // cell-keyed codes stream vs broadcast probes + ADC table
     "q_knn_classify_ann", // IVF-PQ search -> partial-aggregable vote
     "q_rollup_incremental", // batch-sized delta aggs, keys-sized merge
-    "q_expectations" // one-scan conditional counts + broadcast FK anti join
+    "q_expectations", // one-scan conditional counts + broadcast FK anti join
+    "q_nb_classify", // vocab-bounded model joins, argmax as agg (no window)
+    "q_countmin", // O(d*w) sketch broadcast into the estimate join
+    "q_triangles", // degree-ordered wedge join + closing-edge semi join
+    "q_phrase_search", // positional adjacency equi joins, broadcast queries
+    "q_scd2_history" // two windows share ONE (user_id) exchange
   )
 
   def main(args: Array[String]): Unit = {
