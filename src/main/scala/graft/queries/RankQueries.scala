@@ -387,6 +387,58 @@ object RankQueries {
     }.intendsNestedLoop(
       "cross join against the broadcast 1-row basket-count frame"),
 
+    // ---- Item-item collaborative filtering ("customers who bought
+    //      this also bought"): neighbor ranking by co-occurrence cosine
+    //      sup/sqrt(sa·sb), kept EXACT by ranking on the monotone
+    //      square sup²·1e12 div (sa·sb) — pure integers, no sqrt.
+    //      Candidates come from the same bounded per-basket self-join
+    //      as q_frequent_pairs (fan-out C(basket,2), never corpus²);
+    //      top-5 neighbors per item via an item-partitioned window ----
+    QueryDef.sql(
+      "q_item_cf",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), item AS (
+        |  SELECT l_partkey, count(*) AS s FROM li GROUP BY l_partkey
+        |), pair AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS sup
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey <> y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), scored AS (
+        |  SELECT a AS part, b AS neighbor, sup,
+        |    (sup * sup * 1000000000000) // (ia.s * ib.s) AS cos2_fp
+        |  FROM pair
+        |  JOIN item ia ON ia.l_partkey = a
+        |  JOIN item ib ON ib.l_partkey = b
+        |)
+        |SELECT part, neighbor, sup, cos2_fp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY part
+        |    ORDER BY cos2_fp DESC, sup DESC, neighbor) AS rn FROM scored)
+        |WHERE rn <= 5""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+      val pair = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+      val scored = pair
+        .join(item.select(col("l_partkey").as("a"), col("s").as("sa")), "a")
+        .join(item.select(col("l_partkey").as("b"), col("s").as("sb")), "b")
+        .select(col("a").as("part"), col("b").as("neighbor"), col("sup"),
+          expr("(sup * sup * 1000000000000L) div (sa * sb)").as("cos2_fp"))
+      scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("part"))
+          .orderBy(col("cos2_fp").desc, col("sup").desc, col("neighbor"))))
+        .filter(col("rn") <= 5)
+        .select(col("part"), col("neighbor"), col("sup"), col("cos2_fp"))
+    },
+
     // ---- Positional phrase search (the retrieval feature BM25 can't
     //      give you): postings carry (doc_id, pos); a k-word phrase
     //      match is k-1 adjacency self-joins on (doc_id, pos+i). The
