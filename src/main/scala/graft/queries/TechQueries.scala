@@ -350,6 +350,55 @@ object TechQueries {
         .withColumn("filled",
           last(col("last_tick"), ignoreNulls = true).over(wFill))
         .withColumn("is_gap", col("last_tick").isNull.cast("long"))
+    },
+
+    // ---- Mean-shift change-point detection: per symbol, compare the
+    //      fixed-point sum of the 12 values BEFORE each row against the
+    //      12 starting AT it; flag |shift| above an absolute threshold.
+    //      Everything is integer (floor(value*1e6) summed over exact
+    //      ROWS frames, edge rows with short windows drop out via the
+    //      count gate), so the flags are bit-identical cross-engine —
+    //      unlike recursive CUSUM, this form is pure window algebra:
+    //      both frames ride ONE (symbol) exchange ----
+    QueryDef.sql(
+      "q_mean_shift",
+      """WITH q AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS v_fp
+        |  FROM events
+        |), f AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(sum(v_fp) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_before,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_before,
+        |    CAST(sum(v_fp) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS BIGINT) AS s_after,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS BIGINT) AS n_after
+        |  FROM q
+        |)
+        |SELECT event_type, ts, event_id,
+        |  s_after - s_before AS shift_fp
+        |FROM f
+        |WHERE n_before = 12 AND n_after = 12
+        |  AND abs(s_after - s_before) > 300000000""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val before = w.rowsBetween(-12, -1)
+      val after = w.rowsBetween(0, 11)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_fp"))
+        .withColumn("s_before", sum(col("v_fp")).over(before))
+        .withColumn("n_before", count(lit(1)).over(before))
+        .withColumn("s_after", sum(col("v_fp")).over(after))
+        .withColumn("n_after", count(lit(1)).over(after))
+        .filter(col("n_before") === 12 && col("n_after") === 12 &&
+          abs(col("s_after") - col("s_before")) > 300000000L)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          (col("s_after") - col("s_before")).as("shift_fp"))
     }
   )
 }
