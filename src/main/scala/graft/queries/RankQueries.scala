@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Hits, LabelProp, Mmr, PageRank}
+import graft.ops.{Hits, KCore, LabelProp, Mmr, PageRank}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -386,6 +386,36 @@ object RankQueries {
         .limit(20)
     }.intendsNestedLoop(
       "cross join against the broadcast 1-row basket-count frame"),
+
+    // ---- 2-core of the part co-occurrence graph (see ops.KCore):
+    //      iterative degree-< k peeling — the hard graph-quality gate
+    //      (chains and pendants peel away, dense neighborhoods stay).
+    //      Fixed 8 peel rounds, which reaches the fixpoint on this
+    //      graph at every scale factor ----
+    QueryDef.sql(
+      "q_kcore",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), graft_und_edges AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |""".stripMargin + KCore.oracleSql(k = 2)
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      KCore.coreNodes(e, k = 2)
+    },
 
     // ---- Item-item collaborative filtering ("customers who bought
     //      this also bought"): neighbor ranking by co-occurrence cosine
