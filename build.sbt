@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench runs 150+ queries' worth of whole-stage-codegen classes
+  // through one JVM; the default 240m ReservedCodeCacheSize fills mid-run,
+  // the JIT disables itself, and every query after that point runs
+  // interpreted (observed as a uniform ~5x slowdown on all late-alphabet
+  // bench entries in round 3). Size the code cache for the full sweep.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

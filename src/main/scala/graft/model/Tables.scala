@@ -51,16 +51,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy long mode) and truncate to
-    * microseconds — exactly what DuckDB does when it surfaces the column as
-    * TIMESTAMP, so oracle comparisons agree bit-for-bit.
+  /** `events.ts` has changed physical type across driver testdata
+    * generations: TIMESTAMP(NANOS) in rounds 1-3 (which Spark's vectorized
+    * reader rejects — read as raw nanos and truncate to µs, matching what
+    * DuckDB surfaces), plain TIMESTAMP(MICROS) from round 4 (which Spark
+    * infers as TIMESTAMP_NTZ — cast to the session-zone TimestampType so
+    * every downstream query sees the exact type the nanos path produced;
+    * the session is pinned UTC, so the wall-clock value is unchanged).
+    * Adapt on the observed schema so either generation loads identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (µs, no zone marker)
+        raw.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
