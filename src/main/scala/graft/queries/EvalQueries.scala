@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{IvfIndex, Perceptron, RandomWalk}
+
+/** Round-4 tier: retrieval evaluation and model-training operators —
+  * the measurement half of the retrieval/curation stack (a 100 TB
+  * pipeline that cannot score its own ANN index or train its own quality
+  * classifier is flying blind).
+  *
+  * Reference scope: all extension surface (the reference has no
+  * retrieval or training tier; its only model is the out-of-scope LSTM,
+  * /root/reference/AI-LSTM/LSTM_Stock_Market_Prediction.py:41-54).
+  * Cross-engine exactness throughout: ranks are integers, every score is
+  * integer fixed point (`1e9 div (k + rank)` etc.), and the two
+  * iterative operators ([[graft.ops.Perceptron]],
+  * [[graft.ops.RandomWalk]]) run in pure integer / hash arithmetic with
+  * the recurrence unrolled in the DuckDB oracle.
+  */
+object EvalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- ANN index evaluation: recall@5 and fixed-point MRR of the
+    //      IVF(nprobe=2) search against the brute-force ground truth,
+    //      per query. THE retrieval-quality gate: run it after every
+    //      index build/append; a recall regression means the codebook no
+    //      longer covers the data distribution. Scale shape: ground
+    //      truth only for the (bounded) query batch — corpus scanned
+    //      once for brute scores, once through the cell-pruned IVF path;
+    //      the comparison itself is a join over batch*k rows ----
+    QueryDef.sql(
+      "q_retrieval_eval", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH ${OracleKmeans.codebookCtes},
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.cent_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
+           |  FROM embeddings e, cb2 c
+           |), assign AS (
+           |  SELECT vec_id, embedding, cent_id FROM scored WHERE rk = 1
+           |), probes AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS probe_cent
+           |  FROM scored WHERE vec_id < 10 AND rk <= 2
+           |), p AS (
+           |  SELECT pr.q_id, a.vec_id AS c_id,
+           |    ${cosDuck("pr.q_emb", "a.embedding")} AS cosine
+           |  FROM probes pr JOIN assign a ON a.cent_id = pr.probe_cent
+           |  WHERE a.vec_id <> pr.q_id
+           |), ivf AS MATERIALIZED (
+           |  SELECT q_id, c_id, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5
+           |), bp AS (
+           |  SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+           |    ${cosDuck("q.embedding", "e.embedding")} AS cosine
+           |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10
+           |), gt AS MATERIALIZED (
+           |  SELECT q_id, c_id, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, c_id) AS rank FROM bp) WHERE rank <= 5
+           |), hit AS (
+           |  SELECT gt.q_id, count(*) AS nhit
+           |  FROM gt JOIN ivf ON ivf.q_id = gt.q_id AND ivf.c_id = gt.c_id
+           |  GROUP BY gt.q_id
+           |), mrr AS (
+           |  SELECT gt.q_id,
+           |    COALESCE(1000000000 // ivf.rank, 0) AS mrr_fp
+           |  FROM gt LEFT JOIN ivf ON ivf.q_id = gt.q_id AND ivf.c_id = gt.c_id
+           |  WHERE gt.rank = 1
+           |)
+           |SELECT q.q_id,
+           |  COALESCE(hit.nhit, 0) * 1000000 // 5 AS recall_fp,
+           |  mrr.mrr_fp
+           |FROM (SELECT DISTINCT q_id FROM gt) q
+           |LEFT JOIN hit ON hit.q_id = q.q_id
+           |JOIN mrr ON mrr.q_id = q.q_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val k = IvfIndex.chooseK(emb.count())
+      val cb = IvfIndex.materialize(IvfIndex.codebook(emb, k, iters = 2))
+      val ivf = IvfIndex.search(emb, cb, col("vec_id") < 10, nprobe = 2, topK = 5)
+        .select(col("q_id"), col("c_id"), col("rank"))
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val gt = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          graft.functions.VecOps.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("c_id"), col("rank"))
+      val ivfKeyed = ivf.select(
+        col("q_id").as("i_q"), col("c_id").as("i_c"), col("rank").as("i_rank"))
+      val hit = gt.join(ivfKeyed,
+          col("i_q") === gt("q_id") && col("i_c") === gt("c_id"))
+        .groupBy(gt("q_id")).agg(count(lit(1)).as("nhit"))
+        .select(col("q_id").as("h_q"), col("nhit"))
+      val mrr = gt.filter(col("rank") === 1)
+        .join(ivfKeyed,
+          col("i_q") === gt("q_id") && col("i_c") === gt("c_id"), "left")
+        .select(gt("q_id").as("m_q"),
+          coalesce(expr("1000000000L div i_rank"), lit(0L)).as("mrr_fp"))
+      gt.select(col("q_id")).distinct()
+        .join(hit, col("h_q") === col("q_id"), "left")
+        .join(mrr, col("m_q") === col("q_id"))
+        .select(col("q_id"),
+          expr("coalesce(nhit, 0L) * 1000000 div 5").as("recall_fp"),
+          col("mrr_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 10-row query batch and the k ~ sqrt(n) codebook"),
+
+    // ---- Reciprocal-rank fusion (Cormack et al. 2009, k=60) of two
+    //      retrieval scorers over the same query batch — the standard
+    //      hybrid-retrieval merge (lexical + semantic, or any N
+    //      rankers): score = sum over lists of 1/(60 + rank), kept
+    //      exact as 1e9 div (60 + rank). Here the two rankers are
+    //      cosine (normalized) and raw dot product (magnitude-aware) —
+    //      genuinely different rankings of the same candidates. Scale
+    //      shape: one corpus scan against the broadcast query batch
+    //      computes both scores; ranks are per-query windows over that
+    //      one frame; fusion is row-local addition ----
+    QueryDef.sql(
+      "q_rrf_fusion", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        def dotDuck(a: String, b: String) = OracleVec.dot(a, b)
+        s"""WITH p AS (
+           |  SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+           |    ${cosDuck("q.embedding", "e.embedding")} AS cosine,
+           |    ${dotDuck("q.embedding", "e.embedding")} AS dotp
+           |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10
+           |), ranked AS (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, c_id) AS rka,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY dotp DESC, c_id) AS rkb
+           |  FROM p
+           |), fused AS (
+           |  SELECT q_id, c_id,
+           |    (CASE WHEN rka <= 20 THEN 1000000000 // (60 + rka) ELSE 0 END)
+           |    + (CASE WHEN rkb <= 20 THEN 1000000000 // (60 + rkb) ELSE 0 END)
+           |      AS rrf_fp
+           |  FROM ranked
+           |)
+           |SELECT q_id, c_id, rrf_fp, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY rrf_fp DESC, c_id) AS rank
+           |  FROM fused WHERE rrf_fp > 0) WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val p = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          graft.functions.VecOps.cosine(col("q_emb"), col("embedding")).as("cosine"),
+          graft.functions.VecOps.vecDot(col("q_emb"), col("embedding")).as("dotp"))
+      val wa = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      val wb = Window.partitionBy(col("q_id")).orderBy(col("dotp").desc, col("c_id"))
+      val fused = p
+        .withColumn("rka", row_number().over(wa))
+        .withColumn("rkb", row_number().over(wb))
+        .select(col("q_id"), col("c_id"),
+          (when(col("rka") <= 20, expr("1000000000L div (60 + rka)")).otherwise(lit(0L))
+            + when(col("rkb") <= 20, expr("1000000000L div (60 + rkb)")).otherwise(lit(0L))
+            ).as("rrf_fp"))
+        .filter(col("rrf_fp") > 0)
+      val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf_fp").desc, col("c_id"))
+      fused.withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rrf_fp"), col("rank"))
+    }.intendsNestedLoop(
+      "broadcast side is the 10-row query batch"),
+
+    // ---- Batch-perceptron quality classifier (see ops.Perceptron):
+    //      3 integer-exact training rounds over 64-dim hashed
+    //      bag-of-words features, labels = (lang == 'en'), then score
+    //      every document with the learned weights. The model is a
+    //      64-row broadcast frame; each round is two partial-aggregable
+    //      groupBys — the classifier-TRAINING counterpart to the
+    //      inference-side q_nb_classify ----
+    QueryDef.sql(
+      "q_perceptron",
+      s"""WITH graft_perc_docs AS (
+         |  SELECT doc_id AS id, text,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |  FROM documents
+         |),
+         |${Perceptron.oracleSql(dims = 64, rounds = 3)}""".stripMargin
+    ) { (s, d) =>
+      Perceptron.trainPredict(
+        Tables.documents(s, d).select(
+          col("doc_id").as("id"), col("text"),
+          when(col("lang") === "en", lit(1)).otherwise(lit(-1)).as("y")),
+        dims = 64, rounds = 3)
+    },
+
+    // ---- Deterministic random walks (see ops.RandomWalk): 8 hops from
+    //      every nation-0-4 supplier over the directed trade graph —
+    //      the DeepWalk/node2vec corpus-generation pass, made a pure
+    //      function of the graph via (node, step, dst)-seeded hash
+    //      argmin next-hop choice ----
+    QueryDef.sql(
+      "q_random_walks",
+      s"""WITH graft_edges AS (\n${RankQueries.edgesDuck}\n),
+         |graft_walk_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+         |  FROM supplier WHERE s_nationkey < 5
+         |),
+         |${RandomWalk.oracleSql(steps = 8)}""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 5)
+        .select(concat(lit("S"), col("s_suppkey")).as("node"))
+      RandomWalk.run(fwd.union(rev), seeds, steps = 8)
+    }
+  )
+}

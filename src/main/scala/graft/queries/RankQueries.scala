@@ -26,7 +26,7 @@ object RankQueries {
     * keys, so odd-only customers become dangling nodes and the
     * dangling-mass redistribution path is exercised for real.
     */
-  private val edgesDuck: String =
+  private[queries] val edgesDuck: String =
     """SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
       |       'C' || CAST(o_custkey AS VARCHAR) AS dst
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
