@@ -69,14 +69,23 @@ object PageRank {
       seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
 
+    // Pin ONE hash partitioning across all rounds: edges and outdeg by
+    // src, nodes (and every rank frame) by node. Each round's joins are
+    // then co-partitioned — the edge relation (the big frame) is never
+    // re-shuffled after this point; only the rank-sized frames move.
+    // The explicit partition count (not plain repartition(col)) keeps AQE
+    // from coalescing one side and breaking co-partitioning mid-loop.
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(nShuffle, col("src")))
     val nodes0 = materialize(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
-        .distinct())
+        .distinct()
+        .repartition(nShuffle, col("node")))
     val outdeg = materialize(
       e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     // one scalar: node count (needed for the dangling split; an agg, not

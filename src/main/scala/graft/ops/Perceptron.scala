@@ -45,14 +45,25 @@ object Perceptron {
     * exact integer final-round margin and pred in {+1, -1}
     * (sign(margin), zero mapped to -1 exactly like the training rule).
     */
+  /** Corpus-sized frames checkpoint in place (distributed); only the
+    * d-row weight vector is ever collected as a local relation.
+    */
+  private def materializeDist(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def trainPredict(
       docs: DataFrame, dims: Int = 64, rounds: Int = 3): DataFrame = {
     require(dims >= 2 && rounds >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // hashed token-count features: one tokenize pass, one groupBy
-    val feat = IvfIndex.materialize(
+    // hashed token-count features: one tokenize pass, one groupBy. The
+    // feature table is read 2x/round (margins + update) plus once for the
+    // final scoring — checkpoint so the tokenize/groupBy lineage runs
+    // ONCE (and never collect it: this frame is corpus-sized)
+    val feat = materializeDist(
       docs.select(col("id"), col("y"),
         explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")

@@ -38,29 +38,40 @@ object RandomWalk {
     * node). Output: (walk_id, step, node) — `walk_id` is the seed node,
     * step 0 is the seed itself.
     */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def run(
       edges: DataFrame, seeds: DataFrame,
       steps: Int, src: String = "src", dst: String = "dst"): DataFrame = {
     require(steps >= 1)
-    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+    // the edge relation is joined once per step: distinct it ONCE and
+    // checkpoint, or every step re-runs the dedup shuffle
+    val e = materialize(
+      edges.select(col(src).as("src"), col(dst).as("dst")).distinct())
     val s0 = seeds.toDF("walk_id").distinct()
       .select(col("walk_id"), col("walk_id").as("node"))
-    var frontier = s0
-    var out = s0.withColumn("step", lit(0))
+    var frontier = materialize(s0)
+    var out = Seq(frontier.withColumn("step", lit(0)))
     for (t <- 1 to steps) {
-      // argmin over the out-neighborhood: hash seeded by (node, step, dst)
-      val next = frontier.join(e, frontier("node") === e("src"))
+      // argmin over the out-neighborhood: hash seeded by (node, step, dst).
+      // Each step materializes so step t's job starts from step t-1's rows
+      // rather than replaying the whole walk prefix (O(steps) per step =
+      // O(steps^2) total without the checkpoint)
+      val next = materialize(frontier.join(e, frontier("node") === e("src"))
         .select(col("walk_id"),
           struct(
             expr(s"md5p60(concat(node, '|', '$t', '|', dst))").as("h"),
             col("dst")).as("hd"))
         .groupBy(col("walk_id"))
         .agg(min(col("hd")).as("hd"))
-        .select(col("walk_id"), col("hd.dst").as("node"))
+        .select(col("walk_id"), col("hd.dst").as("node")))
       frontier = next
-      out = out.union(next.withColumn("step", lit(t)))
+      out = out :+ next.withColumn("step", lit(t))
     }
-    out.select(col("walk_id"), col("step"), col("node"))
+    out.reduce(_ union _).select(col("walk_id"), col("step"), col("node"))
   }
 
   /** The identical walk unrolled as DuckDB CTEs over a `graft_edges`
