@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA by fixed-point power iteration — the
+  * embedding-whitening / dimensionality-analysis pass of an embedding
+  * pipeline (project every vector onto the dominant principal component;
+  * the same machinery extends to top-k by deflation).
+  *
+  * Reference scope: extension surface (no linear algebra anywhere in
+  * the reference); sits next to the JL projection and int8 quantization
+  * in the embedding tier.
+  *
+  * Numeric contract — exact integer arithmetic end to end, so the run
+  * is bit-identical at any parallelism and in the DuckDB oracle:
+  *  - quantize: q_i = floor(x_i * 1e4) (row-local, the only float op;
+  *    floor of an IEEE multiply is identical cross-engine),
+  *  - centered Gram: C_ij = n * sum(q_i q_j) - S_i S_j (all int64),
+  *  - rescale to A_ij = trunc-div(C_ij, max|C| div 1e6 + 1), so
+  *    |A| <= 1e6; division is explicit truncate-toward-zero via
+  *    sign(x) * (|x| div d) because Spark's `div` and DuckDB's `//`
+  *    disagree on negative operands (floor vs truncate),
+  *  - power rounds from v0 = all-ones * 1e6: u = A v, then renormalize
+  *    v' = trunc-div(u, max|u| div 1e6 + 1). Covariance is PSD, so the
+  *    iteration converges toward the dominant eigenvector (up to the
+  *    deterministic fixed-point truncation, which both engines share).
+  *
+  * Scale shape: the Gram pass is the ONLY corpus-touching work — the
+  * d^2 product terms are generated row-locally (two nested explodes, no
+  * self-join shuffle) and collapse map-side to <= d^2 rows per partition
+  * before one d^2-key exchange; n never appears in any shuffle key. The
+  * d x d iteration operates on index metadata (d^2 rows) and the final
+  * projection is one broadcast join + a partial-aggregable per-vector
+  * sum. Int64 headroom: |C| <= 2 n^2 scale^2 must stay inside 2^63 —
+  * at scale=1e4 that bounds n at ~2e5 worst-case vectors (unit-norm
+  * embeddings sit far below the bound); lower the quantization scale
+  * for larger corpora (the contract names the precision, not the
+  * representation — same convention as [[PageRank]]).
+  */
+object PcaPower {
+
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Truncate-toward-zero division (identical in Spark and DuckDB for
+    * any sign): sign(x) * (abs(x) div d), d > 0.
+    */
+  private def tdiv(x: String, d: String): String =
+    s"(CASE WHEN $x < 0 THEN -(-($x) div ($d)) ELSE ($x) div ($d) END)"
+
+  /** Project every embedding onto the dominant principal component.
+    * Input: (vec_id, embedding: array<float|double>) with fixed
+    * dimension `d`. Output: (vec_id, pc1_fp) — the exact integer
+    * projection sum(q_i * v_i) onto the converged fixed-point
+    * eigenvector.
+    */
+  def project(emb: DataFrame, d: Int, iters: Int = 8): DataFrame = {
+    require(d >= 2 && iters >= 1)
+    // row-local quantization + nested explode: (vec_id, i, q_i) pairs
+    val expl = materialize(
+      emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+          .as("qarr"))
+        .select(col("vec_id"), col("qarr"),
+          posexplode(col("qarr")).as(Seq("i0", "q")))
+        .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("q")))
+    val n = emb.count()
+    val sums = expl.groupBy(col("i")).agg(sum(col("q")).as("s"))
+    // d^2 product terms generated row-locally (second explode over the
+    // carried array), partial-aggregated before the d^2-key shuffle
+    val gram = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+          .as("qarr"))
+      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i0", "qi")))
+      .select(col("i0"), col("qi"), posexplode(col("qarr")).as(Seq("j0", "qj")))
+      .groupBy((col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+    val c = gram.join(sums.select(col("i"), col("s").as("si")), "i")
+      .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
+      .select(col("i"), col("j"),
+        (lit(n) * col("g") - col("si") * col("sj")).as("c"))
+    val ma = c.agg(max(abs(col("c"))).as("m"))
+    // A and every v are d^2 / d rows of index metadata: local relations
+    val a = IvfIndex.materialize(
+      c.crossJoin(broadcast(ma))
+        .select(col("i"), col("j"),
+          expr(tdiv("c", "m div 1000000 + 1")).as("a")))
+    var v = IvfIndex.materialize(
+      a.sparkSession.range(1, d + 1).toDF("i").withColumn("v", lit(1000000L)))
+    for (_ <- 1 to iters) {
+      val u = a.join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
+        .groupBy(col("i")).agg(sum(col("a") * col("v")).as("u"))
+      val mu = u.agg(max(abs(col("u"))).as("m"))
+      v = IvfIndex.materialize(
+        u.crossJoin(broadcast(mu))
+          .select(col("i"), expr(tdiv("u", "m div 1000000 + 1")).as("v")))
+    }
+    expl.join(broadcast(v), "i")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("v")).as("pc1_fp"))
+  }
+
+  /** The identical computation as DuckDB CTEs over `embeddings`
+    * (vec_id, embedding) — the oracle twin of [[project]]; kept
+    * adjacent so the quantization/rescale steps cannot drift.
+    */
+  def oracleSql(d: Int, iters: Int = 8): String = {
+    def tdivDuck(x: String, dv: String): String =
+      s"(CASE WHEN $x < 0 THEN -((-($x)) // ($dv)) ELSE ($x) // ($dv) END)"
+    val head =
+      s"""expl AS MATERIALIZED (
+         |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+         |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e4) AS BIGINT) AS q
+         |  FROM embeddings, range(1, ${d + 1}) t(i)
+         |), sn AS MATERIALIZED (
+         |  SELECT i, CAST(sum(q) AS BIGINT) AS s FROM expl GROUP BY i
+         |), nn AS (SELECT count(*) AS n FROM embeddings),
+         |g AS MATERIALIZED (
+         |  SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+         |  FROM expl a JOIN expl b USING (vec_id) GROUP BY 1, 2
+         |), c AS MATERIALIZED (
+         |  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS c
+         |  FROM g CROSS JOIN nn
+         |  JOIN sn sa ON sa.i = g.i JOIN sn sb ON sb.i = g.j
+         |), ma AS (SELECT max(abs(c)) AS m FROM c),
+         |am AS MATERIALIZED (
+         |  SELECT i, j, ${tdivDuck("c", "m // 1000000 + 1")} AS a
+         |  FROM c CROSS JOIN ma
+         |), v0 AS (
+         |  SELECT CAST(t.i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS v
+         |  FROM range(1, ${d + 1}) t(i)
+         |)""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s"""u$r AS MATERIALIZED (
+         |  SELECT am.i, CAST(sum(am.a * v.v) AS BIGINT) AS u
+         |  FROM am JOIN v${r - 1} v ON v.i = am.j GROUP BY am.i
+         |), mu$r AS (SELECT max(abs(u)) AS m FROM u$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, ${tdivDuck("u", "m // 1000000 + 1")} AS v
+         |  FROM u$r CROSS JOIN mu$r
+         |)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc1_fp
+         |FROM expl e JOIN v$iters v ON v.i = e.i
+         |GROUP BY e.vec_id""".stripMargin
+  }
+}

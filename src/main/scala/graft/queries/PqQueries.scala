@@ -142,6 +142,25 @@ object PqQueries {
       }
       Tables.embeddings(s, d)
         .select(col("vec_id"), concat_ws(",", array(comps: _*)).as("proj_q6"))
+    },
+
+    // ---- Distributed PCA (see ops.PcaPower): centered Gram matrix by
+    //      row-local d^2 term generation + one d^2-key partial-agg
+    //      shuffle, then an 8-round fixed-point power iteration over the
+    //      d x d metadata, then a broadcast projection of every vector
+    //      onto the dominant component — all exact int64, oracle unrolls
+    //      the identical recurrence. The data-adaptive counterpart to
+    //      the fixed JL projection above ----
+    QueryDef.sql(
+      "q_pca_power",
+      s"WITH ${graft.ops.PcaPower.oracleSql(d = 64, iters = 8)}"
+    ) { (s, d) =>
+      graft.ops.PcaPower.project(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        d = 64, iters = 8)
+      // no plan intent: the 1-row rescale cross joins all live inside
+      // construction-time materialized rounds; the FINAL plan is just the
+      // broadcast projection join + one partial-aggregable groupBy
     }
   )
 }

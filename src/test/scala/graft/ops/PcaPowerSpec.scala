@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Fixed-point PCA: the integer power iteration must agree with a
+  * double-precision reference on data with a known dominant direction
+  * (up to sign — eigenvectors are direction-only), and be bit-identical
+  * under repartitioning (exact integer arithmetic everywhere).
+  */
+class PcaPowerSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = 8
+  // 200 points stretched along a fixed unit direction + small noise:
+  // the principal component is unambiguous
+  private val dir = {
+    val raw = Array(0.5, -0.3, 0.2, 0.6, -0.1, 0.4, 0.2, -0.2)
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+  private val rnd = new scala.util.Random(42)
+  private val data: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
+    val t = rnd.nextGaussian() * 3.0
+    val v = (0 until d).map(k => (t * dir(k) + rnd.nextGaussian() * 0.05).toFloat)
+    (i.toLong, v)
+  }
+
+  test("projections correlate ~1 with the exact principal projection") {
+    val emb = data.toDF("vec_id", "embedding")
+    val got = PcaPower.project(emb, d, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    // double-precision reference: project on the known direction after
+    // centering (the noise floor is 1e-3 of the signal, so the true PC1
+    // and `dir` are interchangeable at the asserted tolerance)
+    val mean = (0 until d).map(k => data.map(_._2(k).toDouble).sum / data.size)
+    val ref = data.map { case (id, v) =>
+      id -> (0 until d).map(k => (v(k) - mean(k)) * dir(k)).sum
+    }.toMap
+    val ids = got.keySet.toSeq
+    val xs = ids.map(i => got(i).toDouble)
+    val ys = ids.map(i => ref(i))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val ma = a.sum / a.size; val mb = b.sum / b.size
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val sa = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+      val sb = math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
+      cov / (sa * sb)
+    }
+    math.abs(corr(xs, ys)) should be > 0.999
+    got.size shouldBe 200
+  }
+
+  test("bit-identical under repartitioning") {
+    val emb = data.toDF("vec_id", "embedding")
+    val a = PcaPower.project(emb, d, iters = 6).orderBy("vec_id").collect()
+    val b = PcaPower.project(emb.repartition(7), d, iters = 6)
+      .orderBy("vec_id").collect()
+    a should contain theSameElementsInOrderAs b
+  }
+}
