@@ -236,6 +236,35 @@ object MlQueries {
         testPred = col("doc_id") % 2 === 1)
     }.intendsNestedLoop(
       "cross joins are against broadcast class-list / 1-row scalar frames " +
-        "(#classes and vocab-size), never corpus-sized")
+        "(#classes and vocab-size), never corpus-sized"),
+
+    // ---- Grid DBSCAN (see ops.GridDbscan): density clustering of the
+    //      embeddings in a deterministic 2-d JL projection (plane family
+    //      offsets 96/97, disjoint from the LSH and projection tiers).
+    //      Density = one groupBy over eps-grid cells; clusters =
+    //      connected components of the adjacent-core-cell graph; no
+    //      point-pair distance anywhere ----
+    QueryDef.sql(
+      "q_dbscan_grid", {
+        def fold(j: Int): String =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len(e.embedding) + 1),
+             |      i -> CAST(e.embedding[i] AS DOUBLE)
+             |        * ((((i * (1000003 + $j * 7919)) + ($j * 271 + 17)) % 1000) * 1e-3 - 5e-1))),
+             |      (acc, x) -> acc + x)""".stripMargin
+        s"""WITH RECURSIVE graft_pts AS (
+           |  SELECT e.vec_id AS id, ${fold(96)} AS px, ${fold(97)} AS py
+           |  FROM embeddings e
+           |),
+           |${graft.ops.GridDbscan.oracleSql(eps = "25e-2", minPts = 10)}""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps.planeDot
+      val pts = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        planeDot(col("embedding"), 1000003 + 96 * 7919, 96 * 271 + 17).as("px"),
+        planeDot(col("embedding"), 1000003 + 97 * 7919, 97 * 271 + 17).as("py"))
+      graft.ops.GridDbscan.cluster(pts, eps = 0.25, minPts = 10)
+    }.intendsNestedLoop(
+      "cross joins are against the broadcast 9-row neighbor-offset frame")
   )
 }
