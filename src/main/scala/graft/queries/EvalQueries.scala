@@ -233,6 +233,99 @@ object EvalQueries {
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
       RandomWalk.run(fwd.union(rev), seeds, steps = 8)
-    }
+    },
+
+    // ---- Token-distribution drift between two corpus versions (the
+    //      data-drift monitor a continuously-ingesting training
+    //      pipeline runs between snapshots): per-token add-1-smoothed
+    //      KL(A||B) contribution, top-30 drifted tokens. ONE tokenize
+    //      pass computes both distributions as conditional aggregates;
+    //      the vocab/total scalars broadcast. Fixed-point contract: the
+    //      ratio is a division of exact int64 products, ln is the one
+    //      1-ulp-risk op (absorbed by the 1e6 quantization — the
+    //      q_bm25_topk precedent), multiply/divide order is textually
+    //      identical on both engines ----
+    QueryDef.sql(
+      "q_dist_drift",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), tc AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM tok WHERE token <> '' GROUP BY token
+        |), tot AS (
+        |  SELECT count(*) AS v, CAST(sum(ca) AS BIGINT) AS na,
+        |         CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM tc
+        |)
+        |SELECT token, ca, cb, contrib_fp FROM (
+        |  SELECT token, ca, cb,
+        |    CAST(floor(ln(((ca + 1) * (nb + v)) * 1e0 / ((cb + 1) * (na + v)))
+        |      * (ca + 1) * 1e6 / (na + v)) AS BIGINT) AS contrib_fp
+        |  FROM tc CROSS JOIN tot)
+        |ORDER BY contrib_fp DESC, token LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = tc.agg(count(lit(1)).as("v"),
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      tc.crossJoin(broadcast(tot))
+        .select(col("token"), col("ca"), col("cb"),
+          // textually identical double-op order to the DuckDB oracle
+          expr("""CAST(floor(ln(((ca + 1) * (nb + v)) * 1e0 / ((cb + 1) * (na + v)))
+                 |  * (ca + 1) * 1e6 / (na + v)) AS BIGINT)""".stripMargin)
+            .as("contrib_fp"))
+        .orderBy(col("contrib_fp").desc, col("token"))
+        .limit(30)
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row vocab/total scalar frame"),
+
+    // ---- Hard-negative mining for contrastive training: for each
+    //      anchor (vec_id < 20), the 4 nearest neighbors whose label
+    //      differs — the pairs that actually move a contrastive loss.
+    //      Scale shape: the anchor batch broadcasts; the corpus is
+    //      scanned once; top-4 is a per-anchor partial-aggregable
+    //      window after the label anti-filter ----
+    QueryDef.sql(
+      "q_hard_negatives", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH p AS (
+           |  SELECT q.vec_id AS q_id, q.label AS q_label,
+           |    e.vec_id AS neg_id, e.label AS neg_label,
+           |    ${cosDuck("q.embedding", "e.embedding")} AS cosine
+           |  FROM embeddings q JOIN embeddings e
+           |    ON e.vec_id <> q.vec_id AND e.label <> q.label
+           |  WHERE q.vec_id < 20
+           |)
+           |SELECT q_id, neg_id, neg_label, cosine, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, neg_id) AS rank FROM p) WHERE rank <= 4""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val qv = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neg_id"))
+      emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"),
+          graft.functions.VecOps.cosine(col("q_emb"), col("embedding")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("q_id"), col("neg_id"), col("neg_label"),
+          col("cosine"), col("rank"))
+    }.intendsNestedLoop(
+      "broadcast side is the 20-row anchor batch")
   )
 }

@@ -399,6 +399,25 @@ object TechQueries {
           abs(col("s_after") - col("s_before")) > 300000000L)
         .select(col("event_type"), col("ts"), col("event_id"),
           (col("s_after") - col("s_before")).as("shift_fp"))
+    },
+
+    // ---- Holt linear-trend smoothing (see ops.Holt): level + trend +
+    //      one-step forecast per symbol in exact integer cents — the
+    //      closed-form classical counterpart to the reference's LSTM
+    //      forecaster, on the indicator-core data plane (one shuffle on
+    //      the symbol key, O(1)-state ordered fold). Oracle replays the
+    //      recurrence as a recursive CTE ----
+    QueryDef.sql(
+      "q_holt",
+      s"""WITH RECURSIVE graft_series AS (
+         |  SELECT event_type AS symbol, ts, event_id, value FROM events
+         |),
+         |${graft.ops.Holt.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.Holt.smooth(
+        Tables.events(s, d).select(
+          col("event_type").as("symbol"), col("ts"),
+          col("event_id"), col("value")))
     }
   )
 }
