@@ -46,14 +46,23 @@ object Hits {
       edges: DataFrame, src: String = "src", dst: String = "dst",
       iters: Int = 5, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && scale >= 1)
-    val e = materialize(
+    // two pinned copies of the edge relation — by src for the authority
+    // half-step, by dst for the hub half-step — so the big frame is
+    // never re-shuffled inside the loop (the PageRank pattern; score
+    // frames come out of each groupBy already partitioned on the next
+    // join key). Explicit count so AQE cannot de-co-partition a side.
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
+    val eBySrc = materialize(e0.repartition(nShuffle, col("src")))
+    val eByDst = materialize(e0.repartition(nShuffle, col("dst")))
     val nodes = materialize(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct())
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .distinct()
+        .repartition(nShuffle, col("node")))
 
     def normalized(full: DataFrame): DataFrame = {
       // lazy 1-row max frame, broadcast into the rescale — no collect
@@ -65,10 +74,12 @@ object Hits {
     // nothing to either the sums or the max, so the recurrence is
     // unchanged (the oracle keeps them with COALESCE 0 — same numbers);
     // the full node set is restored once, at the end
-    def halfStep(scores: DataFrame, inKey: String, outKey: String): DataFrame =
+    def halfStep(scores: DataFrame, inKey: String, outKey: String): DataFrame = {
+      val e = if (inKey == "src") eBySrc else eByDst
       normalized(
         e.join(scores, e(inKey) === scores("node"))
           .groupBy(col(outKey).as("node")).agg(sum(col("v")).as("v")))
+    }
 
     var hub = materialize(nodes.select(col("node"), lit(scale).as("v")))
     var auth = hub

@@ -39,14 +39,21 @@ object LabelProp {
       src: String = "src", dst: String = "dst",
       iters: Int = 3): DataFrame = {
     require(iters >= 1)
+    // one pinned partitioning across rounds (the PageRank pattern):
+    // edges by src, nodes/labels by node — the edge relation is never
+    // re-shuffled inside the loop; explicit count so AQE cannot
+    // de-co-partition one side
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(nShuffle, col("src")))
     val nodes = materialize(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
-        .distinct())
+        .distinct()
+        .repartition(nShuffle, col("node")))
     val sd = seeds.toDF("node", "seed_label")
     var labels = materialize(
       nodes.join(sd, Seq("node"), "left")
