@@ -51,34 +51,74 @@ object PcaPower {
   private def tdiv(x: String, d: String): String =
     s"(CASE WHEN $x < 0 THEN -(-($x) div ($d)) ELSE ($x) div ($d) END)"
 
+  /** Sufficient statistics for the centered Gram matrix — EXACTLY
+    * additive across corpus slices (integer sums), which is what makes
+    * the incremental path below identical to a full recompute:
+    * (gram: (i, j, g), sums: (i, s), n).
+    */
+  final case class Stats(gram: DataFrame, sums: DataFrame, n: Long)
+
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
+        .as("qarr"))
+
+  /** (vec_id, i, q) pairs — the quantized explode shared by the Gram
+    * pass and the final projection.
+    */
+  private def explode(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(col("vec_id"), col("qarr"),
+        posexplode(col("qarr")).as(Seq("i0", "q")))
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("q"))
+
+  /** One corpus pass -> additive statistics. The d^2 product terms are
+    * generated row-locally (second explode over the carried array) and
+    * partial-aggregated before the single d^2-key shuffle.
+    */
+  def stats(emb: DataFrame): Stats = {
+    val expl = explode(emb)
+    val sums = expl.groupBy(col("i")).agg(sum(col("q")).as("s"))
+    val gram = quantized(emb)
+      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i0", "qi")))
+      .select(col("i0"), col("qi"), posexplode(col("qarr")).as(Seq("j0", "qj")))
+      .groupBy((col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+    Stats(gram, sums, emb.count())
+  }
+
+  /** Fold a new corpus slice into existing statistics — the incremental
+    * index-maintenance path (the [[IvfPq]] append / [[Rollup]] merge
+    * convention): integer sums are exactly additive, so the merged
+    * statistics — and everything derived from them — are BIT-IDENTICAL
+    * to a full recompute over the union.
+    */
+  def mergeStats(a: Stats, b: Stats): Stats = Stats(
+    a.gram.union(b.gram).groupBy(col("i"), col("j"))
+      .agg(sum(col("g")).as("g")),
+    a.sums.union(b.sums).groupBy(col("i")).agg(sum(col("s")).as("s")),
+    a.n + b.n)
+
   /** Project every embedding onto the dominant principal component.
     * Input: (vec_id, embedding: array<float|double>) with fixed
     * dimension `d`. Output: (vec_id, pc1_fp) — the exact integer
     * projection sum(q_i * v_i) onto the converged fixed-point
     * eigenvector.
     */
-  def project(emb: DataFrame, d: Int, iters: Int = 8): DataFrame = {
+  def project(emb: DataFrame, d: Int, iters: Int = 8): DataFrame =
+    projectWith(stats(emb), emb, d, iters)
+
+  /** [[project]] from precomputed (possibly incrementally merged)
+    * statistics.
+    */
+  def projectWith(
+      st: Stats, emb: DataFrame, d: Int, iters: Int): DataFrame = {
     require(d >= 2 && iters >= 1)
-    // row-local quantization + nested explode: (vec_id, i, q_i) pairs
-    val expl = materialize(
-      emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
-          .as("qarr"))
-        .select(col("vec_id"), col("qarr"),
-          posexplode(col("qarr")).as(Seq("i0", "q")))
-        .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("q")))
-    val n = emb.count()
-    val sums = expl.groupBy(col("i")).agg(sum(col("q")).as("s"))
-    // d^2 product terms generated row-locally (second explode over the
-    // carried array), partial-aggregated before the d^2-key shuffle
-    val gram = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
-          .as("qarr"))
-      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i0", "qi")))
-      .select(col("i0"), col("qi"), posexplode(col("qarr")).as(Seq("j0", "qj")))
-      .groupBy((col("i0") + 1).cast("long").as("i"),
-        (col("j0") + 1).cast("long").as("j"))
-      .agg(sum(col("qi") * col("qj")).as("g"))
+    val expl = materialize(explode(emb))
+    val n = st.n
+    val sums = st.sums
+    val gram = st.gram
     val c = gram.join(sums.select(col("i"), col("s").as("si")), "i")
       .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
       .select(col("i"), col("j"),

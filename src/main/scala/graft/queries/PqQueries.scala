@@ -161,6 +161,26 @@ object PqQueries {
       // no plan intent: the 1-row rescale cross joins all live inside
       // construction-time materialized rounds; the FINAL plan is just the
       // broadcast projection join + one partial-aggregable groupBy
+    },
+
+    // ---- Incremental PCA maintenance: the centered-Gram statistics are
+    //      exact integer sums, so folding a new corpus slice in
+    //      (PcaPower.mergeStats) is BIT-IDENTICAL to a full recompute —
+    //      the oracle is literally q_pca_power's full-corpus unroll. The
+    //      append pattern every 100 TB index needs: the historical
+    //      corpus is never re-scanned, only the delta's one Gram pass
+    //      runs ----
+    QueryDef.sql(
+      "q_pca_incr",
+      s"WITH ${graft.ops.PcaPower.oracleSql(d = 64, iters = 8)}"
+    ) { (s, d) =>
+      import graft.ops.PcaPower
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val delta = emb.filter(col("vec_id") % 3 === 0)
+      PcaPower.projectWith(
+        PcaPower.mergeStats(PcaPower.stats(base), PcaPower.stats(delta)),
+        emb, d = 64, iters = 8)
     }
   )
 }
