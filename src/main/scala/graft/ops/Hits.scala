@@ -83,15 +83,20 @@ object Hits {
 
     var hub = materialize(nodes.select(col("node"), lit(scale).as("v")))
     var auth = hub
+    var lastMat = hub
     for (i <- 1 to iters) {
-      val prevHub = hub
       // the authority half-step stays LAZY inside the hub job (its
-      // identical subtrees collapse via exchange reuse) — one
-      // materialized job per iteration, two on the last to pin auth
+      // identical subtrees collapse via exchange reuse); hub itself
+      // checkpoints every SECOND iteration (and the last) — two full
+      // rounds compose into one job, same arithmetic
       auth = halfStep(hub, "src", "dst") // a(v) = sum h(u) over u->v
       if (i == iters) auth = materialize(auth)
-      hub = materialize(halfStep(auth, "dst", "src")) // h(u) = sum a(v)
-      prevHub.unpersist()
+      hub = halfStep(auth, "dst", "src") // h(u) = sum a(v)
+      if (i % 2 == 0 || i == iters) {
+        hub = materialize(hub)
+        lastMat.unpersist()
+        lastMat = hub
+      }
     }
     nodes
       .join(hub.select(col("node"), col("v").as("hub_fp")), Seq("node"), "left")

@@ -35,17 +35,24 @@ object KCore {
     require(k >= 1 && rounds >= 1)
     var e = materialize(
       edges.select(col("a"), col("b")).filter(col("a") =!= col("b")).distinct())
-    for (_ <- 1 to rounds) {
+    // checkpoint every SECOND peel (and the last): two peels compose
+    // into one job — same fixpoint, half the materialization overhead
+    var lastMat = e
+    for (i <- 1 to rounds) {
       val deg = e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("c"))
       val keep = deg.filter(col("c") >= k).select(col("node"))
-      val next = materialize(
+      val next =
         e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-          .select(col("a"), col("b")))
-      e.unpersist()
-      e = next
+          .select(col("a"), col("b"))
+      e = if (i % 2 == 0 || i == rounds) {
+        val m = materialize(next)
+        lastMat.unpersist()
+        lastMat = m
+        m
+      } else next
     }
     e
   }

@@ -116,7 +116,10 @@ object PageRank {
     }
 
     var ranks = materialize(nodes.select(col("node"), lit(scale).as("r")))
-    for (_ <- 1 to iters) {
+    // the most recent CHECKPOINTED rank frame (unpersist target: plain
+    // plans between checkpoints hold no storage)
+    var lastMat = ranks
+    for (i <- 1 to iters) {
       val withDeg = ranks.join(
         outdeg, ranks("node") === outdeg("src"), "left")
       // dangling mass: a LAZY 1-row frame broadcast into the update plan
@@ -128,7 +131,7 @@ object PageRank {
         .select(col("src"), expr("r div outdeg").as("c"))
         .join(e, "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      val next = materialize(
+      val next =
         nodes.join(inflow, nodes("node") === inflow("dst"), "left")
           .crossJoin(broadcast(dang))
           .select(
@@ -137,9 +140,16 @@ object PageRank {
               s"""($dampNum * (coalesce(inflow, 0L) +
                  |  (case when is_seed then (dangling div ${nSeeds}L) else 0L end)))
                  |  div 100""".stripMargin)
-            ).as("r")))
-      ranks.unpersist()
-      ranks = next
+            ).as("r"))
+      // materialize every SECOND round (and the last): two rounds of
+      // lineage compose into one job — same arithmetic, half the
+      // fixed materialization cost; plan depth stays bounded at 2
+      ranks = if (i % 2 == 0 || i == iters) {
+        val m = materialize(next)
+        lastMat.unpersist()
+        lastMat = m
+        m
+      } else next
     }
     ranks.select(col("node"), col("r").as("r_fp"))
   }
