@@ -34,7 +34,13 @@ object Plans {
     "q_countmin", // O(d*w) sketch broadcast into the estimate join
     "q_triangles", // degree-ordered wedge join + closing-edge semi join
     "q_phrase_search", // positional adjacency equi joins, broadcast queries
-    "q_scd2_history" // two windows share ONE (user_id) exchange
+    "q_scd2_history", // two windows share ONE (user_id) exchange
+    "q_perceptron", // broadcast d-row model, partial-aggregable margins/update
+    "q_pca_power", // row-local d^2 terms, ONE d^2-key exchange, broadcast proj
+    "q_hard_negatives", // broadcast anchors, one corpus scan, top-4 window
+    "q_dbscan_grid", // cell-grid aggs + CC on core cells, no point pairs
+    "q_holt", // one symbol-key exchange, typed O(1)-state fold
+    "q_dist_drift" // one tokenize pass, conditional aggs, TakeOrdered(30)
   )
 
   def main(args: Array[String]): Unit = {

@@ -174,6 +174,43 @@ object AnalyticsQueries {
         .filter(col("day_offset").between(0, 7))
         .groupBy(col("cohort_day"), col("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
+    // ---- First-order Markov transition matrix over per-user event
+    //      sequences (the behavior model behind next-action prediction
+    //      and anomaly scoring): transitions from a per-user lead
+    //      window on ONE (user_id) exchange, probabilities kept exact
+    //      as cnt·1e6 div row-total. At 100 TB the matrix is
+    //      #event_types² rows — index metadata, never corpus-sized ----
+    QueryDef.sql(
+      "q_markov",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), tr AS (
+        |  SELECT src, dst, count(*) AS cnt FROM seq
+        |  WHERE dst IS NOT NULL GROUP BY src, dst
+        |), tot AS (
+        |  SELECT src, CAST(sum(cnt) AS BIGINT) AS t FROM tr GROUP BY src
+        |)
+        |SELECT tr.src, tr.dst, tr.cnt,
+        |  (tr.cnt * 1000000) // tot.t AS prob_fp
+        |FROM tr JOIN tot ON tot.src = tr.src""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = ev(s, d)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"), col("ts"), col("event_id"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tr.groupBy(col("src").as("tsrc")).agg(sum(col("cnt")).as("t"))
+      tr.join(tot, col("tsrc") === col("src"))
+        .select(col("src"), col("dst"), col("cnt"),
+          expr("(cnt * 1000000) div t").as("prob_fp"))
     }
   )
 }

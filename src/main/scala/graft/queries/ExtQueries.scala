@@ -1026,6 +1026,46 @@ object ExtQueries {
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
     ) { (s, d) =>
       graft.ops.FuzzyJoin.selfJoin(Tables.part(s, d), "p_name")
+    },
+
+    // ---- Entity resolution end-to-end: deletion-neighborhood blocking
+    //      (FuzzyJoin, complete for lev<=2) -> pairwise match edges ->
+    //      ConnectedComponents transitive closure -> canonical entity =
+    //      min member name. The classic ER pipeline (blocking ->
+    //      matching -> clustering) with every stage the scalable shape:
+    //      candidates from equi-joins on deletion variants (never
+    //      all-pairs), closure via large-star/small-star rounds ----
+    QueryDef.sql(
+      "q_entity_resolution",
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |pairs AS (
+        |  SELECT a.p_name AS a_name, b.p_name AS b_name
+        |  FROM n a JOIN n b ON a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |), ed AS (
+        |  SELECT a_name AS u, b_name AS v FROM pairs
+        |  UNION SELECT b_name, a_name FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT u, u FROM ed
+        |  UNION
+        |  SELECT e.u, reach.r FROM ed e JOIN reach ON reach.id = e.v
+        |), comp AS (
+        |  SELECT id, min(r) AS entity_id FROM reach GROUP BY id
+        |)
+        |SELECT n.p_name,
+        |  COALESCE(c.entity_id, n.p_name) AS entity_id,
+        |  COALESCE(c.entity_id, n.p_name) = n.p_name AS is_canonical
+        |FROM n LEFT JOIN comp c ON c.id = n.p_name""".stripMargin
+    ) { (s, d) =>
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val pairs = graft.ops.FuzzyJoin.selfJoin(Tables.part(s, d), "p_name")
+      val comp = graft.ops.ConnectedComponents.run(
+        pairs.select(col("a_name").as("src"), col("b_name").as("dst")))
+      names.join(comp, names("p_name") === comp("id"), "left")
+        .select(col("p_name"),
+          coalesce(col("rep"), col("p_name")).as("entity_id"),
+          (coalesce(col("rep"), col("p_name")) === col("p_name"))
+            .as("is_canonical"))
     }
   )
 }
