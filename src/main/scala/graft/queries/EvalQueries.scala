@@ -326,6 +326,103 @@ object EvalQueries {
         .select(col("q_id"), col("neg_id"), col("neg_label"),
           col("cosine"), col("rank"))
     }.intendsNestedLoop(
-      "broadcast side is the 20-row anchor batch")
+      "broadcast side is the 20-row anchor batch"),
+
+    // ---- nDCG@10 of the IVF search under same-label graded relevance —
+    //      completes the retrieval-eval suite (recall, MRR, nDCG). All
+    //      float risk is removed up front: the DCG discounts
+    //      floor(1e9/log2(i+1)) and their prefix sums are INTEGER
+    //      LITERALS baked into both engines, so the whole metric is
+    //      exact int64 (IDCG via element_at on the literal prefix-sum
+    //      array — row-local, no non-equi join) ----
+    QueryDef.sql(
+      "q_ndcg", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        val w = Seq(1000000000L, 630929753L, 500000000L, 430676558L,
+          386852807L, 356207187L, 333333333L, 315464876L, 301029995L,
+          289064826L)
+        val cum = w.scanLeft(0L)(_ + _).tail
+        val wVals = w.zipWithIndex
+          .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
+        s"""WITH ${OracleKmeans.codebookCtes},
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.cent_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
+           |  FROM embeddings e, cb2 c
+           |), assign AS (
+           |  SELECT vec_id, embedding, cent_id FROM scored WHERE rk = 1
+           |), probes AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS probe_cent
+           |  FROM scored WHERE vec_id < 10 AND rk <= 2
+           |), p AS (
+           |  SELECT pr.q_id, a.vec_id AS c_id,
+           |    ${cosDuck("pr.q_emb", "a.embedding")} AS cosine
+           |  FROM probes pr JOIN assign a ON a.cent_id = pr.probe_cent
+           |  WHERE a.vec_id <> pr.q_id
+           |), ivf AS MATERIALIZED (
+           |  SELECT q_id, c_id, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 10
+           |), wt(rk, w) AS (VALUES $wVals),
+           |rel AS (
+           |  SELECT ivf.q_id, ivf.rank,
+           |    CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel
+           |  FROM ivf
+           |  JOIN embeddings cl ON cl.vec_id = ivf.c_id
+           |  JOIN embeddings ql ON ql.vec_id = ivf.q_id
+           |), dcg AS (
+           |  SELECT q_id, CAST(sum(rel * w) AS BIGINT) AS dcg_fp
+           |  FROM rel JOIN wt ON wt.rk = rel.rank GROUP BY q_id
+           |), nrel AS (
+           |  SELECT q.vec_id AS q_id,
+           |    [${cum.mkString(", ")}][
+           |      LEAST(CAST(count(*) AS BIGINT), 10)] AS idcg_fp
+           |  FROM embeddings q JOIN embeddings e
+           |    ON e.label = q.label AND e.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10 GROUP BY q.vec_id
+           |)
+           |SELECT dcg.q_id, dcg_fp, idcg_fp,
+           |  (dcg_fp * 1000000) // idcg_fp AS ndcg_fp
+           |FROM dcg JOIN nrel ON nrel.q_id = dcg.q_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val w = Seq(1000000000L, 630929753L, 500000000L, 430676558L,
+        386852807L, 356207187L, 333333333L, 315464876L, 301029995L,
+        289064826L)
+      val cum = w.scanLeft(0L)(_ + _).tail
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val k = IvfIndex.chooseK(emb.count())
+      val cb = IvfIndex.materialize(IvfIndex.codebook(emb, k, iters = 2))
+      val ivf = IvfIndex.search(emb, cb, col("vec_id") < 10, nprobe = 2, topK = 10)
+        .select(col("q_id"), col("c_id"), col("rank"))
+      val spark = s
+      import spark.implicits._
+      val wt = w.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("rk", "w")
+      val rel = ivf
+        .join(lab.select(col("vec_id").as("c_id"), col("label").as("c_label")), "c_id")
+        .join(broadcast(
+          lab.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
+        .select(col("q_id"), col("rank"),
+          when(col("c_label") === col("q_label"), 1L).otherwise(0L).as("rel"))
+      val dcg = rel.join(broadcast(wt), col("rk") === col("rank"))
+        .groupBy(col("q_id")).agg(sum(col("rel") * col("w")).as("dcg_fp"))
+      val nrel = lab.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+        .join(lab.select(col("vec_id").as("o_id"), col("label").as("o_label")),
+          col("o_label") === col("q_label") && col("o_id") =!= col("q_id"))
+        .groupBy(col("q_id"))
+        .agg(element_at(
+          array(cum.map(lit): _*),
+          least(count(lit(1)), lit(10L)).cast("int")).as("idcg_fp"))
+      dcg.join(nrel, "q_id")
+        .select(col("q_id"), col("dcg_fp"), col("idcg_fp"),
+          expr("(dcg_fp * 1000000) div idcg_fp").as("ndcg_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 10-row query batch, the 10-row weight " +
+        "table, and the k ~ sqrt(n) codebook")
   )
 }
