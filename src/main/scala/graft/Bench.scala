@@ -157,6 +157,9 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table("bench_docs").count()
+        // the memory sink holds every output row in the driver: drop it
+        // so it cannot pressure the 170-query batch sweep that follows
+        spark.catalog.dropTempView("bench_docs")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_docs: ${docs.length} docs -> $n chunks in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
@@ -194,6 +197,7 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table("bench_sessions").count()
+        spark.catalog.dropTempView("bench_sessions")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_sessions: ${events.length} events -> $n closed sessions in $secs%.2f s = ${events.length / secs}%.0f rec/s")
@@ -254,6 +258,7 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table(queryName).count()
+        spark.catalog.dropTempView(queryName)
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_indicators ($batches batches): $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")

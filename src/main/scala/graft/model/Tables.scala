@@ -68,9 +68,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (µs, no zone marker)
+      case org.apache.spark.sql.types.TimestampNTZType => // µs, no zone marker
         raw.withColumn("ts", col("ts").cast(
           org.apache.spark.sql.types.TimestampType))
+      case other => // fail LOUDLY: a silent cast would corrupt every query
+        sys.error(s"events.ts has unsupported physical type $other — " +
+          "extend Tables.events for this testdata generation")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -56,10 +56,7 @@ object ConnectedComponents {
       .distinct()
   }
 
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def materialize(df: DataFrame): DataFrame = Iterate.materialize(df)
 
   /** (count, order-independent content hash) — equality across one
     * iteration is the fixpoint test. `bit_xor` over per-edge xxhash64 is

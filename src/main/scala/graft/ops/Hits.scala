@@ -30,10 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def materialize(df: DataFrame): DataFrame = Iterate.materialize(df)
 
   /** Hub/authority scores for every node of the directed edge frame
     * (self-loops dropped, duplicates collapsed). Output: (node, hub_fp,
@@ -83,7 +80,7 @@ object Hits {
 
     var hub = materialize(nodes.select(col("node"), lit(scale).as("v")))
     var auth = hub
-    var lastMat = hub
+    val cadence = new Iterate.Cadence(hub)
     for (i <- 1 to iters) {
       // the authority half-step stays LAZY inside the hub job (its
       // identical subtrees collapse via exchange reuse); hub itself
@@ -91,12 +88,7 @@ object Hits {
       // rounds compose into one job, same arithmetic
       auth = halfStep(hub, "src", "dst") // a(v) = sum h(u) over u->v
       if (i == iters) auth = materialize(auth)
-      hub = halfStep(auth, "dst", "src") // h(u) = sum a(v)
-      if (i % 2 == 0 || i == iters) {
-        hub = materialize(hub)
-        lastMat.unpersist()
-        lastMat = hub
-      }
+      hub = cadence.step(i, i == iters, halfStep(auth, "dst", "src"))
     }
     nodes
       .join(hub.select(col("node"), col("v").as("hub_fp")), Seq("node"), "left")

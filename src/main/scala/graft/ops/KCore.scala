@@ -23,10 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def materialize(df: DataFrame): DataFrame = Iterate.materialize(df)
 
   /** Surviving edges of the k-core after `rounds` peels of the
     * undirected (a, b) edge frame (one row per edge, a != b).
@@ -37,7 +34,7 @@ object KCore {
       edges.select(col("a"), col("b")).filter(col("a") =!= col("b")).distinct())
     // checkpoint every SECOND peel (and the last): two peels compose
     // into one job — same fixpoint, half the materialization overhead
-    var lastMat = e
+    val cadence = new Iterate.Cadence(e)
     for (i <- 1 to rounds) {
       val deg = e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
@@ -47,12 +44,7 @@ object KCore {
         e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
           .select(col("a"), col("b"))
-      e = if (i % 2 == 0 || i == rounds) {
-        val m = materialize(next)
-        lastMat.unpersist()
-        lastMat = m
-        m
-      } else next
+      e = cadence.step(i, i == rounds, next)
     }
     e
   }

@@ -23,10 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object LabelProp {
 
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def materialize(df: DataFrame): DataFrame = Iterate.materialize(df)
 
   /** Propagate `seeds` (node, label) over the DIRECTED edge frame for
     * `iters` synchronous rounds (pass both directions for an undirected

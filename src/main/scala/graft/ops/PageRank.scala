@@ -42,10 +42,7 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def materialize(df: DataFrame): DataFrame = Iterate.materialize(df)
 
   /** Rank every node of `edges` (directed, self-loops dropped,
     * duplicates collapsed). Output: (node, r_fp) with r_fp the integer
@@ -116,9 +113,7 @@ object PageRank {
     }
 
     var ranks = materialize(nodes.select(col("node"), lit(scale).as("r")))
-    // the most recent CHECKPOINTED rank frame (unpersist target: plain
-    // plans between checkpoints hold no storage)
-    var lastMat = ranks
+    val cadence = new Iterate.Cadence(ranks)
     for (i <- 1 to iters) {
       val withDeg = ranks.join(
         outdeg, ranks("node") === outdeg("src"), "left")
@@ -144,12 +139,7 @@ object PageRank {
       // materialize every SECOND round (and the last): two rounds of
       // lineage compose into one job — same arithmetic, half the
       // fixed materialization cost; plan depth stays bounded at 2
-      ranks = if (i % 2 == 0 || i == iters) {
-        val m = materialize(next)
-        lastMat.unpersist()
-        lastMat = m
-        m
-      } else next
+      ranks = cadence.step(i, i == iters, next)
     }
     ranks.select(col("node"), col("r").as("r_fp"))
   }

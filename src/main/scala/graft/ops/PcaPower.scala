@@ -40,10 +40,7 @@ import org.apache.spark.sql.functions._
   */
 object PcaPower {
 
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def materialize(df: DataFrame): DataFrame = Iterate.materialize(df)
 
   /** Truncate-toward-zero division (identical in Spark and DuckDB for
     * any sign): sign(x) * (abs(x) div d), d > 0.
@@ -63,30 +60,33 @@ object PcaPower {
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
         .as("qarr"))
 
-  /** (vec_id, i, q) pairs — the quantized explode shared by the Gram
-    * pass and the final projection.
-    */
-  private def explode(emb: DataFrame): DataFrame =
-    quantized(emb)
-      .select(col("vec_id"), col("qarr"),
+  /** (vec_id, i, q) pairs from a quantized (vec_id, qarr) frame. */
+  private def explodeQ(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("qarr"),
         posexplode(col("qarr")).as(Seq("i0", "q")))
       .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("q"))
 
-  /** One corpus pass -> additive statistics. The d^2 product terms are
-    * generated row-locally (second explode over the carried array) and
-    * partial-aggregated before the single d^2-key shuffle.
+  /** Statistics from an already-quantized (ideally checkpointed) frame:
+    * the d^2 product terms are generated row-locally (second explode
+    * over the carried array) and partial-aggregated before the single
+    * d^2-key shuffle.
     */
-  def stats(emb: DataFrame): Stats = {
-    val expl = explode(emb)
-    val sums = expl.groupBy(col("i")).agg(sum(col("q")).as("s"))
-    val gram = quantized(emb)
+  private def statsFromQ(q: DataFrame): Stats = {
+    val sums = explodeQ(q).groupBy(col("i")).agg(sum(col("q")).as("s"))
+    val gram = q
       .select(col("qarr"), posexplode(col("qarr")).as(Seq("i0", "qi")))
       .select(col("i0"), col("qi"), posexplode(col("qarr")).as(Seq("j0", "qj")))
       .groupBy((col("i0") + 1).cast("long").as("i"),
         (col("j0") + 1).cast("long").as("j"))
       .agg(sum(col("qi") * col("qj")).as("g"))
-    Stats(gram, sums, emb.count())
+    Stats(gram, sums, q.count())
   }
+
+  /** One corpus read -> additive statistics (the quantized frame is
+    * checkpointed so sums, Gram, and the count share a single scan of
+    * the source).
+    */
+  def stats(emb: DataFrame): Stats = statsFromQ(materialize(quantized(emb)))
 
   /** Fold a new corpus slice into existing statistics — the incremental
     * index-maintenance path (the [[IvfPq]] append / [[Rollup]] merge
@@ -106,16 +106,25 @@ object PcaPower {
     * projection sum(q_i * v_i) onto the converged fixed-point
     * eigenvector.
     */
-  def project(emb: DataFrame, d: Int, iters: Int = 8): DataFrame =
-    projectWith(stats(emb), emb, d, iters)
+  def project(emb: DataFrame, d: Int, iters: Int = 8): DataFrame = {
+    // ONE checkpointed quantized frame feeds the sums, the Gram, the
+    // count, AND the final projection — a single read of the source
+    val q = materialize(quantized(emb))
+    projectFromQ(statsFromQ(q), q, d, iters)
+  }
 
   /** [[project]] from precomputed (possibly incrementally merged)
-    * statistics.
+    * statistics; the corpus is read once, for the projection only.
     */
   def projectWith(
-      st: Stats, emb: DataFrame, d: Int, iters: Int): DataFrame = {
+      st: Stats, emb: DataFrame, d: Int, iters: Int): DataFrame =
+    projectFromQ(st, quantized(emb), d, iters)
+
+  private def projectFromQ(
+      st: Stats, q: DataFrame, d: Int, iters: Int): DataFrame = {
     require(d >= 2 && iters >= 1)
-    val expl = materialize(explode(emb))
+    // consumed exactly once (the projection join) — no checkpoint
+    val expl = explodeQ(q)
     val n = st.n
     val sums = st.sums
     val gram = st.gram

@@ -39,20 +39,17 @@ import org.apache.spark.sql.functions._
   */
 object Perceptron {
 
+  /** Corpus-sized frames checkpoint in place (distributed); only the
+    * d-row weight vector is ever collected as a local relation.
+    */
+  private def materializeDist(df: DataFrame): DataFrame = Iterate.materialize(df)
+
   /** Train `rounds` batch-perceptron rounds over `docs` (columns: id,
     * text, y in {+1,-1}) and score every document with the final
     * weights. Output: (id, y, margin_fp, pred) where `margin_fp` is the
     * exact integer final-round margin and pred in {+1, -1}
     * (sign(margin), zero mapped to -1 exactly like the training rule).
     */
-  /** Corpus-sized frames checkpoint in place (distributed); only the
-    * d-row weight vector is ever collected as a local relation.
-    */
-  private def materializeDist(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
-
   def trainPredict(
       docs: DataFrame, dims: Int = 64, rounds: Int = 3): DataFrame = {
     require(dims >= 2 && rounds >= 1)

@@ -38,10 +38,7 @@ object RandomWalk {
     * node). Output: (walk_id, step, node) — `walk_id` is the seed node,
     * step 0 is the seed itself.
     */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def materialize(df: DataFrame): DataFrame = Iterate.materialize(df)
 
   def run(
       edges: DataFrame, seeds: DataFrame,

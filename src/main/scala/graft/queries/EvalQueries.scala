@@ -22,6 +22,15 @@ import graft.ops.{IvfIndex, Perceptron, RandomWalk}
   */
 object EvalQueries {
 
+  /** nDCG discount weights floor(1e9/log2(i+1)), i = 1..10, and their
+    * prefix sums — INTEGER LITERALS shared by the Spark side and the
+    * DuckDB oracle of q_ndcg so the two cannot drift.
+    */
+  private val DcgW: Seq[Long] = Seq(1000000000L, 630929753L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464876L,
+    301029995L, 289064826L)
+  private val DcgCum: Seq[Long] = DcgW.scanLeft(0L)(_ + _).tail
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- ANN index evaluation: recall@5 and fixed-point MRR of the
@@ -35,27 +44,7 @@ object EvalQueries {
     QueryDef.sql(
       "q_retrieval_eval", {
         def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
-        s"""WITH ${OracleKmeans.codebookCtes},
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.cent_id,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
-           |  FROM embeddings e, cb2 c
-           |), assign AS (
-           |  SELECT vec_id, embedding, cent_id FROM scored WHERE rk = 1
-           |), probes AS (
-           |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS probe_cent
-           |  FROM scored WHERE vec_id < 10 AND rk <= 2
-           |), p AS (
-           |  SELECT pr.q_id, a.vec_id AS c_id,
-           |    ${cosDuck("pr.q_emb", "a.embedding")} AS cosine
-           |  FROM probes pr JOIN assign a ON a.cent_id = pr.probe_cent
-           |  WHERE a.vec_id <> pr.q_id
-           |), ivf AS MATERIALIZED (
-           |  SELECT q_id, c_id, rank FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY q_id
-           |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5
-           |), bp AS (
+        s"""WITH ${OracleKmeans.ivfSearchCtes(topK = 5)}, bp AS (
            |  SELECT q.vec_id AS q_id, e.vec_id AS c_id,
            |    ${cosDuck("q.embedding", "e.embedding")} AS cosine
            |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
@@ -337,34 +326,10 @@ object EvalQueries {
     //      array — row-local, no non-equi join) ----
     QueryDef.sql(
       "q_ndcg", {
-        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
-        val w = Seq(1000000000L, 630929753L, 500000000L, 430676558L,
-          386852807L, 356207187L, 333333333L, 315464876L, 301029995L,
-          289064826L)
-        val cum = w.scanLeft(0L)(_ + _).tail
-        val wVals = w.zipWithIndex
+        val wVals = DcgW.zipWithIndex
           .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
-        s"""WITH ${OracleKmeans.codebookCtes},
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.cent_id,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
-           |  FROM embeddings e, cb2 c
-           |), assign AS (
-           |  SELECT vec_id, embedding, cent_id FROM scored WHERE rk = 1
-           |), probes AS (
-           |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS probe_cent
-           |  FROM scored WHERE vec_id < 10 AND rk <= 2
-           |), p AS (
-           |  SELECT pr.q_id, a.vec_id AS c_id,
-           |    ${cosDuck("pr.q_emb", "a.embedding")} AS cosine
-           |  FROM probes pr JOIN assign a ON a.cent_id = pr.probe_cent
-           |  WHERE a.vec_id <> pr.q_id
-           |), ivf AS MATERIALIZED (
-           |  SELECT q_id, c_id, rank FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY q_id
-           |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 10
-           |), wt(rk, w) AS (VALUES $wVals),
+        s"""WITH ${OracleKmeans.ivfSearchCtes(topK = 10)},
+           |wt(rk, w) AS (VALUES $wVals),
            |rel AS (
            |  SELECT ivf.q_id, ivf.rank,
            |    CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel
@@ -376,7 +341,7 @@ object EvalQueries {
            |  FROM rel JOIN wt ON wt.rk = rel.rank GROUP BY q_id
            |), nrel AS (
            |  SELECT q.vec_id AS q_id,
-           |    [${cum.mkString(", ")}][
+           |    [${DcgCum.mkString(", ")}][
            |      LEAST(CAST(count(*) AS BIGINT), 10)] AS idcg_fp
            |  FROM embeddings q JOIN embeddings e
            |    ON e.label = q.label AND e.vec_id <> q.vec_id
@@ -387,10 +352,6 @@ object EvalQueries {
            |FROM dcg JOIN nrel ON nrel.q_id = dcg.q_id""".stripMargin
       }
     ) { (s, d) =>
-      val w = Seq(1000000000L, 630929753L, 500000000L, 430676558L,
-        386852807L, 356207187L, 333333333L, 315464876L, 301029995L,
-        289064826L)
-      val cum = w.scanLeft(0L)(_ + _).tail
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
@@ -400,7 +361,7 @@ object EvalQueries {
         .select(col("q_id"), col("c_id"), col("rank"))
       val spark = s
       import spark.implicits._
-      val wt = w.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("rk", "w")
+      val wt = DcgW.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("rk", "w")
       val rel = ivf
         .join(lab.select(col("vec_id").as("c_id"), col("label").as("c_label")), "c_id")
         .join(broadcast(
@@ -416,7 +377,7 @@ object EvalQueries {
           col("o_label") === col("q_label") && col("o_id") =!= col("q_id"))
         .groupBy(col("q_id"))
         .agg(element_at(
-          array(cum.map(lit): _*),
+          array(DcgCum.map(lit): _*),
           least(count(lit(1)), lit(10L)).cast("int")).as("idcg_fp"))
       dcg.join(nrel, "q_id")
         .select(col("q_id"), col("dcg_fp"), col("idcg_fp"),

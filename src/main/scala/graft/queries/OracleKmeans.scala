@@ -53,4 +53,33 @@ private[queries] object OracleKmeans {
        |    FROM embeddings) s, kq WHERE s.cent_id < kq.k
        |), ${assignCte("a1", "cb0")}, ${updateCte("cb1", "a1")},
        |${assignCte("a2", "cb1")}, ${updateCte("cb2", "a2")}""".stripMargin
+
+  /** The full IVF search chain on top of [[codebookCtes]]: corpus
+    * assignment, nprobe=2 probe set for queries `vec_id < 10`, candidate
+    * scoring, and the top-`topK` CTE `ivf(q_id, c_id, rank)` — single
+    * source for the retrieval-eval oracles (q_retrieval_eval, q_ndcg)
+    * so the search unroll cannot drift between metrics.
+    */
+  def ivfSearchCtes(topK: Int): String =
+    s"""$codebookCtes,
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosDuck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
+       |  FROM embeddings e, cb2 c
+       |), assign AS (
+       |  SELECT vec_id, embedding, cent_id FROM scored WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS probe_cent
+       |  FROM scored WHERE vec_id < 10 AND rk <= 2
+       |), p AS (
+       |  SELECT pr.q_id, a.vec_id AS c_id,
+       |    ${cosDuck("pr.q_emb", "a.embedding")} AS cosine
+       |  FROM probes pr JOIN assign a ON a.cent_id = pr.probe_cent
+       |  WHERE a.vec_id <> pr.q_id
+       |), ivf AS MATERIALIZED (
+       |  SELECT q_id, c_id, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= $topK
+       |)""".stripMargin
 }

@@ -46,7 +46,9 @@ object HoltStream {
       // fold — (seconds, nanos) rather than getTime alone, which is
       // ms-truncated and would collapse sub-ms ties (the NOTES.md
       // MemoryStream µs gotcha)
-      rows.toSeq.sortBy(t => (t.ts.getTime / 1000, t.ts.getNanos, t.event_id))
+      rows.toSeq
+        .sortBy(t =>
+          (Math.floorDiv(t.ts.getTime, 1000L), t.ts.getNanos, t.event_id))
         .foreach { t =>
         val p = math.floor(t.value * 1e2 + 0.5).toLong
         s = if (!s.started) HState(p, 0L, started = true)
