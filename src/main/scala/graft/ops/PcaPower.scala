@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    floor of an IEEE multiply is identical cross-engine),
   *  - centered Gram: C_ij = n * sum(q_i q_j) - S_i S_j (all int64),
   *  - rescale to A_ij = trunc-div(C_ij, max|C| div 1e6 + 1), so
-  *    |A| <= 1e6; division is explicit truncate-toward-zero via
-  *    sign(x) * (|x| div d) because Spark's `div` and DuckDB's `//`
-  *    disagree on negative operands (floor vs truncate),
+  *    |A| <= 1e6; division is spelled as explicit truncate-toward-zero
+  *    (sign(x) * (|x| div d)) on BOTH engines — Spark `div` and
+  *    DuckDB `//` both truncate toward zero today (verified), and the
+  *    explicit form keeps the contract independent of any engine
+  *    changing its negative-operand convention,
   *  - power rounds from v0 = all-ones * 1e6: u = A v, then renormalize
   *    v' = trunc-div(u, max|u| div 1e6 + 1). Covariance is PSD, so the
   *    iteration converges toward the dominant eigenvector (up to the

@@ -387,6 +387,55 @@ object RankQueries {
     }.intendsNestedLoop(
       "cross join against the broadcast 1-row basket-count frame"),
 
+    // ---- Frequent 3-itemsets with apriori pruning: the Spark plan
+    //      prunes candidate triples against the frequent-PAIR set first
+    //      (downward closure: sup(abc) >= 2 implies every sub-pair has
+    //      sup >= 2, so pruning cannot change the answer — the oracle
+    //      states the direct definition and the hash-match proves the
+    //      equivalence). At 100 TB the prune is what keeps the
+    //      C(basket,3) fan-out from materializing for baskets whose
+    //      pairs are already rare ----
+    QueryDef.sql(
+      "q_frequent_triples",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |)
+        |SELECT a, b, c, sup FROM (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c,
+        |         count(*) AS sup
+        |  FROM li x
+        |  JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  JOIN li z ON x.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |ORDER BY sup DESC, a, b, c LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val fp = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      val cand = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        // apriori prune: only baskets whose (a, b) is globally frequent
+        // fan out to the third item
+        .join(fp, Seq("a", "b"), "left_semi")
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("c")),
+          "l_orderkey")
+        .filter(col("b") < col("c"))
+      cand.groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .orderBy(col("sup").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    },
+
     // ---- 2-core of the part co-occurrence graph (see ops.KCore):
     //      iterative degree-< k peeling — the hard graph-quality gate
     //      (chains and pendants peel away, dense neighborhoods stay).

@@ -408,6 +408,53 @@ object TechQueries {
     //      the symbol key, O(1)-state ordered fold). Oracle replays the
     //      recurrence as a recursive CTE ----
     QueryDef.sql(
+      "q_ols_trend",
+      // per-(symbol, day) ordinary least squares in EXACT integers:
+      // x = in-day rank, y = price cents; slope from the moment form
+      // n·Σxy−Σx·Σy over n·Σx²−(Σx)², fixed-point 1e4; intercept from
+      // the (already-truncated) slope so both engines share the exact
+      // truncation chain. The moments are one partial-aggregable
+      // groupBy — the shape that holds at any series count.
+      """WITH r AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS x,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS y
+        |  FROM events
+        |), m AS (
+        |  SELECT symbol, day, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM r GROUP BY symbol, day
+        |)
+        |SELECT symbol, day, n,
+        |  ((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx) AS slope_fp,
+        |  (sy * 10000 - ((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx) * sx) // n
+        |    AS intercept_fp
+        |FROM m WHERE n >= 2""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("symbol"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val r = Tables.events(s, d)
+        .select(col("event_type").as("symbol"), col("ts").cast("date").as("day"),
+          col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("y"))
+        .withColumn("x", row_number().over(w).cast("long"))
+      val m = r.groupBy(col("symbol"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      m.filter(col("n") >= 2)
+        .select(col("symbol"), col("day"), col("n"),
+          expr("((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx)")
+            .as("slope_fp"),
+          expr("""(sy * 10000 - ((n * sxy - sx * sy) * 10000)
+                 |  div (n * sxx - sx * sx) * sx) div n""".stripMargin)
+            .as("intercept_fp"))
+    },
+
+    QueryDef.sql(
       "q_holt",
       s"""WITH RECURSIVE graft_series AS (
          |  SELECT event_type AS symbol, ts, event_id, value FROM events
