@@ -187,6 +187,43 @@ object DataPrepQueries {
           (coalesce(col("rep"), col("doc_id")) < col("doc_id")).as("is_dup"))
     },
 
+    // ---- CDC apply (last-writer-wins with tombstones): resolve a
+    //      change-log of Upserts/Deletes to the current table state —
+    //      the lakehouse ingestion primitive under every MERGE-based
+    //      mirror. The per-key winner travels as a partial-aggregable
+    //      max(struct(seq, op, value)) — ONE hash agg, no window, no
+    //      per-key row buffering; deletes win by sequence and then drop
+    //      out. Streaming twin: streaming.CdcStream (bit-exact parity
+    //      spec) ----
+    QueryDef.sql(
+      "q_cdc_apply",
+      """WITH log AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    ts, event_id, value
+        |  FROM events
+        |), win AS (
+        |  SELECT user_id, op, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+        |  WHERE rn = 1
+        |)
+        |SELECT user_id, ts AS last_ts, value AS last_value
+        |FROM win WHERE op <> 'D'""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          when(pmod(col("event_id"), lit(10)) === 0, lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("ts"), col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("op"), col("value")))
+          .as("w"))
+        .filter(col("w.op") =!= "D")
+        .select(col("user_id"), col("w.ts").as("last_ts"),
+          col("w.value").as("last_value"))
+    },
+
     // ---- quality-chosen cluster representative: per near-dup cluster
     //      (the q_dedup_cc components), keep the member with the most
     //      content (max n_chars, ties -> lowest doc_id) instead of the

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming CDC apply — the live twin of batch `q_cdc_apply`
+  * (last-writer-wins with delete tombstones): every change record folds
+  * into O(1) keyed state holding the current winner by (ts, event_id)
+  * sequence, and each micro-batch emits the post-batch resolved row for
+  * every key it touched (`deleted = true` when a tombstone currently
+  * wins — the downstream MERGE's delete signal).
+  *
+  * Ordering contract: the winner is by SEQUENCE, not arrival — late or
+  * re-delivered records with a lower (ts, event_id) never overwrite a
+  * newer state, so the fold is idempotent under replay and bit-exact
+  * with the batch argmax regardless of batch boundaries (the parity
+  * spec shuffles deliveries across uneven batches).
+  */
+object CdcStream {
+
+  final case class Change(
+      user_id: Long, op: String, ts: Timestamp, event_id: Long, value: Double)
+
+  final case class Resolved(
+      user_id: Long, last_ts: Timestamp, last_value: Double, deleted: Boolean)
+
+  /** (sequence, op, value) of the current winner. */
+  final case class CState(
+      tsMillis: Long, tsNanos: Int, event_id: Long, op: String, value: Double)
+
+  class ApplyProcessor extends StatefulProcessor[Long, Change, Resolved] {
+    @transient private var st: ValueState[CState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CState](
+        "cdc",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CState](),
+        TTLConfig.NONE)
+    private def seq(s: CState): (Long, Int, Long) =
+      (s.tsMillis, s.tsNanos, s.event_id)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Change],
+        timerValues: TimerValues): Iterator[Resolved] = {
+      var cur = if (st.exists()) Option(st.get()) else None
+      rows.foreach { c =>
+        val cand = CState(c.ts.getTime, c.ts.getNanos, c.event_id, c.op, c.value)
+        if (cur.forall(s => Ordering[(Long, Int, Long)].lt(seq(s), seq(cand))))
+          cur = Some(cand)
+      }
+      cur.foreach(st.update)
+      cur.iterator.map { s =>
+        val ts = new Timestamp(s.tsMillis)
+        ts.setNanos(s.tsNanos)
+        Resolved(key, ts, s.value, deleted = s.op == "D")
+      }
+    }
+  }
+
+  /** Resolved-row stream over `changes`, keyed by user_id. Requires the
+    * RocksDB state store provider (transformWithState).
+    */
+  def applied(changes: Dataset[Change]): Dataset[Resolved] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new ApplyProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}
