@@ -122,11 +122,11 @@ object PcaPower {
       st: Stats, emb: DataFrame, d: Int, iters: Int): DataFrame =
     projectFromQ(st, quantized(emb), d, iters)
 
-  private def projectFromQ(
-      st: Stats, q: DataFrame, d: Int, iters: Int): DataFrame = {
+  /** Fixed-point dominant eigenvector of the centered Gram described by
+    * `st`: (i, v) as a d-row local relation (index metadata).
+    */
+  def eigvec(st: Stats, d: Int, iters: Int): DataFrame = {
     require(d >= 2 && iters >= 1)
-    // consumed exactly once (the projection join) — no checkpoint
-    val expl = explodeQ(q)
     val n = st.n
     val sums = st.sums
     val gram = st.gram
@@ -150,55 +150,140 @@ object PcaPower {
         u.crossJoin(broadcast(mu))
           .select(col("i"), expr(tdiv("u", "m div 1000000 + 1")).as("v")))
     }
-    expl.join(broadcast(v), "i")
+    v
+  }
+
+  private def projectFromQ(
+      st: Stats, q: DataFrame, d: Int, iters: Int): DataFrame =
+    // the explode is consumed exactly once (the projection join)
+    explodeQ(q).join(broadcast(eigvec(st, d, iters)), "i")
       .groupBy(col("vec_id"))
       .agg(sum(col("q") * col("v")).as("pc1_fp"))
+
+  /** Top-2 components by deflation: PC1 as [[project]]; then every
+    * vector's integer residual q' = q - tdiv(dot(q, v1) * v1_i,
+    * dot(v1, v1)) (row-local once v1 broadcasts), a second Gram/power
+    * pass over the residuals, and PC2 = residual . v2. Output:
+    * (vec_id, pc1_fp, pc2_fp). Everything stays exact int64, so the
+    * oracle unrolls both chains; the deflation step is the standard
+    * Hotelling residual, with the rational projection coefficient
+    * truncated deterministically on both engines.
+    */
+  def projectTop2(emb: DataFrame, d: Int, iters: Int = 8): DataFrame = {
+    val q = materialize(quantized(emb))
+    val st1 = statsFromQ(q)
+    val v1 = eigvec(st1, d, iters)
+    val vv = v1.agg(sum(col("v") * col("v")).as("vv"))
+    val expl = explodeQ(q)
+    val dq = expl.join(broadcast(v1), "i")
+      .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as("dq"))
+    // residual rows -> re-assembled (vec_id, qarr) so the second pass
+    // reuses the row-local double-explode Gram path
+    val resid = expl.join(broadcast(v1), "i")
+      .join(dq, "vec_id")
+      .crossJoin(broadcast(vv))
+      .select(col("vec_id"), col("i"),
+        (col("q") - expr(tdiv("dq * v", "vv"))).as("q"))
+    val q2 = materialize(
+      resid.groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, q))), s -> s.q)")
+          .as("qarr")))
+    val v2 = eigvec(statsFromQ(q2), d, iters)
+    val pc2 = explodeQ(q2).join(broadcast(v2), "i")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("v")).as("pc2_fp"))
+    expl.join(broadcast(v1), "i")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("v")).as("pc1_fp"))
+      .join(pc2, "vec_id")
+      .select(col("vec_id"), col("pc1_fp"), col("pc2_fp"))
+  }
+
+  private def tdivDuck(x: String, dv: String): String =
+    s"(CASE WHEN $x < 0 THEN -((-($x)) // ($dv)) ELSE ($x) // ($dv) END)"
+
+  /** The quantized explode CTE `expl` from `embeddings`. */
+  private def explDuck(d: Int): String =
+    s"""expl AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e4) AS BIGINT) AS q
+       |  FROM embeddings, range(1, ${d + 1}) t(i)
+       |)""".stripMargin
+
+  /** One Gram + power-iteration chain from an (vec_id, i, q) CTE named
+    * `src`, every CTE name prefixed with `p` so chains can stack (the
+    * deflation oracle runs two). Final eigenvector CTE: `${p}v$iters`.
+    */
+  private def chainDuck(p: String, src: String, d: Int, iters: Int): String = {
+    val head =
+      s"""${p}sn AS MATERIALIZED (
+         |  SELECT i, CAST(sum(q) AS BIGINT) AS s FROM $src GROUP BY i
+         |), ${p}nn AS (SELECT count(DISTINCT vec_id) AS n FROM $src),
+         |${p}g AS MATERIALIZED (
+         |  SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+         |  FROM $src a JOIN $src b USING (vec_id) GROUP BY 1, 2
+         |), ${p}c AS MATERIALIZED (
+         |  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS c
+         |  FROM ${p}g g CROSS JOIN ${p}nn nn
+         |  JOIN ${p}sn sa ON sa.i = g.i JOIN ${p}sn sb ON sb.i = g.j
+         |), ${p}ma AS (SELECT max(abs(c)) AS m FROM ${p}c),
+         |${p}am AS MATERIALIZED (
+         |  SELECT i, j, ${tdivDuck("c", "m // 1000000 + 1")} AS a
+         |  FROM ${p}c CROSS JOIN ${p}ma
+         |), ${p}v0 AS (
+         |  SELECT CAST(t.i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS v
+         |  FROM range(1, ${d + 1}) t(i)
+         |)""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s"""${p}u$r AS MATERIALIZED (
+         |  SELECT am.i, CAST(sum(am.a * v.v) AS BIGINT) AS u
+         |  FROM ${p}am am JOIN ${p}v${r - 1} v ON v.i = am.j GROUP BY am.i
+         |), ${p}mu$r AS (SELECT max(abs(u)) AS m FROM ${p}u$r),
+         |${p}v$r AS MATERIALIZED (
+         |  SELECT i, ${tdivDuck("u", "m // 1000000 + 1")} AS v
+         |  FROM ${p}u$r CROSS JOIN ${p}mu$r
+         |)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
   }
 
   /** The identical computation as DuckDB CTEs over `embeddings`
     * (vec_id, embedding) — the oracle twin of [[project]]; kept
     * adjacent so the quantization/rescale steps cannot drift.
     */
-  def oracleSql(d: Int, iters: Int = 8): String = {
-    def tdivDuck(x: String, dv: String): String =
-      s"(CASE WHEN $x < 0 THEN -((-($x)) // ($dv)) ELSE ($x) // ($dv) END)"
-    val head =
-      s"""expl AS MATERIALIZED (
-         |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
-         |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e4) AS BIGINT) AS q
-         |  FROM embeddings, range(1, ${d + 1}) t(i)
-         |), sn AS MATERIALIZED (
-         |  SELECT i, CAST(sum(q) AS BIGINT) AS s FROM expl GROUP BY i
-         |), nn AS (SELECT count(*) AS n FROM embeddings),
-         |g AS MATERIALIZED (
-         |  SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
-         |  FROM expl a JOIN expl b USING (vec_id) GROUP BY 1, 2
-         |), c AS MATERIALIZED (
-         |  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS c
-         |  FROM g CROSS JOIN nn
-         |  JOIN sn sa ON sa.i = g.i JOIN sn sb ON sb.i = g.j
-         |), ma AS (SELECT max(abs(c)) AS m FROM c),
-         |am AS MATERIALIZED (
-         |  SELECT i, j, ${tdivDuck("c", "m // 1000000 + 1")} AS a
-         |  FROM c CROSS JOIN ma
-         |), v0 AS (
-         |  SELECT CAST(t.i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS v
-         |  FROM range(1, ${d + 1}) t(i)
-         |)""".stripMargin
-    val steps = (1 to iters).map { r =>
-      s"""u$r AS MATERIALIZED (
-         |  SELECT am.i, CAST(sum(am.a * v.v) AS BIGINT) AS u
-         |  FROM am JOIN v${r - 1} v ON v.i = am.j GROUP BY am.i
-         |), mu$r AS (SELECT max(abs(u)) AS m FROM u$r),
-         |v$r AS MATERIALIZED (
-         |  SELECT i, ${tdivDuck("u", "m // 1000000 + 1")} AS v
-         |  FROM u$r CROSS JOIN mu$r
-         |)""".stripMargin
-    }
-    (head +: steps).mkString(",\n") +
+  def oracleSql(d: Int, iters: Int = 8): String =
+    Seq(explDuck(d), chainDuck("", "expl", d, iters)).mkString(",\n") +
       s"""
          |SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc1_fp
          |FROM expl e JOIN v$iters v ON v.i = e.i
          |GROUP BY e.vec_id""".stripMargin
-  }
+
+  /** Oracle twin of [[projectTop2]]: first chain, Hotelling residual
+    * (truncated rational projection), second chain over the residuals,
+    * both projections.
+    */
+  def oracleTop2Sql(d: Int, iters: Int = 8): String =
+    Seq(
+      explDuck(d),
+      chainDuck("", "expl", d, iters),
+      s"""vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v$iters),
+         |dq AS MATERIALIZED (
+         |  SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS dq
+         |  FROM expl e JOIN v$iters v ON v.i = e.i GROUP BY e.vec_id
+         |), expl2 AS MATERIALIZED (
+         |  SELECT e.vec_id, e.i,
+         |    e.q - ${tdivDuck("dq.dq * v.v", "vv.vv")} AS q
+         |  FROM expl e JOIN v$iters v ON v.i = e.i
+         |  JOIN dq ON dq.vec_id = e.vec_id CROSS JOIN vv
+         |)""".stripMargin,
+      chainDuck("p2", "expl2", d, iters)
+    ).mkString(",\n") +
+      s"""
+         |SELECT p1.vec_id, p1.pc1_fp, p2.pc2_fp FROM (
+         |  SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc1_fp
+         |  FROM expl e JOIN v$iters v ON v.i = e.i GROUP BY e.vec_id) p1
+         |JOIN (
+         |  SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc2_fp
+         |  FROM expl2 e JOIN p2v$iters v ON v.i = e.i GROUP BY e.vec_id) p2
+         |  ON p2.vec_id = p1.vec_id""".stripMargin
 }

@@ -211,6 +211,38 @@ object AnalyticsQueries {
       tr.join(tot, col("tsrc") === col("src"))
         .select(col("src"), col("dst"), col("cnt"),
           expr("(cnt * 1000000) div t").as("prob_fp"))
+    },
+
+    // ---- Top event 3-paths per user sequence (the path-mining
+    //      generalization of q_markov's transitions — the Sankey /
+    //      user-journey query): two leads over the SAME (user_id)
+    //      window exchange, one groupBy, TakeOrdered top-20 ----
+    QueryDef.sql(
+      "q_event_paths",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |)
+        |SELECT e1, e2, e3, count(*) AS cnt FROM seq
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
     }
   )
 }

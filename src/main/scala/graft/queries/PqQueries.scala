@@ -181,6 +181,21 @@ object PqQueries {
       PcaPower.projectWith(
         PcaPower.mergeStats(PcaPower.stats(base), PcaPower.stats(delta)),
         emb, d = 64, iters = 8)
+    },
+
+    // ---- Top-2 PCA by Hotelling deflation (see PcaPower.projectTop2):
+    //      PC1 chain, integer residual q' = q - trunc(dot(q,v1)·v1 /
+    //      dot(v1,v1)) (row-local once v1 broadcasts), second
+    //      Gram/power chain over the residuals, PC2 = residual·v2. The
+    //      oracle stacks two prefixed chain unrolls — the whole 2-d
+    //      embedding map is exact int64 ----
+    QueryDef.sql(
+      "q_pca2",
+      s"WITH ${graft.ops.PcaPower.oracleTop2Sql(d = 64, iters = 8)}"
+    ) { (s, d) =>
+      graft.ops.PcaPower.projectTop2(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        d = 64, iters = 8)
     }
   )
 }

@@ -61,4 +61,36 @@ class PcaPowerSpec extends AnyFunSuite with Matchers {
       .orderBy("vec_id").collect()
     a should contain theSameElementsInOrderAs b
   }
+
+  test("deflation recovers a second orthogonal direction") {
+    // two orthogonal planted directions with distinct variances
+    val d1 = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0).map(_ / math.sqrt(2))
+    val d2 = Array(0, 1.0, 0, 0, 0, -1.0, 0, 0).map(_ / math.sqrt(2))
+    val rnd2 = new scala.util.Random(9)
+    val pts = (0 until 300).map { i =>
+      val t1 = rnd2.nextGaussian() * 5.0
+      val t2 = rnd2.nextGaussian() * 2.0
+      val v = (0 until d).map(k =>
+        (t1 * d1(k) + t2 * d2(k) + rnd2.nextGaussian() * 0.02).toFloat)
+      (i.toLong, v, t1, t2)
+    }
+    val emb = pts.map(p => (p._1, p._2)).toDF("vec_id", "embedding")
+    val got = PcaPower.projectTop2(emb, d, iters = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val ma = a.sum / a.size; val mb = b.sum / b.size
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / (math.sqrt(a.map(x => (x - ma) * (x - ma)).sum) *
+        math.sqrt(b.map(x => (x - mb) * (x - mb)).sum))
+    }
+    val ids = pts.map(_._1)
+    val t1s = pts.map(_._3); val t2s = pts.map(_._4)
+    val p1 = ids.map(i => got(i)._1.toDouble)
+    val p2 = ids.map(i => got(i)._2.toDouble)
+    math.abs(corr(p1, t1s)) should be > 0.99
+    math.abs(corr(p2, t2s)) should be > 0.99
+    // and the two scores are (near-)uncorrelated with the other factor
+    math.abs(corr(p2, t1s)) should be < 0.1
+  }
 }
