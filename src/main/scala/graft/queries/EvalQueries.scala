@@ -267,10 +267,9 @@ object EvalQueries {
         sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       tc.crossJoin(broadcast(tot))
         .select(col("token"), col("ca"), col("cb"),
+          // single-sourced with the streaming scorer (DriftStream) —
           // textually identical double-op order to the DuckDB oracle
-          expr("""CAST(floor(ln(((ca + 1) * (nb + v)) * 1e0 / ((cb + 1) * (na + v)))
-                 |  * (ca + 1) * 1e6 / (na + v)) AS BIGINT)""".stripMargin)
-            .as("contrib_fp"))
+          expr(graft.streaming.DriftStream.klContrib).as("contrib_fp"))
         .orderBy(col("contrib_fp").desc, col("token"))
         .limit(30)
     }.intendsNestedLoop(
