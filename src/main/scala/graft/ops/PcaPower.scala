@@ -178,12 +178,15 @@ object PcaPower {
     val dq = expl.join(broadcast(v1), "i")
       .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as("dq"))
     // residual rows -> re-assembled (vec_id, qarr) so the second pass
-    // reuses the row-local double-explode Gram path
+    // reuses the row-local double-explode Gram path. greatest(vv, 1)
+    // guards the one divisor that can reach zero (degenerate all-equal
+    // corpus -> v1 = 0): residuals degrade to the original vectors
+    // instead of NULLing out — the `div 1e6 + 1` convention's twin
     val resid = expl.join(broadcast(v1), "i")
       .join(dq, "vec_id")
       .crossJoin(broadcast(vv))
       .select(col("vec_id"), col("i"),
-        (col("q") - expr(tdiv("dq * v", "vv"))).as("q"))
+        (col("q") - expr(tdiv("dq * v", "greatest(vv, 1)"))).as("q"))
     val q2 = materialize(
       resid.groupBy(col("vec_id"))
         .agg(expr("transform(array_sort(collect_list(struct(i, q))), s -> s.q)")
@@ -192,9 +195,9 @@ object PcaPower {
     val pc2 = explodeQ(q2).join(broadcast(v2), "i")
       .groupBy(col("vec_id"))
       .agg(sum(col("q") * col("v")).as("pc2_fp"))
-    expl.join(broadcast(v1), "i")
-      .groupBy(col("vec_id"))
-      .agg(sum(col("q") * col("v")).as("pc1_fp"))
+    // dq IS the PC1 projection — reuse it rather than re-running the
+    // corpus-wide join+aggregate a second time
+    dq.select(col("vec_id"), col("dq").as("pc1_fp"))
       .join(pc2, "vec_id")
       .select(col("vec_id"), col("pc1_fp"), col("pc2_fp"))
   }
@@ -272,18 +275,16 @@ object PcaPower {
          |  FROM expl e JOIN v$iters v ON v.i = e.i GROUP BY e.vec_id
          |), expl2 AS MATERIALIZED (
          |  SELECT e.vec_id, e.i,
-         |    e.q - ${tdivDuck("dq.dq * v.v", "vv.vv")} AS q
+         |    e.q - ${tdivDuck("dq.dq * v.v", "greatest(vv.vv, 1)")} AS q
          |  FROM expl e JOIN v$iters v ON v.i = e.i
          |  JOIN dq ON dq.vec_id = e.vec_id CROSS JOIN vv
          |)""".stripMargin,
       chainDuck("p2", "expl2", d, iters)
     ).mkString(",\n") +
       s"""
-         |SELECT p1.vec_id, p1.pc1_fp, p2.pc2_fp FROM (
-         |  SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc1_fp
-         |  FROM expl e JOIN v$iters v ON v.i = e.i GROUP BY e.vec_id) p1
+         |SELECT dq.vec_id, dq.dq AS pc1_fp, p2.pc2_fp FROM dq
          |JOIN (
          |  SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc2_fp
          |  FROM expl2 e JOIN p2v$iters v ON v.i = e.i GROUP BY e.vec_id) p2
-         |  ON p2.vec_id = p1.vec_id""".stripMargin
+         |  ON p2.vec_id = dq.vec_id""".stripMargin
 }

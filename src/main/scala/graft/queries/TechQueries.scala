@@ -414,7 +414,12 @@ object TechQueries {
       // n·Σxy−Σx·Σy over n·Σx²−(Σx)², fixed-point 1e4; intercept from
       // the (already-truncated) slope so both engines share the exact
       // truncation chain. The moments are one partial-aggregable
-      // groupBy — the shape that holds at any series count.
+      // groupBy — the shape that holds at any series count. Int64
+      // headroom contract (the PageRank/PcaPower convention): the
+      // scaled slope numerator is bounded by n³·y_max·1e4, so groups
+      // must stay under ~2,000 rows at $100-range prices (here:
+      // ~70 rows per symbol-day) — re-bucket the group key or lower
+      // the 1e4 scale for denser series.
       """WITH r AS (
         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)

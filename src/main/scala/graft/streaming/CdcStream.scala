@@ -24,7 +24,8 @@ object CdcStream {
       user_id: Long, op: String, ts: Timestamp, event_id: Long, value: Double)
 
   final case class Resolved(
-      user_id: Long, last_ts: Timestamp, last_value: Double, deleted: Boolean)
+      user_id: Long, last_ts: Timestamp, event_id: Long, last_value: Double,
+      deleted: Boolean)
 
   /** (sequence, op, value) of the current winner. */
   final case class CState(
@@ -37,22 +38,31 @@ object CdcStream {
         "cdc",
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CState](),
         TTLConfig.NONE)
-    private def seq(s: CState): (Long, Int, Long) =
-      (s.tsMillis, s.tsNanos, s.event_id)
+    // the FULL batch-argmax tuple, not just the sequence: exact
+    // duplicate sequences (a malformed log, but possible) must resolve
+    // to the same winner as max(struct(ts, event_id, op, value)) —
+    // Scala String ordering matches the UTF8 binary compare for these
+    // single-letter ops, Double ordering matches for non-NaN values
+    private def ord(s: CState): (Long, Int, Long, String, Double) =
+      (s.tsMillis, s.tsNanos, s.event_id, s.op, s.value)
     override def handleInputRows(
         key: Long, rows: Iterator[Change],
         timerValues: TimerValues): Iterator[Resolved] = {
       var cur = if (st.exists()) Option(st.get()) else None
       rows.foreach { c =>
         val cand = CState(c.ts.getTime, c.ts.getNanos, c.event_id, c.op, c.value)
-        if (cur.forall(s => Ordering[(Long, Int, Long)].lt(seq(s), seq(cand))))
+        if (cur.forall(s =>
+          Ordering[(Long, Int, Long, String, Double)].lt(ord(s), ord(cand))))
           cur = Some(cand)
       }
       cur.foreach(st.update)
       cur.iterator.map { s =>
         val ts = new Timestamp(s.tsMillis)
         ts.setNanos(s.tsNanos)
-        Resolved(key, ts, s.value, deleted = s.op == "D")
+        // event_id rides along so a snapshot reader can break last_ts
+        // ties deterministically (two winners CAN share last_ts across
+        // emissions when a same-ts higher-event_id record supersedes)
+        Resolved(key, ts, s.event_id, s.value, deleted = s.op == "D")
       }
     }
   }

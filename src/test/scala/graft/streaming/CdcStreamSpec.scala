@@ -53,10 +53,12 @@ class CdcStreamSpec extends AnyFunSuite with Matchers {
         Seq(shuffled.take(100), shuffled.slice(100, 101), shuffled.drop(101))
           .foreach { c => input.addData(c); query.processAllAvailable() }
         // emissions per key are monotone in sequence (state only moves
-        // forward), so the final resolved state is the max-ts emission —
-        // no reliance on sink row order
+        // forward), so the final resolved state is the max-(ts, event_id)
+        // emission — no reliance on sink row order, and the event_id
+        // tiebreak covers same-ts supersessions
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("last_ts").desc)
+          .partitionBy(col("user_id"))
+          .orderBy(col("last_ts").desc, col("event_id").desc)
         val streamed = spark.table("cdc_stream")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1 && !col("deleted"))
