@@ -50,17 +50,9 @@ object Perceptron {
     * exact integer final-round margin and pred in {+1, -1}
     * (sign(margin), zero mapped to -1 exactly like the training rule).
     */
-  def trainPredict(
-      docs: DataFrame, dims: Int = 64, rounds: Int = 3): DataFrame = {
-    require(dims >= 2 && rounds >= 1)
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    // hashed token-count features: one tokenize pass, one groupBy. The
-    // feature table is read 2x/round (margins + update) plus once for the
-    // final scoring — checkpoint so the tokenize/groupBy lineage runs
-    // ONCE (and never collect it: this frame is corpus-sized)
-    val feat = materializeDist(
+  /** Hashed token-count features (id, y, dim, cnt), checkpointed. */
+  private def featurize(docs: DataFrame, dims: Int): DataFrame =
+    materializeDist(
       docs.select(col("id"), col("y"),
         explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
@@ -69,6 +61,9 @@ object Perceptron {
         .groupBy(col("id"), col("y"), col("dim"))
         .agg(count(lit(1)).as("cnt")))
 
+  private def weights(feat: DataFrame, dims: Int, rounds: Int): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
     // dim is LongType (pmod of the 60-bit hash) — build w with the same
     // key type so the per-round join needs no implicit cast
     var w = (0L until dims.toLong).toDF("dim").withColumn("w", lit(0L))
@@ -86,6 +81,25 @@ object Perceptron {
           .select(col("dim"),
             (col("w") + coalesce(col("u"), lit(0L))).as("w")))
     }
+    w
+  }
+
+  /** Train only: the final d-row weight vector (dim, w) — the model to
+    * broadcast into a serving path (see
+    * [[graft.streaming.PerceptronServe]]).
+    */
+  def train(docs: DataFrame, dims: Int = 64, rounds: Int = 3): DataFrame = {
+    require(dims >= 2 && rounds >= 1)
+    weights(featurize(docs, dims), dims, rounds)
+  }
+
+  def trainPredict(
+      docs: DataFrame, dims: Int = 64, rounds: Int = 3): DataFrame = {
+    require(dims >= 2 && rounds >= 1)
+    // the feature table is read 2x/round plus once for scoring — built
+    // ONCE here and shared by training and the final pass
+    val feat = featurize(docs, dims)
+    val w = weights(feat, dims, rounds)
     feat.join(broadcast(w), "dim")
       .groupBy(col("id"), col("y"))
       .agg(sum(col("cnt") * col("w")).as("margin_fp"))
