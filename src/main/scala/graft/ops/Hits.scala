@@ -60,6 +60,10 @@ object Hits {
         .union(e0.select(col("dst").as("node")))
         .distinct()
         .repartition(nShuffle, col("node")))
+    // eBySrc / eByDst / nodes are materialized EAGERLY above, so their
+    // lineage no longer reaches e0 — drop its corpus-sized checkpoint
+    // now instead of pinning a third edge copy for the whole iteration
+    e0.unpersist()
 
     def normalized(full: DataFrame): DataFrame = {
       // lazy 1-row max frame, broadcast into the rescale — no collect

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *   l_t = (2 p_t + 8 (l_(t-1) + b_(t-1))) tdiv 10
   *   b_t = ((l_t - l_(t-1)) + 9 b_(t-1))   tdiv 10
   * }}}
-  * with tdiv = truncate-toward-zero division (JVM `/`; the DuckDB
-  * oracle spells it sign * abs-div because `//` floors). Every quantity
+  * with tdiv = truncate-toward-zero division (JVM `/`). DuckDB `//`
+  * also truncates toward zero (verified: `(-7)//2 = -3`), but the
+  * oracle spells it sign * abs-div anyway — the [[PcaPower]] convention:
+  * defense in depth against either engine changing its negative-operand
+  * division convention, not a floor-semantics workaround. Every quantity
   * is int64, so the fold is bit-identical at any parallelism and the
   * oracle replays it as a recursive CTE.
   *

@@ -401,12 +401,10 @@ object TechQueries {
           (col("s_after") - col("s_before")).as("shift_fp"))
     },
 
-    // ---- Holt linear-trend smoothing (see ops.Holt): level + trend +
-    //      one-step forecast per symbol in exact integer cents — the
-    //      closed-form classical counterpart to the reference's LSTM
-    //      forecaster, on the indicator-core data plane (one shuffle on
-    //      the symbol key, O(1)-state ordered fold). Oracle replays the
-    //      recurrence as a recursive CTE ----
+    // ---- Per-(symbol, day) OLS trend slope in exact integers: the
+    //      moment-form regression over in-day rank vs price cents —
+    //      one partial-aggregable groupBy, int64 headroom contract
+    //      documented inline below ----
     QueryDef.sql(
       "q_ols_trend",
       // per-(symbol, day) ordinary least squares in EXACT integers:
@@ -459,6 +457,12 @@ object TechQueries {
             .as("intercept_fp"))
     },
 
+    // ---- Holt linear-trend smoothing (see ops.Holt): level + trend +
+    //      one-step forecast per symbol in exact integer cents — the
+    //      closed-form classical counterpart to the reference's LSTM
+    //      forecaster, on the indicator-core data plane (one shuffle on
+    //      the symbol key, O(1)-state ordered fold). Oracle replays the
+    //      recurrence as a recursive CTE ----
     QueryDef.sql(
       "q_holt",
       s"""WITH RECURSIVE graft_series AS (

@@ -58,6 +58,19 @@ object DriftStream {
     * stream scorer, and (textually mirrored with `//`) the DuckDB
     * oracle: floor(ln((ca+1)(nb+v) / ((cb+1)(na+v))) * (ca+1) * 1e6
     * / (na+v)).
+    *
+    * Int64 headroom contract (the PageRank/PcaPower/q_ols_trend
+    * convention): the raw-count products (ca+1)*(nb+v) and
+    * (cb+1)*(na+v) must stay under 2^63, i.e. roughly
+    * (max(ca, cb) + 1) * (na + nb + v) < 2^63. With per-token counts
+    * bounded by the total that means total corpus tokens below ~3e9
+    * per side is always safe; ANSI mode makes a breach a loud overflow
+    * error, never silent corruption. Mitigation at larger corpora:
+    * compute the distributions over a hash-sampled token stream
+    * (deterministic md5-threshold sampling, the q_sample_docs shape) or
+    * rescale both sides' counts by a common power of two before
+    * scoring — the contribution ranking is scale-invariant up to the
+    * +1 smoothing.
     */
   val klContrib: String =
     """CAST(floor(ln(((ca + 1) * (nb + v)) * 1e0 / ((cb + 1) * (na + v)))
