@@ -47,19 +47,21 @@ object Hits {
     // half-step, by dst for the hub half-step — so the big frame is
     // never re-shuffled inside the loop (the PageRank pattern; score
     // frames come out of each groupBy already partitioned on the next
-    // join key). Explicit count so AQE cannot de-co-partition a side.
-    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // join key). Explicit count so AQE cannot de-co-partition a side;
+    // width from Iterate.withWidth (session width at scale, fewer tasks
+    // on toy graphs where per-round scheduling overhead dominates).
     val e0 = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    val eBySrc = materialize(e0.repartition(nShuffle, col("src")))
-    val eByDst = materialize(e0.repartition(nShuffle, col("dst")))
+    Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
+    val eBySrc = materialize(e0.repartition(p, col("src")))
+    val eByDst = materialize(e0.repartition(p, col("dst")))
     val nodes = materialize(
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node")))
         .distinct()
-        .repartition(nShuffle, col("node")))
+        .repartition(p, col("node")))
     // eBySrc / eByDst / nodes are materialized EAGERLY above, so their
     // lineage no longer reaches e0 — drop its corpus-sized checkpoint
     // now instead of pinning a third edge copy for the whole iteration
@@ -100,6 +102,7 @@ object Hits {
       .select(col("node"),
         coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
         coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+    } // withWidth
   }
 
   /** The same recurrence unrolled as DuckDB SQL over a `graft_edges`

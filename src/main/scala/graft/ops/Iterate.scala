@@ -21,6 +21,45 @@ private[ops] object Iterate {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Partition width for the frames that cycle inside an iteration:
+    * enough partitions to keep ~`rowsPerTask` rows of the LARGEST
+    * looping relation per task, never more than the session's shuffle
+    * width. At cluster scale the clamp returns the session width
+    * unchanged (raise `spark.sql.shuffle.partitions` there, as usual);
+    * at toy scale it stops a 10-round loop from paying 32-task
+    * scheduling overhead per stage on sub-64k-row frames — the
+    * fixed per-round cost is what dominates iterative ops locally.
+    * Explicit override: `spark.graft.iter.partitions`.
+    */
+  def width(spark: org.apache.spark.sql.SparkSession, rows: Long,
+      rowsPerTask: Long = 65536L): Int = {
+    val nShuffle = spark.sessionState.conf.numShufflePartitions
+    spark.conf.getOption("spark.graft.iter.partitions").map(_.toInt)
+      .getOrElse(math.max(1L,
+        math.min(nShuffle.toLong, (rows + rowsPerTask - 1) / rowsPerTask)).toInt)
+  }
+
+  /** Run `body` with the session shuffle width scoped to
+    * [[width]]`(rows)` (restored on exit, exception-safe). Scoping the
+    * AMBIENT width — rather than pinning only the named frames — keeps
+    * every in-loop shuffle (groupBy partials, join exchanges) on the
+    * same count, so the co-partitioning the loop relies on survives
+    * without per-shuffle repartition calls. The results of the loop ops
+    * are exact-integer and partition-count-invariant, so the output is
+    * bit-identical at any width. Eager materialization must stay inside
+    * `body`; frames returned out are expected to be checkpointed (all
+    * loop ops do this), so later planning under the restored width
+    * cannot re-shuffle them.
+    */
+  def withWidth[T](spark: org.apache.spark.sql.SparkSession, rows: Long)(
+      body: Int => T): T = {
+    val p = width(spark, rows)
+    val prev = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", p)
+    try body(p)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Checkpoint-every-k-rounds bookkeeping: `step` returns the frame the
     * next round should build on (checkpointed on every `every`-th round
     * and on the last, the raw plan otherwise), unpersisting only the

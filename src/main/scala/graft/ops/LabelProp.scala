@@ -40,17 +40,18 @@ object LabelProp {
     // edges by src, nodes/labels by node — the edge relation is never
     // re-shuffled inside the loop; explicit count so AQE cannot
     // de-co-partition one side
-    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = materialize(
+    val e0 = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
-        .repartition(nShuffle, col("src")))
+        .distinct())
+    Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
+    val e = materialize(e0.repartition(p, col("src")))
     val nodes = materialize(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct()
-        .repartition(nShuffle, col("node")))
+        .repartition(p, col("node")))
+    e0.unpersist() // e + nodes materialized — drop the pre-repartition copy
     val sd = seeds.toDF("node", "seed_label")
     var labels = materialize(
       nodes.join(sd, Seq("node"), "left")
@@ -76,6 +77,7 @@ object LabelProp {
       labels = next
     }
     labels.select(col("node"), col("label"))
+    } // withWidth
   }
 
   /** The same rounds unrolled as DuckDB SQL over `graft_edges`

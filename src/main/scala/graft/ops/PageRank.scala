@@ -72,41 +72,39 @@ object PageRank {
     // re-shuffled after this point; only the rank-sized frames move.
     // The explicit partition count (not plain repartition(col)) keeps AQE
     // from coalescing one side and breaking co-partitioning mid-loop.
-    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = materialize(
+    // Width = Iterate.width over the edge count: the session's shuffle
+    // width at cluster scale, proportionally fewer tasks on toy graphs
+    // where 10 rounds of fixed 32-task scheduling would dominate.
+    val e0 = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
-        .repartition(nShuffle, col("src")))
-    val nodes0 = materialize(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct()
-        .repartition(nShuffle, col("node")))
-    val outdeg = materialize(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    // one scalar: node count (needed for the dangling split; an agg, not
-    // a data collect)
-    val n = nodes0.count()
-
-    // nodes tagged with seed membership (uniform mode: every node is a
-    // "seed" with the plain base share)
+        .distinct())
+    Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
+    val e = materialize(e0.repartition(p, col("src")))
+    // nodes carry their seed tag from the start: ONE checkpointed node
+    // frame (uniform mode: every node is a "seed" with the plain base
+    // share), then ONE aggregate job for both scalars (n, |S|)
+    val nodesRaw = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .repartition(p, col("node"))
     val nodes = seeds match {
       case Some(sd) => materialize(
-        nodes0.join(
+        nodesRaw.join(
           sd.select(sd.columns.head).toDF("node").distinct()
             .withColumn("is_seed", lit(true)),
           Seq("node"), "left")
           .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")))
-      case None => nodes0.withColumn("is_seed", lit(true))
+      case None => materialize(nodesRaw.withColumn("is_seed", lit(true)))
     }
-    val nSeeds = seeds match {
-      case Some(_) =>
-        val s = nodes.filter(col("is_seed")).count()
-        require(s > 0, "no seed appears in the graph")
-        s
-      case None => n
-    }
+    e0.unpersist() // e + nodes are materialized — drop the pre-repartition copy
+    val outdeg = materialize(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val Array(n, nSeeds) = nodes
+      .agg(count(lit(1)),
+        coalesce(sum(when(col("is_seed"), 1L).otherwise(0L)), lit(0L)))
+      .head().toSeq.map(v => v.asInstanceOf[Long]).toArray
+    if (seeds.isDefined) require(nSeeds > 0, "no seed appears in the graph")
     val base = seeds match {
       case Some(_) => (100L - dampNum) * n * scale / (100L * nSeeds)
       case None => (100L - dampNum) * scale / 100L
@@ -142,6 +140,7 @@ object PageRank {
       ranks = cadence.step(i, i == iters, next)
     }
     ranks.select(col("node"), col("r").as("r_fp"))
+    } // withWidth
   }
 
   /** The same recurrence as unrolled DuckDB SQL over a `graft_edges`

@@ -44,10 +44,18 @@ object RandomWalk {
       edges: DataFrame, seeds: DataFrame,
       steps: Int, src: String = "src", dst: String = "dst"): DataFrame = {
     require(steps >= 1)
-    // the edge relation is joined once per step: distinct it ONCE and
-    // checkpoint, or every step re-runs the dedup shuffle
-    val e = materialize(
+    // the edge relation is joined once per step: distinct it ONCE,
+    // checkpoint, and pin it hash-partitioned on the join key `src` —
+    // the distinct's (src, dst) partitioning does NOT satisfy a
+    // src-keyed join, so without the repin every step re-shuffles the
+    // whole edge relation; pinned, only the frontier (one row per live
+    // walk) moves per step. Width scoped by edge count (session width
+    // at scale, fewer tasks on toy graphs).
+    val e0 = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst")).distinct())
+    Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
+    val e = materialize(e0.repartition(p, col("src")))
+    e0.unpersist()
     val s0 = seeds.toDF("walk_id").distinct()
       .select(col("walk_id"), col("walk_id").as("node"))
     var frontier = materialize(s0)
@@ -69,6 +77,7 @@ object RandomWalk {
       out = out :+ next.withColumn("step", lit(t))
     }
     out.reduce(_ union _).select(col("walk_id"), col("step"), col("node"))
+    } // withWidth
   }
 
   /** The identical walk unrolled as DuckDB CTEs over a `graft_edges`
