@@ -169,37 +169,55 @@ object PcaPower {
     * Hotelling residual, with the rational projection coefficient
     * truncated deterministically on both engines.
     */
-  def projectTop2(emb: DataFrame, d: Int, iters: Int = 8): DataFrame = {
-    val q = materialize(quantized(emb))
-    val st1 = statsFromQ(q)
-    val v1 = eigvec(st1, d, iters)
-    val vv = v1.agg(sum(col("v") * col("v")).as("vv"))
-    val expl = explodeQ(q)
-    val dq = expl.join(broadcast(v1), "i")
-      .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as("dq"))
-    // residual rows -> re-assembled (vec_id, qarr) so the second pass
-    // reuses the row-local double-explode Gram path. greatest(vv, 1)
-    // guards the one divisor that can reach zero (degenerate all-equal
-    // corpus -> v1 = 0): residuals degrade to the original vectors
-    // instead of NULLing out — the `div 1e6 + 1` convention's twin
-    val resid = expl.join(broadcast(v1), "i")
-      .join(dq, "vec_id")
-      .crossJoin(broadcast(vv))
-      .select(col("vec_id"), col("i"),
-        (col("q") - expr(tdiv("dq * v", "greatest(vv, 1)"))).as("q"))
-    val q2 = materialize(
-      resid.groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, q))), s -> s.q)")
-          .as("qarr")))
-    val v2 = eigvec(statsFromQ(q2), d, iters)
-    val pc2 = explodeQ(q2).join(broadcast(v2), "i")
-      .groupBy(col("vec_id"))
-      .agg(sum(col("q") * col("v")).as("pc2_fp"))
-    // dq IS the PC1 projection — reuse it rather than re-running the
-    // corpus-wide join+aggregate a second time
-    dq.select(col("vec_id"), col("dq").as("pc1_fp"))
-      .join(pc2, "vec_id")
-      .select(col("vec_id"), col("pc1_fp"), col("pc2_fp"))
+  def projectTop2(emb: DataFrame, d: Int, iters: Int = 8): DataFrame =
+    projectTopK(emb, d, k = 2, iters)
+
+  /** Top-k components by looped Hotelling deflation — the general form
+    * of [[projectTop2]]: component c's eigenvector comes from a
+    * Gram/power chain over the (c-1)-th residual corpus, its projection
+    * pc{c}_fp is `residual_(c-1) . v_c`, and the next residual is
+    * q' = q - tdiv(dot(q, v_c) * v_c_i, dot(v_c, v_c)) (row-local once
+    * v_c broadcasts; greatest(vv, 1) guards the degenerate all-equal
+    * corpus where v_c = 0, so residuals degrade to the input instead of
+    * NULLing out). Output: (vec_id, pc1_fp .. pc{k}_fp), all exact
+    * int64 — the oracle stacks k prefixed chain unrolls.
+    *
+    * Scale shape: k corpus-touching Gram passes (each the row-local
+    * double-explode with map-side d^2 collapse) + k broadcast
+    * projection joins; each residual corpus is checkpointed so chain
+    * c+1 starts from rows, not a k-deep lineage. k is a small constant
+    * (an embedding map wants 2-10 components), so the cost is k * the
+    * single-component pass — never a d^3 eigendecomposition and never
+    * a corpus collect.
+    */
+  def projectTopK(emb: DataFrame, d: Int, k: Int, iters: Int = 8): DataFrame = {
+    require(k >= 1 && k <= d)
+    var q = materialize(quantized(emb))
+    var acc: DataFrame = null // (vec_id, pc1_fp .. pc{c}_fp) so far
+    for (c <- 1 to k) {
+      val vc = eigvec(statsFromQ(q), d, iters)
+      val expl = explodeQ(q)
+      // the projection IS the deflation coefficient — computed once,
+      // reused as both the output column and the residual's dq
+      val dq = expl.join(broadcast(vc), "i")
+        .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as(s"pc${c}_fp"))
+      acc = if (acc == null) dq else acc.join(dq, "vec_id")
+      if (c < k) {
+        val vv = vc.agg(sum(col("v") * col("v")).as("vv"))
+        val resid = expl.join(broadcast(vc), "i")
+          .join(dq.select(col("vec_id"), col(s"pc${c}_fp").as("dq")), "vec_id")
+          .crossJoin(broadcast(vv))
+          .select(col("vec_id"), col("i"),
+            (col("q") - expr(tdiv("dq * v", "greatest(vv, 1)"))).as("q"))
+        // residual rows -> re-assembled (vec_id, qarr) so the next pass
+        // reuses the row-local double-explode Gram path
+        q = materialize(
+          resid.groupBy(col("vec_id"))
+            .agg(expr("transform(array_sort(collect_list(struct(i, q))), s -> s.q)")
+              .as("qarr")))
+      }
+    }
+    acc.select(col("vec_id") +: (1 to k).map(c => col(s"pc${c}_fp")): _*)
   }
 
   private def tdivDuck(x: String, dv: String): String =
@@ -287,4 +305,36 @@ object PcaPower {
          |  SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc2_fp
          |  FROM expl2 e JOIN p2v$iters v ON v.i = e.i GROUP BY e.vec_id) p2
          |  ON p2.vec_id = dq.vec_id""".stripMargin
+
+  /** Oracle twin of [[projectTopK]]: k stacked prefixed chains, each
+    * followed by its projection CTE and (below k) the truncated-rational
+    * Hotelling residual feeding the next chain.
+    */
+  def oracleTopKSql(d: Int, k: Int, iters: Int = 8): String = {
+    require(k >= 1 && k <= d)
+    val parts = scala.collection.mutable.ArrayBuffer(explDuck(d))
+    for (c <- 1 to k) {
+      val pfx = if (c == 1) "" else s"p$c"
+      val src = if (c == 1) "expl" else s"expl$c"
+      parts += chainDuck(pfx, src, d, iters)
+      parts +=
+        s"""dq$c AS MATERIALIZED (
+           |  SELECT e.vec_id, CAST(sum(e.q * v.v) AS BIGINT) AS pc${c}_fp
+           |  FROM $src e JOIN ${pfx}v$iters v ON v.i = e.i
+           |  GROUP BY e.vec_id
+           |)""".stripMargin
+      if (c < k) parts +=
+        s"""vv$c AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM ${pfx}v$iters),
+           |expl${c + 1} AS MATERIALIZED (
+           |  SELECT e.vec_id, e.i,
+           |    e.q - ${tdivDuck(s"dq$c.pc${c}_fp * v.v", s"greatest(vv$c.vv, 1)")} AS q
+           |  FROM $src e JOIN ${pfx}v$iters v ON v.i = e.i
+           |  JOIN dq$c ON dq$c.vec_id = e.vec_id CROSS JOIN vv$c
+           |)""".stripMargin
+    }
+    parts.mkString(",\n") +
+      s"""
+         |SELECT dq1.vec_id, ${(1 to k).map(c => s"dq$c.pc${c}_fp").mkString(", ")}
+         |FROM dq1 ${(2 to k).map(c => s"JOIN dq$c USING (vec_id)").mkString(" ")}""".stripMargin
+  }
 }

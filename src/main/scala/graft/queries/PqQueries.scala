@@ -196,6 +196,22 @@ object PqQueries {
       graft.ops.PcaPower.projectTop2(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         d = 64, iters = 8)
+    },
+
+    // ---- Top-k PCA by LOOPED Hotelling deflation (see
+    //      PcaPower.projectTopK): k=3 components — chain c runs over
+    //      the (c-1)-th checkpointed residual corpus, projections are
+    //      exact int64 end to end, and the oracle stacks three prefixed
+    //      chain unrolls. k corpus passes, never an eigendecomposition,
+    //      never a collect — the embedding-map shape that holds at any
+    //      corpus size ----
+    QueryDef.sql(
+      "q_pca_topk",
+      s"WITH ${graft.ops.PcaPower.oracleTopKSql(d = 64, k = 3, iters = 8)}"
+    ) { (s, d) =>
+      graft.ops.PcaPower.projectTopK(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        d = 64, k = 3, iters = 8)
     }
   )
 }

@@ -93,4 +93,41 @@ class PcaPowerSpec extends AnyFunSuite with Matchers {
     // and the two scores are (near-)uncorrelated with the other factor
     math.abs(corr(p2, t1s)) should be < 0.1
   }
+
+  test("looped deflation recovers three planted directions in variance order") {
+    val d1 = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0).map(_ / math.sqrt(2))
+    val d2 = Array(0, 1.0, 0, 0, 0, -1.0, 0, 0).map(_ / math.sqrt(2))
+    val d3 = Array(0, 0, 1.0, 1.0, 0, 0, 0, 0).map(_ / math.sqrt(2))
+    val rnd3 = new scala.util.Random(17)
+    val pts = (0 until 300).map { i =>
+      val t1 = rnd3.nextGaussian() * 7.0
+      val t2 = rnd3.nextGaussian() * 3.0
+      val t3 = rnd3.nextGaussian() * 1.2
+      val v = (0 until d).map(k =>
+        (t1 * d1(k) + t2 * d2(k) + t3 * d3(k) + rnd3.nextGaussian() * 0.02).toFloat)
+      (i.toLong, v, t1, t2, t3)
+    }
+    val emb = pts.map(p => (p._1, p._2)).toDF("vec_id", "embedding")
+    val got = PcaPower.projectTopK(emb, d, k = 3, iters = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val ma = a.sum / a.size; val mb = b.sum / b.size
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / (math.sqrt(a.map(x => (x - ma) * (x - ma)).sum) *
+        math.sqrt(b.map(x => (x - mb) * (x - mb)).sum))
+    }
+    val ids = pts.map(_._1)
+    val facs = Seq(pts.map(_._3), pts.map(_._4), pts.map(_._5))
+    val projs = Seq(
+      ids.map(i => got(i)._1.toDouble),
+      ids.map(i => got(i)._2.toDouble),
+      ids.map(i => got(i)._3.toDouble))
+    for (c <- 0 until 3) {
+      math.abs(corr(projs(c), facs(c))) should be > 0.99
+      // each later component is deflated clean of the earlier factors
+      for (prev <- 0 until c)
+        math.abs(corr(projs(c), facs(prev))) should be < 0.1
+    }
+  }
 }
