@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CurationQueries, DataPrepQueries, EvalQueries, ExtQueries, FinanceQueries, GrafanaQueries, LmQueries, MediaQueries, MlQueries, PqQueries, QueryDef, RankQueries, SamplingQueries, TechQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, AssocQueries, CurationQueries, DataPrepQueries, EvalQueries, ExtQueries, FinanceQueries, GrafanaQueries, LmQueries, MediaQueries, MlQueries, PqQueries, QueryDef, RankQueries, SamplingQueries, TechQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     FinanceQueries.all ++ TpchQueries.all ++ DataPrepQueries.all ++
+      AssocQueries.all ++
       ExtQueries.all ++ MediaQueries.all ++ GrafanaQueries.all ++
       CurationQueries.all ++ TechQueries.all ++ AnalyticsQueries.all ++
       PqQueries.all ++ MlQueries.all ++ RankQueries.all ++ LmQueries.all ++

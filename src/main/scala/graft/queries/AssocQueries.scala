@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Association & distribution-shift statistics for corpus curation —
+  * three passes every large-scale text pipeline runs between ingest and
+  * training:
+  *
+  *  - PMI phrase mining (the word2vec phrase pass, Mikolov et al. 2013:
+  *    score(ab) = (c_ab − δ)·N / (c_a·c_b)) — which adjacent token
+  *    pairs behave as single units;
+  *  - log-likelihood-ratio term–label association (Dunning 1993 G²) —
+  *    the feature-selection score behind quality/domain classifiers
+  *    (chi-square's small-count-safe sibling; all four contingency
+  *    cells contribute);
+  *  - two-sample Kolmogorov–Smirnov drift per stream key — the
+  *    distribution-shift monitor between corpus snapshots, next to the
+  *    KL token drift (`q_dist_drift`) but over a CONTINUOUS metric.
+  *
+  * Reference scope: extension surface (the reference has no text/assoc
+  * statistics; its aggregations are price scalars —
+  * services/spark/app/api/views.py). Part of the training-data tier.
+  *
+  * Numeric contract (the `klContrib` convention): counts and cumulative
+  * counts are exact int64; each score is quantized by flooring at 1e6
+  * after at most one `ln` (the single 1-ulp-risk op, absorbed by the
+  * quantization — the q_bm25_topk/q_dist_drift precedent); every
+  * multiply/divide is spelled in the same order on both engines.
+  * Int64 headroom contracts are documented per query below.
+  */
+object AssocQueries {
+
+  /** One G² contingency-cell term: 2e6 · x · ln(x·N / (rm·cm)), floored,
+    * 0 when the cell is empty. `x`, `rm`, `cm`, `nn` are int64 column
+    * expressions; the products stay inside int64 for N·max-count < 2^63
+    * (documented on q_llr_terms).
+    */
+  private def g2cell(x: String, rm: String, cm: String): String =
+    s"""(CASE WHEN ($x) > 0 THEN CAST(floor(2000000e0 * ($x)
+       |  * ln((($x) * nn) * 1e0 / (($rm) * ($cm)))) AS BIGINT)
+       |  ELSE 0 END)""".stripMargin
+
+  /** The same cell term in DuckDB spelling (identical text modulo the
+    * engines' shared syntax — kept adjacent so they cannot drift).
+    */
+  private def g2cellDuck(x: String, rm: String, cm: String): String =
+    g2cell(x, rm, cm)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- PMI phrase mining (Mikolov et al. 2013): adjacent-pair score
+    //      (c_ab − 5)·N·1e6 div (c_a·c_b), pairs with c_ab >= 5, top
+    //      30. ONE tokenize pass feeds unigram and bigram counts (both
+    //      partial-aggregable groupBys); the total-token scalar
+    //      broadcasts. Int64 headroom: c_ab·N·1e6 < 2^63 bounds total
+    //      tokens N at ~3e6 at this quantization — beyond that, lower
+    //      the 1e6 scale or mine over a hash-sampled doc stream (the
+    //      klContrib mitigation; scores are scale-invariant in N) ----
+    QueryDef.sql(
+      "q_pmi_phrases",
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS cw FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY w
+        |), tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uni),
+        |big AS (
+        |  SELECT a, b, count(*) AS cab FROM (
+        |    SELECT unnest(list_transform(range(1, n), i -> toks[i])) AS a,
+        |           unnest(list_transform(range(1, n), i -> toks[i + 1])) AS b
+        |    FROM t WHERE n >= 2)
+        |  GROUP BY a, b
+        |)
+        |SELECT big.a, big.b, big.cab,
+        |  ((big.cab - 5) * tot.n * 1000000) // (ua.cw * ub.cw) AS pmi_fp
+        |FROM big CROSS JOIN tot
+        |JOIN uni ua ON ua.w = big.a JOIN uni ub ON ub.w = big.b
+        |WHERE big.cab >= 5
+        |ORDER BY pmi_fp DESC, big.a, big.b LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"),
+          size(split(col("text"), " ")).as("n"))
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum(col("cw")).as("n"))
+      val big = t.filter(col("n") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, n - 1), " +
+            "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      big.filter(col("cab") >= 5)
+        .join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
+        .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("cab"),
+          expr("((cab - 5) * n * 1000000) div (ca * cb)").as("pmi_fp"))
+        .orderBy(col("pmi_fp").desc, col("a"), col("b"))
+        .limit(30)
+    },
+
+    // ---- Dunning G² term–label association (feature selection for the
+    //      quality/domain classifiers): full 2x2 contingency per
+    //      (token, lang) over DOC-LEVEL presence, all four cells'
+    //      2·n·ln(n·N/(row·col)) contributions floored at 1e6 and
+    //      summed; tokens in >= 5 docs, top 30. One distinct-presence
+    //      pass feeds every margin (partial-aggregable); the per-lang
+    //      margins and N broadcast. Int64 headroom: cell·N < 2^63
+    //      bounds the doc count N at ~3e9 (cells are <= N); the double
+    //      mantissa bounds 2e6·n·ln at n ~ 4e8 — both far above any
+    //      single-snapshot corpus this scores; hash-sample docs beyond
+    //      (the klContrib mitigation) ----
+    QueryDef.sql(
+      "q_llr_terms",
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |), n11 AS (
+         |  SELECT w, lang, count(*) AS n11 FROM dt GROUP BY w, lang
+         |), r AS (
+         |  SELECT w, CAST(sum(n11) AS BIGINT) AS r FROM n11 GROUP BY w
+         |), c AS (
+         |  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+         |), nd AS (SELECT count(*) AS nn FROM documents)
+         |SELECT n11.lang, n11.w AS token,
+         |  ${g2cellDuck("n11.n11", "r.r", "c.c")}
+         |  + ${g2cellDuck("r.r - n11.n11", "r.r", "nn - c.c")}
+         |  + ${g2cellDuck("c.c - n11.n11", "nn - r.r", "c.c")}
+         |  + ${g2cellDuck("nn - r.r - c.c + n11.n11", "nn - r.r", "nn - c.c")}
+         |  AS llr_fp
+         |FROM n11 JOIN r ON r.w = n11.w JOIN c ON c.lang = n11.lang
+         |CROSS JOIN nd
+         |WHERE r.r >= 5 AND r.r < nn AND c.c < nn
+         |ORDER BY llr_fp DESC, n11.lang, token LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dt = docs
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+      val n11 = dt.groupBy(col("w"), col("lang")).agg(count(lit(1)).as("n11"))
+      val r = n11.groupBy(col("w")).agg(sum(col("n11")).as("r"))
+      val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val nd = docs.agg(count(lit(1)).as("nn"))
+      n11.join(r, "w").join(broadcast(c), "lang").crossJoin(broadcast(nd))
+        .filter(col("r") >= 5 && col("r") < col("nn") && col("c") < col("nn"))
+        .select(col("lang"), col("w").as("token"),
+          (expr(g2cell("n11", "r", "c"))
+            + expr(g2cell("r - n11", "r", "nn - c"))
+            + expr(g2cell("c - n11", "nn - r", "c"))
+            + expr(g2cell("nn - r - c + n11", "nn - r", "nn - c"))
+          ).as("llr_fp"))
+        .orderBy(col("llr_fp").desc, col("lang"), col("token"))
+        .limit(30)
+    },
+
+    // ---- Two-sample KS drift per event_type: D = max |F_A − F_B| over
+    //      the pooled value order, A/B = even/odd event ids (the
+    //      deterministic snapshot split). Pre-aggregating per DISTINCT
+    //      (key, value) makes the cumulative window tie-free and
+    //      shrinks it to distinct-value cardinality; the window is
+    //      PARTITIONED by key (never a global single-partition sort).
+    //      KS_fp = floor(|ca·nB − cb·nA|·1e6 / (nA·nB)) — exact int64;
+    //      headroom nA·nB·1e6 < 2^63 bounds per-key side counts at
+    //      ~3e6 balanced: beyond that, KS over a hash-sampled stream
+    //      (D converges at ~1.36/sqrt(n); sampling is the textbook
+    //      estimator) ----
+    QueryDef.sql(
+      "q_ks_drift",
+      """WITH ev AS (
+        |  SELECT event_type, value, event_id % 2 AS side FROM events
+        |), pv AS (
+        |  SELECT event_type, value,
+        |    CAST(count(*) FILTER (side = 0) AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (side = 1) AS BIGINT) AS nb
+        |  FROM ev GROUP BY event_type, value
+        |), cum AS (
+        |  SELECT event_type,
+        |    CAST(sum(na) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cb,
+        |    CAST(sum(na) OVER (PARTITION BY event_type) AS BIGINT) AS nat,
+        |    CAST(sum(nb) OVER (PARTITION BY event_type) AS BIGINT) AS nbt
+        |  FROM pv
+        |)
+        |SELECT event_type,
+        |  max((abs(ca * nbt - cb * nat) * 1000000)
+        |    // greatest(nat * nbt, 1)) AS ks_fp
+        |FROM cum GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val pv = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          pmod(col("event_id"), lit(2)).as("side"))
+        .groupBy(col("event_type"), col("value"))
+        .agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      pv
+        .withColumn("ca", sum(col("na")).over(wCum))
+        .withColumn("cb", sum(col("nb")).over(wCum))
+        .withColumn("nat", sum(col("na")).over(wAll))
+        .withColumn("nbt", sum(col("nb")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(expr(
+          "(abs(ca * nbt - cb * nat) * 1000000) div greatest(nat * nbt, 1L)"))
+          .as("ks_fp"))
+        .orderBy(col("event_type"))
+    }
+  )
+}

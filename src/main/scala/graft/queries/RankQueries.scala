@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Hits, KCore, LabelProp, Mmr, PageRank}
+import graft.ops.{Bfs, Hits, KCore, LabelProp, Mmr, PageRank}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -141,6 +141,36 @@ object RankQueries {
         concat(lit("C"), col("o_custkey")).as("src"),
         concat(lit("S"), col("l_suppkey")).as("dst"))
       Hits.run(fwd.union(rev))
+    },
+
+    // ---- Multi-source BFS hop distance (see ops.Bfs): shortest
+    //      directed-hop distance from the nation-0-4 supplier seed set
+    //      over the trade graph, capped at 4 hops — the
+    //      distance-from-trusted-set curation feature (crawl-frontier
+    //      tiering). Level-synchronous frontier expansion: per-round
+    //      work is frontier-sized against the ONE pinned edge
+    //      partitioning; the oracle unrolls the identical expansion ----
+    QueryDef.sql(
+      "q_bfs_hops",
+      s"""WITH graft_edges AS (\n$edgesDuck\n),
+         |graft_bfs_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+         |  FROM supplier WHERE s_nationkey < 5
+         |),\n""".stripMargin + Bfs.oracleSql(maxHops = 4)
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 5)
+        .select(concat(lit("S"), col("s_suppkey")).as("node"))
+      Bfs.run(fwd.union(rev), seeds, maxHops = 4)
     },
 
     // ---- BM25 top-5 per query (k1=1.2, b=0.75, Robertson-style
