@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * aggregates).
   *
   * Image payloads decode through the REAL [[ImageIoCodec]] (the JDK's
-  * javax.imageio: PNG/BMP/GIF/JPEG), routed by payload magic bytes via
-  * [[SniffingCodec]]. Audio/video codecs are not available in this
-  * environment, so [[FakeCodec]] remains the clearly-marked deterministic
-  * stand-in for those: it derives "pixels" from the payload bytes
-  * themselves. Everything around the codec seam — the schema, the binary
+  * javax.imageio: PNG/BMP/GIF/JPEG) and RIFF/WAVE PCM audio through the
+  * REAL [[WavCodec]] (the JDK's javax.sound.sampled), routed by payload
+  * magic bytes via [[SniffingCodec]]. Video codecs are not available in
+  * this environment, so [[FakeCodec]] remains the clearly-marked
+  * deterministic stand-in there: it derives "pixels" from the payload
+  * bytes themselves. Everything around the codec seam — the schema, the binary
   * column handling, the batch shape, the partitioning — is the real
   * production plumbing either way.
   *
@@ -83,11 +84,69 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec: RIFF/WAVE PCM via the JDK's javax.sound.sampled
+    * (no external deps, headless-safe). Supports the PCM encodings the
+    * JDK WAV reader itself supports (8-bit unsigned, 16-bit signed,
+    * either endianness, any channel count). Samples normalize to the
+    * codec contract's [0, 255] plane exactly:
+    *   8-bit  u -> u            (identity)
+    *   16-bit s -> (s + 32768) / 257.0   (0 -> 0, 65535 -> 255 exactly,
+    *                                      since 257 * 255 = 65535)
+    * Layout is channel-major: h = channels, w = frames, so a stereo clip
+    * decodes to two sample rows — the same plane shape every downstream
+    * op (resize / featurize) already consumes.
+    */
+  object WavCodec extends MediaCodec {
+    override def decode(mediaType: String, blob: Array[Byte]): Decoded = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        require(
+          signed || enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          s"non-PCM WAV encoding $enc")
+        require(bits == 8 || bits == 16, s"unsupported PCM width $bits")
+        val raw = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frames = raw.length / (bytesPerSample * ch)
+        val px = new Array[Double](frames * ch)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * bytesPerSample
+            val u =
+              if (bits == 8) {
+                val v = raw(off) & 0xff
+                if (signed) ((raw(off): Int) + 128) else v
+              } else {
+                val (lo, hi) =
+                  if (fmt.isBigEndian) (raw(off + 1) & 0xff, raw(off))
+                  else (raw(off) & 0xff, raw(off + 1))
+                val s = (hi << 8) | lo // sign-extended via the Byte hi
+                (if (signed) s + 32768 else ((hi & 0xff) << 8) | lo)
+              }
+            px(c * frames + i) =
+              if (bits == 8) u.toDouble else u.toDouble / 257.0
+            c += 1
+          }
+          i += 1
+        }
+        Decoded(frames, ch, px)
+      } finally ais.close()
+    }
+  }
+
   /** ======================== STUB BOUNDARY ========================
-    * Audio/video codecs (ffmpeg / libsndfile behind JNI) are NOT
-    * available in this environment; [[FakeCodec]] is the clearly-marked
-    * deterministic stand-in for those payloads. Image payloads have the
-    * real decoder above.
+    * Video codecs (ffmpeg behind JNI) are NOT available in this
+    * environment; [[FakeCodec]] is the clearly-marked deterministic
+    * stand-in for video payloads and non-WAV audio containers. Image
+    * payloads ([[ImageIoCodec]]) and RIFF/WAVE PCM audio ([[WavCodec]])
+    * have real decoders above.
     */
   object FakeCodec extends MediaCodec {
     /** Interprets the payload as unsigned bytes row-major in a W×H plane,
@@ -106,10 +165,10 @@ object Multimodal {
   /* ====================== END STUB BOUNDARY ====================== */
 
   /** Production router: sniffs the payload's magic bytes and hands real
-    * image containers (PNG / BMP / GIF / JPEG) to [[ImageIoCodec]];
-    * everything else falls through to the declared stand-in. Content
-    * sniffing (not the `media_type` column) decides, so a mislabelled
-    * row can't crash the image decoder.
+    * image containers (PNG / BMP / GIF / JPEG) to [[ImageIoCodec]] and
+    * RIFF/WAVE audio to [[WavCodec]]; everything else falls through to
+    * the declared stand-in. Content sniffing (not the `media_type`
+    * column) decides, so a mislabelled row can't crash a real decoder.
     */
   object SniffingCodec extends MediaCodec {
     private def hasPrefix(blob: Array[Byte], sig: Int*): Boolean =
@@ -122,8 +181,14 @@ object Multimodal {
         hasPrefix(blob, 'G', 'I', 'F', '8') || // GIF
         hasPrefix(blob, 0xff, 0xd8, 0xff) // JPEG
 
+    /** RIFF container declaring a WAVE form: "RIFF" at 0, "WAVE" at 8. */
+    def isWav(blob: Array[Byte]): Boolean =
+      hasPrefix(blob, 'R', 'I', 'F', 'F') && blob.length >= 12 &&
+        blob(8) == 'W' && blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E'
+
     override def decode(mediaType: String, blob: Array[Byte]): Decoded =
       if (isImage(blob)) ImageIoCodec.decode(mediaType, blob)
+      else if (isWav(blob)) WavCodec.decode(mediaType, blob)
       else FakeCodec.decode(mediaType, blob)
   }
 

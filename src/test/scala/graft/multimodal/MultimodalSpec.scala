@@ -72,6 +72,90 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     d.pixels(1) shouldBe 255.0 +- 1e-12
   }
 
+  /** Encode PCM samples to a real WAV container via the JDK writer —
+    * the same container the production WavCodec sniffs and decodes.
+    */
+  private def encodeWav(
+      bits: Int, channels: Int, bigEndian: Boolean)(
+      samples: Array[Int]): Array[Byte] = {
+    import javax.sound.sampled._
+    val signed = bits == 16 // JDK WAV writer: 8-bit unsigned, 16-bit signed
+    val fmt = new AudioFormat(8000f, bits, channels, signed, bigEndian)
+    val bytesPer = bits / 8
+    val raw = new Array[Byte](samples.length * bytesPer)
+    samples.indices.foreach { i =>
+      if (bits == 8) raw(i) = samples(i).toByte
+      else {
+        val s = samples(i)
+        val (b0, b1) =
+          if (bigEndian) (((s >> 8) & 0xff).toByte, (s & 0xff).toByte)
+          else ((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+        raw(2 * i) = b0; raw(2 * i + 1) = b1
+      }
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavCodec decodes real 16-bit PCM mono WAV to exact normalized samples") {
+    // endpoints and a few interior values: the (s + 32768) / 257.0 map is
+    // exact at the endpoints (257 * 255 = 65535)
+    val samples = Array(-32768, -1, 0, 1, 32767)
+    val wav = encodeWav(16, 1, bigEndian = false)(samples)
+    SniffingCodec.isWav(wav) shouldBe true
+    SniffingCodec.isImage(wav) shouldBe false
+    val d = SniffingCodec.decode("audio", wav) // production route
+    d.w shouldBe 5
+    d.h shouldBe 1
+    d.pixels shouldBe samples.map(s => (s + 32768) / 257.0)
+    d.pixels.head shouldBe 0.0
+    d.pixels.last shouldBe 255.0
+  }
+
+  test("WavCodec: 8-bit unsigned and stereo channel-major layout") {
+    // 8-bit unsigned: identity map to [0, 255]
+    val u8 = Array(0, 1, 128, 254, 255)
+    val d8 = WavCodec.decode("audio", encodeWav(8, 1, bigEndian = false)(u8))
+    d8.pixels shouldBe u8.map(_.toDouble)
+
+    // stereo 16-bit: interleaved L/R frames decode to h=2 channel rows
+    val interleaved = Array(-32768, 32767, 0, 0, 32767, -32768) // L,R x3
+    val ds = WavCodec.decode(
+      "audio", encodeWav(16, 2, bigEndian = false)(interleaved))
+    ds.w shouldBe 3
+    ds.h shouldBe 2
+    ds.pixels shouldBe Array(
+      0.0, 32768 / 257.0, 255.0, // channel 0 (L)
+      255.0, 32768 / 257.0, 0.0) // channel 1 (R)
+  }
+
+  test("real WAV payloads flow through the production mapPartitions path") {
+    import spark.implicits._
+    // 16 known samples: intensities k * 17 * 257 - 32768 -> k * 17 exactly
+    val samples = Array.tabulate(16)(k => k * 17 * 257 - 32768)
+    val wav = encodeWav(16, 1, bigEndian = false)(samples)
+    val media = Seq(
+      MediaRecord(1L, "audio", 16, 1, wav),
+      MediaRecord(2L, "audio", 4, 1, Array[Byte](10, 20, 30, 40))
+    ).toDS().repartition(2)
+    val feats = extractFeatures(media, SniffingCodec).collect().sortBy(_.doc_id)
+
+    val f1 = feats.head
+    f1.n_bytes shouldBe wav.length.toLong
+    val vals = (0 until 16).map(_ * 17.0)
+    f1.mean_intensity shouldBe (vals.sum / 16) +- 1e-9
+    // a 16x1 sample line block-averages into 4 columns of the 4x4 thumb,
+    // each row replicated (h=1 upscales by replication)
+    val rowAvgs = (0 until 4).map(c => (vals.slice(4 * c, 4 * c + 4).sum) / 4)
+    f1.thumb_4x4.map(_.toDouble) shouldBe Array.tabulate(16)(i => rowAvgs(i % 4))
+
+    // the non-WAV audio row still goes through the stub
+    feats(1).mean_intensity shouldBe 25.0 +- 1e-12
+  }
+
   test("SniffingCodec routes by magic bytes: real containers to imageio, rest to the stub") {
     val gray = encodeImage("bmp", 3, 2)((_, _) => 0x808080)
     SniffingCodec.isImage(gray) shouldBe true
