@@ -417,6 +417,61 @@ object CurationQueries {
         Tables.documents(s, d), "doc_id", "text", n = 8)
     },
 
+    // ---- Paragraph-level dedup ([[graft.ops.ParaDedup]]): the
+    //      granularity between doc-level and span-level. The synthetic
+    //      docs are single-line, so the fixture derives multi-paragraph
+    //      "pages" first: 4 consecutive docs per page, prefixed by a
+    //      per-source license-header paragraph (the classic repeated
+    //      boilerplate) — then every exact paragraph keeps only its
+    //      globally first occurrence (min (page_id, position)) and pages
+    //      reassemble in order. Pure string/integer ops, exact
+    //      cross-engine. ----
+    QueryDef.sql(
+      "q_para_dedup",
+      """WITH pages AS (
+        |  SELECT doc_id // 4 AS page_id,
+        |    'license ' || min_by(source, doc_id) || ' standard terms apply'
+        |      || chr(10) || chr(10)
+        |      || string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+        |      AS page_text
+        |  FROM documents GROUP BY 1
+        |), pp AS (
+        |  SELECT page_id,
+        |    string_split(page_text, chr(10) || chr(10)) AS ps
+        |  FROM pages
+        |), paras AS (
+        |  SELECT page_id, u.i - 1 AS pos, ps[u.i] AS para
+        |  FROM pp, unnest(range(1, len(ps) + 1)) u(i)
+        |), firsts AS (
+        |  SELECT para, min(page_id * 1048576 + pos) AS first_key
+        |  FROM paras GROUP BY para
+        |), kept AS (
+        |  SELECT p.page_id, count(*) AS n_kept,
+        |    string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos)
+        |      AS clean_text
+        |  FROM paras p JOIN firsts f USING (para)
+        |  WHERE p.page_id * 1048576 + p.pos = f.first_key
+        |  GROUP BY p.page_id
+        |)
+        |SELECT pp.page_id, len(pp.ps) AS n_paras,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM pp LEFT JOIN kept k USING (page_id)""".stripMargin
+    ) { (s, d) =>
+      val pages = Tables.documents(s, d)
+        .groupBy(expr("doc_id div 4").as("page_id"))
+        .agg(
+          concat(
+            lit("license "), min_by(col("source"), col("doc_id")),
+            lit(" standard terms apply"), lit("\n\n"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")),
+              "\n\n")).as("page_text"))
+      graft.ops.ParaDedup.dedupParagraphs(pages, "page_id", "page_text")
+    },
+
     // ---- Bloom-gated incremental dedup: incoming events keep only the
     //      (user_id, event_type) pairs never seen in the history slice —
     //      first-touch detection. The bloom routes rows (no false
