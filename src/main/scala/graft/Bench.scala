@@ -23,6 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional subset run (dev / scale-rehearsal tooling): a comma-
+    // separated SPARK_GRAFT_ONLY limits both the streaming replays and
+    // the batch sweep to the named entries. The driver never sets it.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
+
     // JIT/codegen warm-up outside the timed loop: exercise the parquet
     // scan, shuffle, window, and aggregate code paths once so the first
     // timed query doesn't absorb one-time compilation cost
@@ -40,22 +47,28 @@ object Bench {
     // a fresh session state reports the number the pipeline actually has;
     // the batch queries are insensitive to position (verified across
     // rounds) and keep their alphabetical order below.
-    results("stream_indicators") = streamReplay(spark, sfDir)
+    if (want("stream_indicators"))
+      results("stream_indicators") = streamReplay(spark, sfDir)
     // same pipeline at bulk cadence (4 large batches): shows the per-batch
     // fixed cost amortizing away — the throughput number that scales
-    results("stream_indicators_bulk") = streamReplay(spark, sfDir, batches = 4)
+    if (want("stream_indicators_bulk"))
+      results("stream_indicators_bulk") =
+        streamReplay(spark, sfDir, batches = 4)
     // LLM-data streaming path: documents through dedup/quality/chunking
-    results("stream_docs") = docStreamReplay(spark, sfDir)
+    if (want("stream_docs"))
+      results("stream_docs") = docStreamReplay(spark, sfDir)
     // native session_window sessionization over the events replay
-    results("stream_sessions") = sessionStreamReplay(spark, sfDir)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    if (want("stream_sessions"))
+      results("stream_sessions") = sessionStreamReplay(spark, sfDir)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => want(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
     // end-to-end BATCH curation: exact dedup -> near-dup components ->
     // quality -> PII scrub -> chunk -> pack, one composed job
-    results("pipeline_curate") = {
+    if (want("pipeline_curate")) results("pipeline_curate") = {
       val t0 = System.nanoTime()
       try graft.pipelines.CorpusPipeline
         .curate(graft.model.Tables.documents(spark, sfDir)).count()
@@ -65,7 +78,7 @@ object Bench {
     // store maintenance under small-file pressure: compact a sliver-heavy
     // day-partitioned store (the streaming-sink debris pattern) into
     // right-sized files
-    results("pipeline_compact") =
+    if (want("pipeline_compact")) results("pipeline_compact") =
       try compactReplay(spark, sfDir) catch { case _: Throwable => -1.0 }
 
     val qs = results

@@ -474,6 +474,53 @@ object TechQueries {
         Tables.events(s, d).select(
           col("event_type").as("symbol"), col("ts"),
           col("event_id"), col("value")))
+    },
+
+    // ---- Rolling order statistics (robust smoothing): exact median /
+    //      min / max over a trailing 7-row frame per symbol. The frame is
+    //      always exactly 7 rows (warm-up rows filtered AFTER the window
+    //      runs), so the median is the 4th order statistic — an element
+    //      pick, never an interpolation — and both engines return the
+    //      identical double. One shuffle on the symbol key, O(7)/row
+    //      bounded frame state; rn is per-symbol (no global window) ----
+    QueryDef.sql(
+      "q_moving_median",
+      s"""WITH w AS (
+         |  SELECT event_id, event_type, ts, value,
+         |    row_number() OVER wo AS rn,
+         |    median(value) OVER w7 AS med_7,
+         |    min(value) OVER w7 AS min_7,
+         |    max(value) OVER w7 AS max_7
+         |  FROM events
+         |  WINDOW wo AS ($wOrd),
+         |         w7 AS ($wOrd ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, event_type, ts, value, med_7, min_7, max_7
+         |FROM w WHERE rn >= 7""".stripMargin
+    ) { (s, d) =>
+      val wo = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val w7 = wo.rowsBetween(-6, 0)
+      ev(s, d)
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("med_7", percentile(col("value"), lit(0.5)).over(w7))
+        .withColumn("min_7", min(col("value")).over(w7))
+        .withColumn("max_7", max(col("value")).over(w7))
+        .filter(col("rn") >= 7)
+        .drop("rn")
+    },
+
+    // ---- LTTB chart downsampling ([[graft.ops.Lttb]]): 12 buckets + 2
+    //      endpoints per symbol, exact int64 triangle-area argmax. The
+    //      oracle unrolls the 12-step pick recurrence (PcaPower chain
+    //      pattern) ----
+    QueryDef.sql(
+      "q_lttb",
+      graft.ops.Lttb.oracleSql(
+        "events", "event_type", "ts", "event_id", "value")
+    ) { (s, d) =>
+      graft.ops.Lttb.downsample(
+        ev(s, d), "event_type", "ts", "event_id", "value")
     }
   )
 }
