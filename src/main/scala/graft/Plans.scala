@@ -40,7 +40,10 @@ object Plans {
     "q_hard_negatives", // broadcast anchors, one corpus scan, top-4 window
     "q_dbscan_grid", // cell-grid aggs + CC on core cells, no point pairs
     "q_holt", // one symbol-key exchange, typed O(1)-state fold
-    "q_dist_drift" // one tokenize pass, conditional aggs, TakeOrdered(30)
+    "q_dist_drift", // one tokenize pass, conditional aggs, TakeOrdered(30)
+    "q_para_dedup", // paragraph hash agg + keep-join, ordered reassembly
+    "q_lttb", // checkpointed candidates x two broadcast frames per round
+    "q_moving_median" // symbol-key exchange, bounded 7-row frames
   )
 
   def main(args: Array[String]): Unit = {

@@ -187,4 +187,119 @@ object DocStream {
         timeMode,
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  // --------------------------------------- streaming PARAGRAPH dedup
+  /** One exploded paragraph of a streamed document. */
+  final case class ParaRow(
+      para_hash: String, doc_id: Long, ingest_ts: Timestamp,
+      pos: Int, para: String)
+
+  /** Stage-1 verdict: was this paragraph's first global occurrence? */
+  final case class ParaVote(
+      doc_id: Long, ingest_ts: Timestamp, pos: Int, para: String,
+      kept: Boolean)
+
+  /** Reassembled per-document output — the [[graft.ops.ParaDedup]]
+    * row shape.
+    */
+  final case class ParaDocOut(
+      doc_id: Long, ingest_ts: Timestamp, n_paras: Long, n_kept: Long,
+      clean_text: String)
+
+  /** Stage 1: first-wins per paragraph. State = one boolean per distinct
+    * paragraph hash seen (TTL-bounded when given — dedup-against-recent,
+    * like [[BandSeenProcessor]]); rows within a batch fold in
+    * (ingest_ts, doc_id, pos) order so same-batch repeats resolve
+    * deterministically to the earliest occurrence.
+    */
+  class ParaSeenProcessor(ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, ParaRow, ParaVote] {
+    @transient private var seen:
+        org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", org.apache.spark.sql.Encoders.scalaBoolean,
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[ParaRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ParaVote] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id, r.pos))
+      var s = seen.exists() && seen.get()
+      val out = sorted.map { r =>
+        val v = ParaVote(r.doc_id, r.ingest_ts, r.pos, r.para, kept = !s)
+        s = true
+        v
+      }
+      seen.update(true)
+      out.iterator
+    }
+  }
+
+  /** Stage 2: reassemble a document from its paragraph votes (all arrive
+    * within the doc's own micro-batch — explode and stage 1 run in the
+    * same batch). Stateless per batch, like [[VoteCombineProcessor]].
+    */
+  class ParaAssembleProcessor(sep: String)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ParaVote, ParaDocOut] {
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ParaVote],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ParaDocOut] = {
+      val vs = rows.toSeq
+      val kept = vs.filter(_.kept).sortBy(_.pos)
+      Iterator.single(ParaDocOut(
+        key, vs.head.ingest_ts, vs.length.toLong, kept.length.toLong,
+        kept.map(_.para).mkString(sep)))
+    }
+  }
+
+  /** Streaming twin of [[graft.ops.ParaDedup.dedupParagraphs]]: every
+    * arriving document keeps only paragraphs never seen before on the
+    * stream (exact text, keyed by the 128-bit md5 — the hash-keyed
+    * variant the batch op's scale note describes), reassembled in
+    * position order. When documents arrive in (doc_id) order the output
+    * is row-identical to the batch operator (the parity spec pins it);
+    * state = one boolean per distinct paragraph within the TTL horizon.
+    * Same trigger caveats as [[nearDupGate]] when `ttl` is set.
+    */
+  def paraDedupGate(
+      docs: Dataset[DocEvent],
+      sep: String = "\n\n",
+      ttl: Option[java.time.Duration] = None): Dataset[ParaDocOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    val paras = docs.toDF()
+      .select(
+        col("doc_id"), col("ingest_ts"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .select(md5(col("para")).as("para_hash"), col("doc_id"),
+        col("ingest_ts"), col("pos"), col("para"))
+      .as[ParaRow]
+    paras
+      .groupByKey(_.para_hash)
+      .transformWithState(
+        new ParaSeenProcessor(ttl),
+        timeMode,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupByKey(_.doc_id)
+      .transformWithState(
+        new ParaAssembleProcessor(sep),
+        timeMode,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }
