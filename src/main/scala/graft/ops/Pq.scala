@@ -50,6 +50,12 @@ object Pq {
 
   /** Per-subspace codebook size: min(256, max(4, ceil(sqrt(n)))) — caps
     * at the classic 1-byte-per-subspace code at n >= 64k.
+    *
+    * Scaling note (measured, BASELINE.md round-5 rehearsal): below the
+    * cap, Lloyd work grows as n * sqrt(n) — sf0.1→sf1 (n 2k→20k, k
+    * 45→142) cost ~20× for 10× rows. That regime ends at n >= 64k where
+    * k pins to 256 and training/encode/search are strictly linear in n
+    * (the regime the operator is designed for).
     */
   def chooseKsub(n: Long): Int =
     math.min(256, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
