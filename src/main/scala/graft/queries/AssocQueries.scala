@@ -104,7 +104,8 @@ object AssocQueries {
           expr("((cab - 5) * n * 1000000) div (ca * cb)").as("pmi_fp"))
         .orderBy(col("pmi_fp").desc, col("a"), col("b"))
         .limit(30)
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row total-token-count frame"),
 
     // ---- Dunning G² term–label association (feature selection for the
     //      quality/domain classifiers): full 2x2 contingency per
@@ -158,7 +159,8 @@ object AssocQueries {
           ).as("llr_fp"))
         .orderBy(col("llr_fp").desc, col("lang"), col("token"))
         .limit(30)
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the single-row corpus-doc-count frame"),
 
     // ---- Two-sample KS drift per event_type: D = max |F_A − F_B| over
     //      the pooled value order, A/B = even/odd event ids (the

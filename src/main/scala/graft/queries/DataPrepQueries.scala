@@ -1490,6 +1490,68 @@ object DataPrepQueries {
         docs.select("doc_id", "text"), "doc_id", "text", merges)
         .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
           array_join(col("tokens"), " ").as("tokens_joined"))
+    },
+
+    // ---- Dataset card: per (lang, source) corpus-slice health sheet —
+    //      doc count, token totals, mean (fixed-point), and EXACT order-
+    //      statistic median / p90 token counts (rank ceil(n/2) /
+    //      ceil(9n/10) with doc_id tie-break — an element pick, never an
+    //      interpolation, so both engines return the identical integer;
+    //      the q_moving_median convention applied group-wise). Shape:
+    //      ONE (lang, source) exchange carries the rank window and both
+    //      aggregations; per-group state is O(1). The published-"data
+    //      card"/datasheet summary a curation pipeline ships with the
+    //      corpus ----
+    QueryDef.sql(
+      "q_data_card",
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk
+        |  FROM t
+        |), g AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM t GROUP BY lang, source
+        |)
+        |SELECT g.lang, g.source, g.n_docs, g.total_tokens, g.total_chars,
+        |  (g.total_tokens * 100) // g.n_docs AS mean_tokens_fp,
+        |  med.n_tokens AS median_tokens,
+        |  p90.n_tokens AS p90_tokens
+        |FROM g
+        |JOIN r med ON med.lang = g.lang AND med.source = g.source
+        |  AND med.rnk = (g.n_docs + 1) // 2
+        |JOIN r p90 ON p90.lang = g.lang AND p90.source = g.source
+        |  AND p90.rnk = (9 * g.n_docs + 9) // 10""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      val r = t.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+      val g = t.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+      g.join(r.select(col("lang"), col("source"), col("rnk"),
+            col("n_tokens").as("median_tokens")),
+          Seq("lang", "source"))
+        .filter(col("rnk") === expr("(n_docs + 1) div 2"))
+        .drop("rnk")
+        .join(r.select(col("lang"), col("source"), col("rnk"),
+            col("n_tokens").as("p90_tokens")),
+          Seq("lang", "source"))
+        .filter(col("rnk") === expr("(9 * n_docs + 9) div 10"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          col("total_chars"),
+          expr("(total_tokens * 100) div n_docs").as("mean_tokens_fp"),
+          col("median_tokens"), col("p90_tokens"))
     }
   )
 }

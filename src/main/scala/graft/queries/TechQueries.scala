@@ -521,6 +521,139 @@ object TechQueries {
     ) { (s, d) =>
       graft.ops.Lttb.downsample(
         ev(s, d), "event_type", "ts", "event_id", "value")
+    },
+
+    // ---- Autocorrelation function: per (symbol, day), Pearson ACF at
+    //      lags 1..3 of the cents-quantized series — the standard
+    //      seasonality/momentum diagnostic (q_pair_corr's moment-form
+    //      recipe, but series-vs-lagged-self instead of series-vs-
+    //      series). Shape: ONE (symbol, day) exchange carries the lag
+    //      window AND the moment groupBy (keys align), then the 3 lag
+    //      rows per group unpivot row-locally BEFORE aggregation.
+    //      Exactness: the moments are int64 sums of cents products, so
+    //      both engines divide the same integers; the final
+    //      double-sqrt-divide chain is identical instruction-for-
+    //      instruction. Int64 headroom (PageRank/PcaPower convention):
+    //      n*sxy <= n^2 * y_max^2 — at cents scale with y <= 5e4 that
+    //      admits ~60k rows per (symbol, day) group; re-bucket the
+    //      group key (e.g. per-hour) for denser series ----
+    QueryDef.sql(
+      "q_acf",
+      """WITH r AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS y,
+        |    lag(CAST(floor(value * 1e2 + 5e-1) AS BIGINT), 1) OVER w AS y1,
+        |    lag(CAST(floor(value * 1e2 + 5e-1) AS BIGINT), 2) OVER w AS y2,
+        |    lag(CAST(floor(value * 1e2 + 5e-1) AS BIGINT), 3) OVER w AS y3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+        |               ORDER BY ts, event_id)
+        |), p AS (
+        |  SELECT symbol, day, 1 AS lag_k, y, y1 AS yl FROM r WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT symbol, day, 2, y, y2 FROM r WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT symbol, day, 3, y, y3 FROM r WHERE y3 IS NOT NULL
+        |), m AS (
+        |  SELECT symbol, day, lag_k, count(*) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(yl) AS BIGINT) AS sx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(yl * yl) AS BIGINT) AS sxx,
+        |    CAST(sum(y * yl) AS BIGINT) AS sxy
+        |  FROM p GROUP BY symbol, day, lag_k
+        |)
+        |SELECT symbol, day, lag_k, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |            THEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END) AS acf
+        |FROM m WHERE n >= 2""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("symbol"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val r = Tables.events(s, d)
+        .select(col("event_type").as("symbol"),
+          col("ts").cast("date").as("day"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("y"))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .withColumn("y3", lag(col("y"), 3).over(w))
+      val p = r
+        .select(col("symbol"), col("day"), col("y"),
+          expr("stack(3, 1, y1, 2, y2, 3, y3)").as(Seq("lag_k", "yl")))
+        .filter(col("yl").isNotNull)
+      p.groupBy(col("symbol"), col("day"), col("lag_k"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("yl")).as("sx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("yl") * col("yl")).as("sxx"),
+          sum(col("y") * col("yl")).as("sxy"))
+        .filter(col("n") >= 2)
+        .select(col("symbol"), col("day"), col("lag_k"), col("n"),
+          (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+            expr("""CASE WHEN (n * sxx - sx * sx) > 0
+                   |      AND (n * syy - sy * sy) > 0
+                   |THEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END"""
+              .stripMargin)).as("acf"))
+    },
+
+    // ---- CUSUM single-changepoint location: per symbol, the index
+    //      maximizing |n*cum_t - t*total| — the integer-cleared form of
+    //      argmax |cumsum(y - mean)| (multiply through by n so no
+    //      division ever happens), the classic most-likely-mean-shift
+    //      estimator. Complements q_mean_shift: that flags LOCAL
+    //      fixed-window shifts; this locates the single global split.
+    //      Shape: one (symbol) exchange carries the ordered cumsum, the
+    //      full-partition totals frame, and the argmax row_number — no
+    //      second shuffle, no driver collect. Exact: everything through
+    //      the argmax is int64; tie-break is earliest index. Int64
+    //      headroom: |d| <= n^2 * y_max — cents with y <= 5e4 admit
+    //      ~13M rows per symbol; beyond that, run per time-bucket or
+    //      drop to whole-currency quantization ----
+    QueryDef.sql(
+      "q_changepoint",
+      """WITH r AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |    CAST(row_number() OVER wo AS BIGINT) AS t,
+        |    CAST(sum(CAST(floor(value * 1e2 + 5e-1) AS BIGINT))
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 1e2 + 5e-1) AS BIGINT))
+        |      OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM events
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT symbol, ts, t, n, n * cum - t * total AS d,
+        |    row_number() OVER (PARTITION BY symbol
+        |      ORDER BY abs(n * cum - t * total) DESC, t ASC) AS rnk
+        |  FROM r
+        |)
+        |SELECT symbol, n, t AS cp_t, ts AS cp_ts, d AS cusum_fp
+        |FROM s WHERE rnk = 1""".stripMargin
+    ) { (s, d) =>
+      graft.ops.Changepoint.locate(
+        Tables.events(s, d), "event_type", "ts", "event_id", "value")
+    },
+
+    // ---- Sequential CUSUM alarm ([[graft.ops.CusumAlarm]]): the ONLINE
+    //      changepoint detector beside q_changepoint's retrospective
+    //      argmax — two clamped one-sided deviation folds per symbol,
+    //      alarm + restart on threshold. Exact int64; streaming twin
+    //      `streaming.CusumStream` is bit-identical. Oracle replays the
+    //      recurrence as a recursive CTE (the q_holt pattern) ----
+    QueryDef.sql(
+      "q_cusum_alarm",
+      s"""WITH RECURSIVE graft_series AS (
+         |  SELECT event_type AS symbol, ts, event_id, value FROM events
+         |),
+         |${graft.ops.CusumAlarm.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.CusumAlarm.detect(
+        Tables.events(s, d).select(
+          col("event_type").as("symbol"), col("ts"),
+          col("event_id"), col("value")))
     }
   )
 }
