@@ -80,6 +80,74 @@ object CurationQueries {
           length(col("redacted")).cast("long").as("redacted_len"))
     },
 
+    // ---- k-anonymity generalization cascade (the release-side privacy
+    //      audit next to q_pii_scrub's redaction): customers are
+    //      released at the most specific quasi-identifier level whose
+    //      anonymity set still has >= k members — exact (nation,
+    //      segment), then (nation, ANY) over the level-1 failures, then
+    //      (ANY, ANY), else suppressed. Local recoding: each level's
+    //      class size counts ONLY the records actually released at that
+    //      level, so every released class is a true >= k anonymity set.
+    //      Shape: three shrinking hash aggregations (level-2 runs over
+    //      level-1 failures only, level-3 is one scalar), joined back by
+    //      key / broadcast — partial-aggregable, no windows, no
+    //      all-pairs anything ----
+    QueryDef.sql(
+      "q_k_anonymity",
+      """WITH l1 AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n1
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment
+        |), c1 AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, l1.n1
+        |  FROM customer c JOIN l1 USING (c_nationkey, c_mktsegment)
+        |), l2 AS (
+        |  SELECT c_nationkey, count(*) AS n2 FROM c1
+        |  WHERE n1 < 10 GROUP BY c_nationkey
+        |), c2 AS (
+        |  SELECT c1.*, l2.n2 FROM c1 LEFT JOIN l2 USING (c_nationkey)
+        |), l3 AS (
+        |  SELECT count(*) AS n3 FROM c2 WHERE n1 < 10 AND n2 < 10
+        |)
+        |SELECT c_custkey,
+        |  CASE WHEN n1 >= 10 THEN CAST(c_nationkey AS VARCHAR)
+        |       WHEN n2 >= 10 THEN CAST(c_nationkey AS VARCHAR)
+        |       WHEN n3 >= 10 THEN 'ANY' ELSE 'SUPPRESSED' END AS qi_nation,
+        |  CASE WHEN n1 >= 10 THEN c_mktsegment
+        |       WHEN n2 >= 10 THEN 'ANY'
+        |       WHEN n3 >= 10 THEN 'ANY' ELSE 'SUPPRESSED' END AS qi_segment,
+        |  CASE WHEN n1 >= 10 THEN 1 WHEN n2 >= 10 THEN 2
+        |       WHEN n3 >= 10 THEN 3 ELSE 0 END AS anon_level,
+        |  CASE WHEN n1 >= 10 THEN n1 WHEN n2 >= 10 THEN n2
+        |       WHEN n3 >= 10 THEN n3 ELSE CAST(0 AS BIGINT) END AS class_size
+        |FROM c2 CROSS JOIN l3""".stripMargin
+    ) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+      val l1 = cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n1"))
+      val c1 = cust.join(l1, Seq("c_nationkey", "c_mktsegment"))
+      val l2 = c1.filter(col("n1") < 10)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n2"))
+      val c2 = c1.join(l2, Seq("c_nationkey"), "left")
+      val l3 = c2.filter(col("n1") < 10 && col("n2") < 10)
+        .agg(count(lit(1)).as("n3"))
+      c2.crossJoin(broadcast(l3))
+        .select(col("c_custkey"),
+          when(col("n1") >= 10, col("c_nationkey").cast("string"))
+            .when(col("n2") >= 10, col("c_nationkey").cast("string"))
+            .when(col("n3") >= 10, lit("ANY")).otherwise("SUPPRESSED")
+            .as("qi_nation"),
+          when(col("n1") >= 10, col("c_mktsegment"))
+            .when(col("n2") >= 10, lit("ANY"))
+            .when(col("n3") >= 10, lit("ANY")).otherwise("SUPPRESSED")
+            .as("qi_segment"),
+          when(col("n1") >= 10, 1).when(col("n2") >= 10, 2)
+            .when(col("n3") >= 10, 3).otherwise(0).as("anon_level"),
+          when(col("n1") >= 10, col("n1")).when(col("n2") >= 10, col("n2"))
+            .when(col("n3") >= 10, col("n3")).otherwise(0L).as("class_size"))
+    }.intendsNestedLoop(
+      "broadcast side is the single-row level-3 escalation-count frame"),
+
     // ---- benchmark decontamination: flag training docs sharing 3-gram
     //      shingles with the eval split (doc_id % 50 = 0 stands in for a
     //      held-out benchmark). Eval hash set is BROADCAST — the corpus
