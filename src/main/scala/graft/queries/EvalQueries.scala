@@ -383,6 +383,82 @@ object EvalQueries {
           expr("(dcg_fp * 1000000) div idcg_fp").as("ndcg_fp"))
     }.intendsNestedLoop(
       "broadcast sides are the 10-row query batch, the 10-row weight " +
-        "table, and the k ~ sqrt(n) codebook")
+        "table, and the k ~ sqrt(n) codebook"),
+
+    // ---- Exact ROC AUC of an embedding-space scorer (cosine to the
+    //      class-0 centroid, scoring "is class 0") — THE
+    //      threshold-free metric for the quality-classifier tier
+    //      (complements q_eval_confusion's argmax view). Exactness:
+    //      the score IS the quantized integer floor(cos*1e4), so
+    //      tie-aware AUC over it is pure integer rank-sum algebra —
+    //      per-bucket (pos, neg) counts, prefix-summed concordant
+    //      pairs, ties counted half via the x2 numerator:
+    //      auc = (2*sum_b p_b*negs_below(b) + sum_b p_b*n_b) / (2*P*N).
+    //      Scale shape: ONE corpus pass against the broadcast 1-row
+    //      centroid, one groupBy onto <= 2e4+1 score buckets; the
+    //      prefix window runs over that bounded bucket frame, never
+    //      the corpus. Headroom: num2*1e6 <= 2n^2*1e6 < 2^63 bounds
+    //      n at ~2.1e6 labelled eval rows — eval sets are sampled
+    //      way below that; for larger ones drop the 1e6 scale. ----
+    QueryDef.sql(
+      "q_auc", {
+        val cos = OracleVec.cos("e.embedding", "cb.cent_emb")
+        s"""WITH cb AS (
+           |  SELECT list(val ORDER BY pos) AS cent_emb FROM (
+           |    SELECT pos,
+           |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+           |        / 1e6 / CAST(count(*) AS DOUBLE) AS val
+           |    FROM (
+           |      SELECT unnest(embedding) AS x,
+           |        unnest(range(1, len(embedding) + 1)) AS pos
+           |      FROM embeddings WHERE label = 0)
+           |    GROUP BY pos)
+           |), sc AS (
+           |  SELECT CAST(floor($cos * 1e4) AS BIGINT) AS s,
+           |    CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+           |  FROM embeddings e CROSS JOIN cb
+           |), bkt AS (
+           |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+           |    CAST(count(*) - sum(y) AS BIGINT) AS ng
+           |  FROM sc GROUP BY s
+           |), pre AS (
+           |  SELECT p, ng, COALESCE(CAST(sum(ng) OVER (ORDER BY s
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           |    0) AS nlt
+           |  FROM bkt
+           |)
+           |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           |  CAST(sum(ng) AS BIGINT) AS n_neg,
+           |  CAST(sum(2 * p * nlt + p * ng) AS BIGINT) * 1000000
+           |    // (2 * CAST(sum(p) AS BIGINT) * CAST(sum(ng) AS BIGINT))
+           |    AS auc_fp
+           |FROM pre""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps
+      import graft.ops.Classify
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cb0 = IvfIndex.materialize(
+        Classify.centroids(emb).filter(col("cent_id") === 0)
+          .select(col("cent_emb")))
+      val sc = emb.crossJoin(broadcast(cb0))
+        .select(
+          floor(VecOps.cosine(col("embedding"), col("cent_emb")) * 1e4)
+            .cast("long").as("s"),
+          when(col("label") === 0, 1L).otherwise(0L).as("y"))
+      val bkt = sc.groupBy(col("s"))
+        .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("ng"))
+      val w = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bkt.withColumn("nlt", coalesce(sum(col("ng")).over(w), lit(0L)))
+        .agg(sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+          expr("(sum(2 * p * nlt + p * ng) * 1000000L) div " +
+            "(2L * sum(p) * sum(ng))").as("auc_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row class-0 centroid frame")
+      .intendsGlobalWindow(
+        "windowed frame is the per-bucket aggregate of the quantized " +
+          "score: <= 2e4+1 rows at any corpus size")
   )
 }

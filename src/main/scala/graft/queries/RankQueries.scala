@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Bfs, Hits, KCore, LabelProp, Mmr, PageRank}
+import graft.ops.{Bfs, Hits, KCore, LabelProp, Mmr, PageRank, Sssp}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -625,6 +625,98 @@ object RankQueries {
           .orderBy(col("n_occ").desc, col("doc_id"))))
         .filter(col("rn") <= 3)
         .select(col("phrase"), col("doc_id"), col("n_occ"))
+    },
+
+    // ---- Weighted shortest paths (see ops.Sssp): cheapest-route cost
+    //      from the nation-0-4 supplier seed set over the trade graph,
+    //      6 Bellman-Ford relaxation rounds. Edge weight is a pure
+    //      integer function of the endpoint keys (deterministic on both
+    //      engines); parallel trade links collapse to their min weight.
+    //      The weighted companion to q_bfs_hops: per-round work is one
+    //      co-partitioned dist-edges join + a groupBy min against the
+    //      ONE pinned edge partitioning; the oracle unrolls the
+    //      identical relaxation ----
+    QueryDef.sql(
+      "q_sssp",
+      s"""WITH graft_edges AS (
+         |  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         |         'C' || CAST(o_custkey AS VARCHAR) AS dst,
+         |         (l_suppkey * 7 + o_custkey * 13) % 20 + 1 AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  UNION ALL
+         |  SELECT 'C' || CAST(o_custkey AS VARCHAR),
+         |         'S' || CAST(l_suppkey AS VARCHAR),
+         |         (l_suppkey * 7 + o_custkey * 13) % 20 + 1
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderkey % 2 = 0
+         |), graft_sssp_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+         |  FROM supplier WHERE s_nationkey < 5
+         |),\n""".stripMargin + Sssp.oracleSql(rounds = 6)
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val wExpr = (pmod(col("l_suppkey") * 7 + col("o_custkey") * 13,
+        lit(20)) + 1).cast("long")
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"),
+        wExpr.as("w"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"),
+        wExpr.as("w"))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 5)
+        .select(concat(lit("S"), col("s_suppkey")).as("node"))
+      Sssp.run(fwd.union(rev), seeds, rounds = 6)
+    },
+
+    // ---- TextRank keyword extraction (Mihalcea & Tarau 2004): the
+    //      exact-integer PageRank kernel run over the word
+    //      co-occurrence graph (adjacent-token pairs, both directions)
+    //      instead of the trade graph — the classic unsupervised
+    //      keyword scorer for corpus summarization / tag generation.
+    //      Composition, not new machinery: the edge build is one
+    //      positioned self-join (the q_phrase_search postings shape),
+    //      then ops.PageRank with its unrolled oracle; top-30 via
+    //      TakeOrdered (no global window). Scale shape: graph size is
+    //      vocabulary-bounded, edges sharded by token ----
+    QueryDef.sql(
+      "q_textrank",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(l) AS token,
+        |         unnest(range(1, len(l) + 1)) AS pos
+        |  FROM d
+        |), bi AS (
+        |  SELECT t1.token AS a, t2.token AS b
+        |  FROM tok t1
+        |  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  WHERE t1.token <> '' AND t2.token <> ''
+        |), graft_edges AS (
+        |  SELECT a AS src, b AS dst FROM bi
+        |  UNION ALL SELECT b, a FROM bi
+        |),
+        |""".stripMargin + PageRank.oracleSql(iters = 6) +
+        "\nORDER BY r_fp DESC, node LIMIT 30"
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+        .select(col("doc_id"), col("token"), (col("pos0") + 1).as("pos"))
+      val bi = tok.select(
+          col("doc_id"), col("token").as("a"), col("pos"))
+        .join(tok.select(col("doc_id"), col("token").as("b"),
+          (col("pos") - 1).as("pos")), Seq("doc_id", "pos"))
+        .filter(col("a") =!= "" && col("b") =!= "")
+        .select(col("a"), col("b"))
+      val edges = bi.select(col("a").as("src"), col("b").as("dst"))
+        .union(bi.select(col("b").as("src"), col("a").as("dst")))
+      PageRank.run(edges, iters = 6)
+        .orderBy(col("r_fp").desc, col("node")).limit(30)
     }
   )
 }

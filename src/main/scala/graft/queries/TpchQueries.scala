@@ -858,6 +858,109 @@ object TpchQueries {
         .agg(count(lit(1)).as("bulk_parts"))
         .orderBy(col("bulk_parts").desc, col("s_name"))
         .limit(20)
+    },
+
+    // ---- Per-brand Pareto skyline (Börzsönyi et al. 2001): parts not
+    //      dominated on (p_retailprice, p_size) — both minimized — by
+    //      any same-brand part. For 2-d the skyline is a sort +
+    //      prefix-min, NOT a pairwise dominance join: aggregate to one
+    //      row per (brand, price) carrying min(size), prefix-min that
+    //      per-price frame over strictly smaller prices (ROWS frame is
+    //      exact because the frame has one row per distinct price), and
+    //      keep rows whose size equals their price-group min AND beats
+    //      every cheaper price's min. All comparisons, no arithmetic on
+    //      the doubles -> hash-exact. Scale shape: windows partition by
+    //      brand; the per-price frame is price-cardinality bounded; the
+    //      dominance test never leaves the partition. ----
+    QueryDef.sql(
+      "q_skyline",
+      """WITH pp AS (
+        |  SELECT p_brand, p_retailprice,
+        |         CAST(min(p_size) AS INT) AS ms
+        |  FROM part GROUP BY p_brand, p_retailprice
+        |), pm AS (
+        |  SELECT p_brand, p_retailprice, ms,
+        |    min(ms) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx
+        |  FROM pp
+        |)
+        |SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+        |FROM part p
+        |JOIN pm ON pm.p_brand = p.p_brand
+        |       AND pm.p_retailprice = p.p_retailprice
+        |WHERE p.p_size = pm.ms AND (pm.pfx IS NULL OR p.p_size < pm.pfx)
+        |""".stripMargin
+    ) { (s, d) =>
+      val part = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          col("p_size"))
+      val pp = part.groupBy(col("p_brand").as("b"), col("p_retailprice").as("pr"))
+        .agg(min(col("p_size")).as("ms"))
+      val w = Window.partitionBy(col("b")).orderBy(col("pr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pm = pp.withColumn("pfx", min(col("ms")).over(w))
+      part.join(pm,
+          col("b") === col("p_brand") && col("pr") === col("p_retailprice"))
+        .filter(col("p_size") === col("ms") &&
+          (col("pfx").isNull || col("p_size") < col("pfx")))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          col("p_size"))
+    },
+
+    // ---- Peak interval concurrency (sweep-line): max simultaneously
+    //      open orders per priority, each order open for a
+    //      key-derived deterministic number of days. The sweep
+    //      decomposes intervals into +1/-1 boundary deltas, NETS them
+    //      per (priority, day) FIRST — so the running-sum window runs
+    //      over the day-cardinality-bounded aggregate, never the
+    //      order rows — then takes the peak and its first day via a
+    //      partial-aggregable max(struct). Integer-exact throughout;
+    //      the peak day is emitted as VARCHAR to keep the driver's
+    //      pandas compare engine-neutral. ----
+    QueryDef.sql(
+      "q_concurrency",
+      """WITH iv AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(o_orderdate AS DATE) AS d0,
+        |         CAST(o_orderdate AS DATE)
+        |           + CAST(o_orderkey % 30 + 1 AS INTEGER) AS d1
+        |  FROM orders
+        |), delta AS (
+        |  SELECT prio, d, CAST(sum(dl) AS BIGINT) AS net FROM (
+        |    SELECT prio, d0 AS d, 1 AS dl FROM iv
+        |    UNION ALL SELECT prio, d1, -1 FROM iv)
+        |  GROUP BY prio, d
+        |), run AS (
+        |  SELECT prio, d,
+        |    CAST(sum(net) OVER (PARTITION BY prio ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS open_now
+        |  FROM delta
+        |)
+        |SELECT prio, CAST(max(open_now) AS BIGINT) AS peak,
+        |  CAST(min(CASE WHEN open_now = m THEN d END) AS VARCHAR) AS peak_day
+        |FROM (SELECT *, max(open_now) OVER (PARTITION BY prio) AS m FROM run)
+        |GROUP BY prio""".stripMargin
+    ) { (s, d) =>
+      val iv = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("d0"),
+        date_add(to_date(col("o_orderdate")),
+          (pmod(col("o_orderkey"), lit(30)) + 1).cast("int")).as("d1"))
+      val delta = iv.select(col("prio"), col("d0").as("d"), lit(1L).as("dl"))
+        .union(iv.select(col("prio"), col("d1").as("d"), lit(-1L).as("dl")))
+        .groupBy(col("prio"), col("d")).agg(sum(col("dl")).as("net"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // peak + its first day as ONE partial-aggregable argmin:
+      // min(struct(-open_now, d)) picks the largest running count,
+      // earliest day — no second whole-partition window
+      delta.withColumn("open_now", sum(col("net")).over(w))
+        .groupBy(col("prio"))
+        .agg(min(struct((-col("open_now")).as("neg"), col("d").as("dd")))
+          .as("m"))
+        .select(col("prio"), (-col("m.neg")).as("peak"),
+          col("m.dd").cast("string").as("peak_day"))
     }
   )
 }
