@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * aggregates).
   *
   * Image payloads decode through the REAL [[ImageIoCodec]] (the JDK's
-  * javax.imageio: PNG/BMP/GIF/JPEG) and RIFF/WAVE PCM audio through the
-  * REAL [[WavCodec]] (the JDK's javax.sound.sampled), routed by payload
-  * magic bytes via [[SniffingCodec]]. Video codecs are not available in
-  * this environment, so [[FakeCodec]] remains the clearly-marked
-  * deterministic stand-in there: it derives "pixels" from the payload
-  * bytes themselves. Everything around the codec seam — the schema, the binary
+  * javax.imageio: PNG/BMP/GIF/JPEG), RIFF/WAVE PCM audio through the
+  * REAL [[WavCodec]] (the JDK's javax.sound.sampled), and uncompressed
+  * YUV4MPEG2 video through the REAL [[Y4mCodec]] (pure byte-level
+  * parse), routed by payload magic bytes via [[SniffingCodec]].
+  * COMPRESSED video codecs are not available in this environment, so
+  * [[FakeCodec]] remains the clearly-marked deterministic stand-in
+  * there: it derives "pixels" from the payload bytes themselves.
+  * Everything around the codec seam — the schema, the binary
   * column handling, the batch shape, the partitioning — is the real
   * production plumbing either way.
   *
@@ -141,11 +143,69 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec: YUV4MPEG2 (.y4m) — the uncompressed planar-YUV
+    * interchange format (mjpegtools / ffmpeg's `-f yuv4mpeg`), fully
+    * public and parseable with zero dependencies: an ASCII stream
+    * header (`YUV4MPEG2 W<w> H<h> ... C<colorspace>\n`) followed by
+    * `FRAME\n`-delimited raw planar frames. The decode extracts every
+    * frame's LUMA plane (bytes are already [0, 255]) and stacks them
+    * frame-major — `w` = frame width, `h` = height x n_frames — the
+    * same plane shape every downstream op (resize / featurize /
+    * frame-sample) already consumes; chroma planes are skipped by the
+    * colorspace-derived stride (420/422/444/mono). Pure byte reads, so
+    * the plane is bit-deterministic across JVMs.
+    */
+  object Y4mCodec extends MediaCodec {
+    override def decode(mediaType: String, blob: Array[Byte]): Decoded = {
+      val nlHeader = blob.indexOf('\n'.toByte)
+      require(nlHeader > 0, "truncated Y4M stream header")
+      val header = new String(blob, 0, nlHeader, "US-ASCII")
+      val tags = header.split(' ')
+      require(tags.head == "YUV4MPEG2", s"not a Y4M header: $header")
+      def tag(p: Char): Option[String] =
+        tags.tail.find(t => t.nonEmpty && t.head == p).map(_.tail)
+      val w = tag('W').map(_.toInt).getOrElse(
+        sys.error("Y4M header missing width"))
+      val h = tag('H').map(_.toInt).getOrElse(
+        sys.error("Y4M header missing height"))
+      require(w > 0 && h > 0, s"bad Y4M dimensions ${w}x$h")
+      val cs = tag('C').getOrElse("420jpeg") // spec default is 4:2:0
+      val lumaBytes = w * h
+      val chromaBytes =
+        if (cs.startsWith("420")) 2 * ((w / 2) * (h / 2))
+        else if (cs.startsWith("422")) 2 * ((w / 2) * h)
+        else if (cs.startsWith("444")) 2 * (w * h)
+        else if (cs.startsWith("mono")) 0
+        else sys.error(s"unsupported Y4M colorspace C$cs")
+      val frames = Array.newBuilder[Array[Double]]
+      var off = nlHeader + 1
+      while (off < blob.length) {
+        val nl = blob.indexOf('\n'.toByte, off)
+        require(nl >= 0, "truncated Y4M FRAME marker")
+        val marker = new String(blob, off, nl - off, "US-ASCII")
+        require(marker == "FRAME" || marker.startsWith("FRAME "),
+          s"expected FRAME marker, got '$marker'")
+        val y0 = nl + 1
+        require(y0 + lumaBytes + chromaBytes <= blob.length,
+          "truncated Y4M frame payload")
+        val px = new Array[Double](lumaBytes)
+        var i = 0
+        while (i < lumaBytes) { px(i) = (blob(y0 + i) & 0xff).toDouble; i += 1 }
+        frames += px
+        off = y0 + lumaBytes + chromaBytes
+      }
+      val fs = frames.result()
+      require(fs.nonEmpty, "Y4M stream has no frames")
+      Decoded(w, h * fs.length, Array.concat(fs: _*))
+    }
+  }
+
   /** ======================== STUB BOUNDARY ========================
-    * Video codecs (ffmpeg behind JNI) are NOT available in this
-    * environment; [[FakeCodec]] is the clearly-marked deterministic
-    * stand-in for video payloads and non-WAV audio containers. Image
-    * payloads ([[ImageIoCodec]]) and RIFF/WAVE PCM audio ([[WavCodec]])
+    * COMPRESSED video codecs (ffmpeg behind JNI) are NOT available in
+    * this environment; [[FakeCodec]] is the clearly-marked deterministic
+    * stand-in for compressed video payloads and non-WAV audio
+    * containers. Image payloads ([[ImageIoCodec]]), RIFF/WAVE PCM audio
+    * ([[WavCodec]]), and uncompressed YUV4MPEG2 video ([[Y4mCodec]])
     * have real decoders above.
     */
   object FakeCodec extends MediaCodec {
@@ -186,9 +246,18 @@ object Multimodal {
       hasPrefix(blob, 'R', 'I', 'F', 'F') && blob.length >= 12 &&
         blob(8) == 'W' && blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E'
 
+    /** YUV4MPEG2 stream magic: the literal tag plus its mandatory
+      * space separator (a plain-text document could start with the bare
+      * word; the full `"YUV4MPEG2 "` prefix is the format's actual
+      * stream signature).
+      */
+    def isY4m(blob: Array[Byte]): Boolean =
+      hasPrefix(blob, 'Y', 'U', 'V', '4', 'M', 'P', 'E', 'G', '2', ' ')
+
     override def decode(mediaType: String, blob: Array[Byte]): Decoded =
       if (isImage(blob)) ImageIoCodec.decode(mediaType, blob)
       else if (isWav(blob)) WavCodec.decode(mediaType, blob)
+      else if (isY4m(blob)) Y4mCodec.decode(mediaType, blob)
       else FakeCodec.decode(mediaType, blob)
   }
 

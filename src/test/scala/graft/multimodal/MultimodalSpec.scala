@@ -156,6 +156,90 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     feats(1).mean_intensity shouldBe 25.0 +- 1e-12
   }
 
+  /** Assemble a YUV4MPEG2 stream: standard ASCII header, then per frame
+    * a FRAME marker + the luma plane + zero-filled chroma planes sized
+    * by the colorspace — the same container the production Y4mCodec
+    * sniffs and decodes.
+    */
+  private def encodeY4m(w: Int, h: Int, cs: Option[String],
+      frameParams: String = "")(lumas: Array[Array[Int]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val csTag = cs.map(c => s" C$c").getOrElse("")
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1$csTag\n".getBytes("US-ASCII"))
+    val chroma = cs.getOrElse("420jpeg") match {
+      case c if c.startsWith("420") => 2 * ((w / 2) * (h / 2))
+      case c if c.startsWith("422") => 2 * ((w / 2) * h)
+      case c if c.startsWith("444") => 2 * (w * h)
+      case c if c.startsWith("mono") => 0
+    }
+    lumas.foreach { luma =>
+      bos.write(s"FRAME$frameParams\n".getBytes("US-ASCII"))
+      luma.foreach(v => bos.write(v & 0xff))
+      (0 until chroma).foreach(_ => bos.write(0x80)) // neutral chroma
+    }
+    bos.toByteArray
+  }
+
+  test("Y4mCodec decodes a real 4:2:0 stream to exact stacked luma planes") {
+    // two 4x2 frames with known lumas; chroma planes (2x1 U + V per
+    // frame) must be skipped, not decoded
+    val f0 = Array(0, 16, 32, 48, 64, 80, 96, 112)
+    val f1 = Array(255, 254, 253, 252, 251, 250, 249, 248)
+    val y4m = encodeY4m(4, 2, Some("420jpeg"))(Array(f0, f1))
+    SniffingCodec.isY4m(y4m) shouldBe true
+    SniffingCodec.isImage(y4m) shouldBe false
+    SniffingCodec.isWav(y4m) shouldBe false
+    val d = SniffingCodec.decode("video", y4m) // production route
+    d.w shouldBe 4
+    d.h shouldBe 4 // 2 rows x 2 frames, frame-major
+    d.pixels shouldBe (f0 ++ f1).map(_.toDouble)
+  }
+
+  test("Y4mCodec: mono + default colorspace, FRAME params, malformed input") {
+    // Cmono: no chroma bytes at all between frames
+    val mono = encodeY4m(3, 1, Some("mono"))(Array(Array(1, 2, 3), Array(4, 5, 6)))
+    val dm = Y4mCodec.decode("video", mono)
+    (dm.w, dm.h) shouldBe ((3, 2))
+    dm.pixels shouldBe Array(1.0, 2, 3, 4, 5, 6)
+    // no C tag -> the spec's 420jpeg default; FRAME lines may carry params
+    val dflt = encodeY4m(2, 2, None, frameParams = " Xtag")(
+      Array(Array(9, 8, 7, 6)))
+    val dd = Y4mCodec.decode("video", dflt)
+    (dd.w, dd.h) shouldBe ((2, 2))
+    dd.pixels shouldBe Array(9.0, 8, 7, 6)
+    // truncated payload and bad marker fail loudly, not silently
+    an[Exception] should be thrownBy
+      Y4mCodec.decode("video", dflt.dropRight(3))
+    an[Exception] should be thrownBy Y4mCodec.decode("video",
+      "YUV4MPEG2 W2 H2\nBOGUS\n".getBytes("US-ASCII"))
+  }
+
+  test("real Y4M payloads flow through the production mapPartitions path") {
+    import spark.implicits._
+    // 2 frames of 4x4 with luma (frame*16 + idx): mean over the stacked
+    // 4x8 plane is exactly (0+..+31)/32 = 15.5
+    val lumas = Array.tabulate(2)(f => Array.tabulate(16)(i => f * 16 + i))
+    val y4m = encodeY4m(4, 4, Some("420jpeg"))(lumas)
+    val media = Seq(
+      MediaRecord(1L, "video", 4, 4, y4m),
+      MediaRecord(2L, "audio", 4, 1, Array[Byte](10, 20, 30, 40))
+    ).toDS().repartition(2)
+    val feats = extractFeatures(media, SniffingCodec).collect().sortBy(_.doc_id)
+    val f1 = feats.head
+    f1.n_bytes shouldBe y4m.length.toLong
+    f1.mean_intensity shouldBe 15.5 +- 1e-12
+    // thumb rows 0-1 average frame 0's rows, rows 2-3 frame 1's: the 4x8
+    // stacked plane block-averages pairs of rows
+    val plane = lumas.flatten.map(_.toDouble)
+    val expected = Array.tabulate(16) { i =>
+      val (tr, tc) = (i / 4, i % 4)
+      (plane((2 * tr) * 4 + tc) + plane((2 * tr + 1) * 4 + tc)) / 2
+    }
+    f1.thumb_4x4.map(_.toDouble) shouldBe expected
+    // the non-Y4M row still goes through the stub
+    feats(1).mean_intensity shouldBe 25.0 +- 1e-12
+  }
+
   test("SniffingCodec routes by magic bytes: real containers to imageio, rest to the stub") {
     val gray = encodeImage("bmp", 3, 2)((_, _) => 0x808080)
     SniffingCodec.isImage(gray) shouldBe true
