@@ -1552,6 +1552,47 @@ object DataPrepQueries {
           col("total_chars"),
           expr("(total_tokens * 100) div n_docs").as("mean_tokens_fp"),
           col("median_tokens"), col("p90_tokens"))
-    }
+    },
+
+    // ---- Smoothed target-mean encoding (the high-cardinality
+    //      categorical feature-engineering staple): per-customer mean
+    //      order value shrunk toward the global prior,
+    //      enc = (sum_t + alpha*prior) / (n + alpha), alpha = 10.
+    //      Exactness: target sums are 2-decimal fixed-point integers
+    //      (the Num money scheme); the prior is pre-rounded ONCE to a
+    //      4-decimal integer (prior_fp4 = (gs2*100) div gn) and the
+    //      blend is then pure integer arithmetic — both engines emit
+    //      the identical enc_fp4. Scale shape: one groupBy on the
+    //      category key + a broadcast 1-row global frame; no window,
+    //      no second corpus pass. Headroom: gs2*100 < 2^63 bounds
+    //      total target mass at ~9e14 money units. ----
+    QueryDef.sql(
+      "q_target_encode",
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+        |      AS s2,
+        |    count(*) AS n
+        |  FROM orders GROUP BY o_custkey
+        |), g AS (
+        |  SELECT CAST(sum(s2) AS BIGINT) AS gs2, CAST(sum(n) AS BIGINT) AS gn
+        |  FROM pc
+        |)
+        |SELECT o_custkey, n,
+        |  (s2 * 100 + 10 * ((gs2 * 100) // gn)) // (n + 10) AS enc_fp4
+        |FROM pc CROSS JOIN g""".stripMargin
+    ) { (s, d) =>
+      val pc = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 1e2).cast("long")).as("s2"),
+          count(lit(1)).as("n"))
+      val g = pc.agg(sum(col("s2")).as("gs2"), sum(col("n")).as("gn"))
+      pc.crossJoin(broadcast(g))
+        .select(col("o_custkey"), col("n"),
+          expr("(s2 * 100 + 10 * ((gs2 * 100) div gn)) div (n + 10)")
+            .as("enc_fp4"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row global-prior frame")
   )
 }

@@ -265,6 +265,93 @@ object MlQueries {
         planeDot(col("embedding"), 1000003 + 97 * 7919, 97 * 271 + 17).as("py"))
       graft.ops.GridDbscan.cluster(pts, eps = 0.25, minPts = 10)
     }.intendsNestedLoop(
-      "cross joins are against the broadcast 9-row neighbor-offset frame")
+      "cross joins are against the broadcast 9-row neighbor-offset frame"),
+
+    // ---- Decision stump by exact Gini split (the depth-1 CART /
+    //      boosting base learner): best threshold on a 1-d JL
+    //      projection of the embeddings (plane offset 98 — disjoint
+    //      from the LSH/DBSCAN tiers) separating class 0 from the
+    //      rest. Exactness: the feature IS the quantized integer
+    //      floor(px*1e2), candidate splits are its distinct values,
+    //      and the weighted-Gini cost is pure integer algebra —
+    //      cost_fp(t) = sum over sides of ((n^2 - p^2 - q^2)*1e6) div n
+    //      (= n*gini*1e6) from prefix-summed per-bucket class counts;
+    //      argmin via TakeOrdered (ties -> smaller threshold).
+    //      Scale shape: ONE corpus pass onto value-range-bounded score
+    //      buckets; the prefix window and the argmin run over that
+    //      bucket frame only. Headroom: n^2*1e6 < 2^63 bounds the
+    //      labelled set at ~3e6 rows — drop the 1e6 scale above that. ----
+    QueryDef.sql(
+      "q_stump", {
+        def fold(j: Int): String =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len(e.embedding) + 1),
+             |      i -> CAST(e.embedding[i] AS DOUBLE)
+             |        * ((((i * (1000003 + $j * 7919)) + ($j * 271 + 17)) % 1000) * 1e-3 - 5e-1))),
+             |      (acc, x) -> acc + x)""".stripMargin
+        s"""WITH sc AS (
+           |  SELECT CAST(floor(${fold(98)} * 1e2) AS BIGINT) AS s,
+           |    CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+           |  FROM embeddings e
+           |), bkt AS (
+           |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+           |    CAST(count(*) - sum(y) AS BIGINT) AS q
+           |  FROM sc GROUP BY s
+           |), tot AS (
+           |  SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(q) AS BIGINT) AS tq
+           |  FROM bkt
+           |), cum AS (
+           |  SELECT s,
+           |    CAST(sum(p) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cp,
+           |    CAST(sum(q) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cq
+           |  FROM bkt
+           |), cand AS (
+           |  SELECT s AS split_at, cp + cq AS nl, (tp - cp) + (tq - cq) AS nr,
+           |    (((cp + cq) * (cp + cq) - cp * cp - cq * cq) * 1000000)
+           |      // (cp + cq)
+           |    + ((((tp - cp) + (tq - cq)) * ((tp - cp) + (tq - cq))
+           |        - (tp - cp) * (tp - cp) - (tq - cq) * (tq - cq)) * 1000000)
+           |      // ((tp - cp) + (tq - cq)) AS cost_fp
+           |  FROM cum CROSS JOIN tot
+           |  WHERE (tp - cp) + (tq - cq) > 0
+           |)
+           |SELECT split_at, cost_fp, nl, nr FROM cand
+           |ORDER BY cost_fp, split_at LIMIT 1""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps.planeDot
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables.embeddings(s, d).select(
+        floor(planeDot(col("embedding"), 1000003 + 98 * 7919, 98 * 271 + 17)
+          * 1e2).cast("long").as("s"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"))
+      val bkt = sc.groupBy(col("s"))
+        .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+      val tot = bkt.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))
+      val w = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bkt
+        .withColumn("cp", sum(col("p")).over(w))
+        .withColumn("cq", sum(col("q")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter((col("tp") - col("cp")) + (col("tq") - col("cq")) > 0)
+        .select(col("s").as("split_at"),
+          (expr("(((cp + cq) * (cp + cq) - cp * cp - cq * cq) * 1000000L) " +
+            "div (cp + cq)") +
+            expr("((((tp - cp) + (tq - cq)) * ((tp - cp) + (tq - cq)) " +
+              "- (tp - cp) * (tp - cp) - (tq - cq) * (tq - cq)) * 1000000L) " +
+              "div ((tp - cp) + (tq - cq))")).as("cost_fp"),
+          (col("cp") + col("cq")).as("nl"),
+          ((col("tp") - col("cp")) + (col("tq") - col("cq"))).as("nr"))
+        .orderBy(col("cost_fp"), col("split_at")).limit(1)
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row class-totals frame")
+      .intendsGlobalWindow(
+        "windowed frame is the per-bucket aggregate of the quantized " +
+          "projection: value-range bounded (hundreds of rows), never " +
+          "corpus-sized")
   )
 }

@@ -654,6 +654,86 @@ object TechQueries {
         Tables.events(s, d).select(
           col("event_type").as("symbol"), col("ts"),
           col("event_id"), col("value")))
+    },
+
+    // ---- SAX motif discovery (Lin et al. 2003): per-symbol series ->
+    //      PAA means over tumbling 8-row windows -> z-normalized
+    //      4-letter alphabet (Gaussian breakpoints ±0.6745, 0) ->
+    //      4-letter words -> corpus-wide motif counts. The symbolic
+    //      time-series index behind motif/novelty mining at scale.
+    //      Cross-engine exactness: PAA means are Num fixed-point; the
+    //      per-symbol moments use davg (mean) and the 2-decimal davg2
+    //      (second moment — keeps sum(v^2)*1e2 inside 2^53 to ~sf100);
+    //      z = (paa-mu)/sd is the identical 3-op double chain on both
+    //      engines, and letters come from breakpoint COMPARISONS only,
+    //      so the words are hash-exact. Scale shape: one shuffle on the
+    //      symbol key for the ordered windows, then hash aggs; the
+    //      4-element word assembly is a bounded sort-collect. ----
+    QueryDef.sql(
+      "q_sax", {
+        val davgV = Num.davgSql("value")
+        val davg2V2 = Num.davg2Sql("value * value")
+        s"""WITH base AS (
+           |  SELECT event_type AS sym, value AS v,
+           |    CAST((row_number() OVER ($wOrd) - 1) // 8 AS BIGINT) AS win
+           |  FROM events
+           |), paa AS (
+           |  SELECT sym, win, ${Num.davgSql("v")} AS paa
+           |  FROM base GROUP BY sym, win HAVING count(*) = 8
+           |), stats AS (
+           |  SELECT event_type AS sym, $davgV AS mu, $davg2V2 AS m2
+           |  FROM events GROUP BY event_type
+           |), lets AS (
+           |  SELECT p.sym, p.win,
+           |    substr('abcd',
+           |      CAST(CAST(z > -6745e-4 AS INTEGER)
+           |        + CAST(z > 0e0 AS INTEGER)
+           |        + CAST(z > 6745e-4 AS INTEGER) + 1 AS INTEGER),
+           |      1) AS letter,
+           |    CAST(p.win // 4 AS BIGINT) AS wid
+           |  FROM (
+           |    SELECT p.sym, p.win,
+           |      (p.paa - st.mu) / sqrt(st.m2 - st.mu * st.mu) AS z
+           |    FROM paa p JOIN stats st ON st.sym = p.sym
+           |    WHERE st.m2 - st.mu * st.mu > 0e0) p
+           |), words AS (
+           |  SELECT sym, wid, string_agg(letter, '' ORDER BY win) AS sax_word
+           |  FROM lets GROUP BY sym, wid HAVING count(*) = 4
+           |)
+           |SELECT sax_word, CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(count(DISTINCT sym) AS BIGINT) AS n_series
+           |FROM words GROUP BY sax_word""".stripMargin
+      }
+    ) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("event_type").as("sym"), col("ts"), col("event_id"),
+        col("value").as("v"))
+      val wn = Window.partitionBy(col("sym")).orderBy(col("ts"), col("event_id"))
+      val base = e.withColumn("rn", row_number().over(wn))
+        .withColumn("win", expr("cast((rn - 1) div 8 as long)"))
+      val paa = base.groupBy(col("sym"), col("win"))
+        .agg(Num.davg(col("v")).as("paa"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 8)
+      val stats = e.groupBy(col("sym"))
+        .agg(Num.davg(col("v")).as("mu"),
+          Num.davg2(col("v") * col("v")).as("m2"))
+        .filter(col("m2") - col("mu") * col("mu") > 0)
+      val lets = paa.join(stats, "sym")
+        .withColumn("z", (col("paa") - col("mu"))
+          / sqrt(col("m2") - col("mu") * col("mu")))
+        .select(col("sym"), col("win"),
+          expr("substring('abcd', cast(z > -6745e-4 as int) " +
+            "+ cast(z > 0e0 as int) + cast(z > 6745e-4 as int) + 1, 1)")
+            .as("letter"),
+          expr("cast(win div 4 as long)").as("wid"))
+      val words = lets.groupBy(col("sym"), col("wid"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(win, letter))), x -> x.letter), '')").as("sax_word"))
+        .filter(col("cnt") === 4)
+      words.groupBy(col("sax_word"))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("sym")).as("n_series"))
     }
   )
 }

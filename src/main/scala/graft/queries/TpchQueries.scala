@@ -961,6 +961,46 @@ object TpchQueries {
           .as("m"))
         .select(col("prio"), (-col("m.neg")).as("peak"),
           col("m.dd").cast("string").as("peak_day"))
+    },
+
+    // ---- ROLLUP hierarchy aggregation (region > nation > ALL): the
+    //      drill-down companion to q_cube_events's full CUBE — one
+    //      shuffle produces every level of the hierarchy (Spark expands
+    //      grouping sets map-side; no per-level re-scan). Money sums via
+    //      the 2-decimal fixed-point scheme; grouping-null labels are
+    //      COALESCEd to 'ALL' so the result is engine-neutral (no
+    //      grouping_id bit-layout dependence). ----
+    QueryDef.sql(
+      "q_grouping_sets",
+      s"""SELECT COALESCE(r_name, 'ALL') AS region_name,
+         |  COALESCE(n_name, 'ALL') AS nation_name,
+         |  ${Num.dsum2Sql("l_extendedprice * (1e0 - l_discount)")} AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN region ON r_regionkey = n_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("r_regionkey") === col("n_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          Num.dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("revenue"), col("n_lines"))
     }
   )
 }
