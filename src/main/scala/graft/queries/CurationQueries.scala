@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -44,6 +45,68 @@ object CurationQueries {
     when(pmod(col("doc_id"), lit(3)) === 0,
       concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@example.org")))
       .otherwise(lit("")))
+
+  /** k-anonymity release cascade as shared DuckDB CTEs ending in
+    * `rel(c_custkey, qi_nation, qi_segment, anon_level, class_size)` —
+    * single-sourced between q_k_anonymity (the release itself) and
+    * q_l_diversity (the audit over it) so the two cannot drift.
+    */
+  private val kAnonCtes: String =
+    """l1 AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n1
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment
+      |), c1 AS (
+      |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, l1.n1
+      |  FROM customer c JOIN l1 USING (c_nationkey, c_mktsegment)
+      |), l2 AS (
+      |  SELECT c_nationkey, count(*) AS n2 FROM c1
+      |  WHERE n1 < 10 GROUP BY c_nationkey
+      |), c2 AS (
+      |  SELECT c1.*, l2.n2 FROM c1 LEFT JOIN l2 USING (c_nationkey)
+      |), l3 AS (
+      |  SELECT count(*) AS n3 FROM c2 WHERE n1 < 10 AND n2 < 10
+      |), rel AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN n1 >= 10 THEN CAST(c_nationkey AS VARCHAR)
+      |         WHEN n2 >= 10 THEN CAST(c_nationkey AS VARCHAR)
+      |         WHEN n3 >= 10 THEN 'ANY' ELSE 'SUPPRESSED' END AS qi_nation,
+      |    CASE WHEN n1 >= 10 THEN c_mktsegment
+      |         WHEN n2 >= 10 THEN 'ANY'
+      |         WHEN n3 >= 10 THEN 'ANY' ELSE 'SUPPRESSED' END AS qi_segment,
+      |    CASE WHEN n1 >= 10 THEN 1 WHEN n2 >= 10 THEN 2
+      |         WHEN n3 >= 10 THEN 3 ELSE 0 END AS anon_level,
+      |    CASE WHEN n1 >= 10 THEN n1 WHEN n2 >= 10 THEN n2
+      |         WHEN n3 >= 10 THEN n3 ELSE CAST(0 AS BIGINT) END AS class_size
+      |  FROM c2 CROSS JOIN l3
+      |)""".stripMargin
+
+  /** Spark twin of [[kAnonCtes]]'s `rel` frame. */
+  private def kAnonRelease(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    val l1 = cust.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n1"))
+    val c1 = cust.join(l1, Seq("c_nationkey", "c_mktsegment"))
+    val l2 = c1.filter(col("n1") < 10)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n2"))
+    val c2 = c1.join(l2, Seq("c_nationkey"), "left")
+    val l3 = c2.filter(col("n1") < 10 && col("n2") < 10)
+      .agg(count(lit(1)).as("n3"))
+    c2.crossJoin(broadcast(l3))
+      .select(col("c_custkey"),
+        when(col("n1") >= 10, col("c_nationkey").cast("string"))
+          .when(col("n2") >= 10, col("c_nationkey").cast("string"))
+          .when(col("n3") >= 10, lit("ANY")).otherwise("SUPPRESSED")
+          .as("qi_nation"),
+        when(col("n1") >= 10, col("c_mktsegment"))
+          .when(col("n2") >= 10, lit("ANY"))
+          .when(col("n3") >= 10, lit("ANY")).otherwise("SUPPRESSED")
+          .as("qi_segment"),
+        when(col("n1") >= 10, 1).when(col("n2") >= 10, 2)
+          .when(col("n3") >= 10, 3).otherwise(0).as("anon_level"),
+        when(col("n1") >= 10, col("n1")).when(col("n2") >= 10, col("n2"))
+          .when(col("n3") >= 10, col("n3")).otherwise(0L).as("class_size"))
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -94,57 +157,51 @@ object CurationQueries {
     //      all-pairs anything ----
     QueryDef.sql(
       "q_k_anonymity",
-      """WITH l1 AS (
-        |  SELECT c_nationkey, c_mktsegment, count(*) AS n1
-        |  FROM customer GROUP BY c_nationkey, c_mktsegment
-        |), c1 AS (
-        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, l1.n1
-        |  FROM customer c JOIN l1 USING (c_nationkey, c_mktsegment)
-        |), l2 AS (
-        |  SELECT c_nationkey, count(*) AS n2 FROM c1
-        |  WHERE n1 < 10 GROUP BY c_nationkey
-        |), c2 AS (
-        |  SELECT c1.*, l2.n2 FROM c1 LEFT JOIN l2 USING (c_nationkey)
-        |), l3 AS (
-        |  SELECT count(*) AS n3 FROM c2 WHERE n1 < 10 AND n2 < 10
-        |)
-        |SELECT c_custkey,
-        |  CASE WHEN n1 >= 10 THEN CAST(c_nationkey AS VARCHAR)
-        |       WHEN n2 >= 10 THEN CAST(c_nationkey AS VARCHAR)
-        |       WHEN n3 >= 10 THEN 'ANY' ELSE 'SUPPRESSED' END AS qi_nation,
-        |  CASE WHEN n1 >= 10 THEN c_mktsegment
-        |       WHEN n2 >= 10 THEN 'ANY'
-        |       WHEN n3 >= 10 THEN 'ANY' ELSE 'SUPPRESSED' END AS qi_segment,
-        |  CASE WHEN n1 >= 10 THEN 1 WHEN n2 >= 10 THEN 2
-        |       WHEN n3 >= 10 THEN 3 ELSE 0 END AS anon_level,
-        |  CASE WHEN n1 >= 10 THEN n1 WHEN n2 >= 10 THEN n2
-        |       WHEN n3 >= 10 THEN n3 ELSE CAST(0 AS BIGINT) END AS class_size
-        |FROM c2 CROSS JOIN l3""".stripMargin
+      s"""WITH $kAnonCtes
+         |SELECT c_custkey, qi_nation, qi_segment, anon_level, class_size
+         |FROM rel""".stripMargin
     ) { (s, d) =>
-      val cust = Tables.customer(s, d)
-        .select("c_custkey", "c_nationkey", "c_mktsegment")
-      val l1 = cust.groupBy("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("n1"))
-      val c1 = cust.join(l1, Seq("c_nationkey", "c_mktsegment"))
-      val l2 = c1.filter(col("n1") < 10)
-        .groupBy("c_nationkey").agg(count(lit(1)).as("n2"))
-      val c2 = c1.join(l2, Seq("c_nationkey"), "left")
-      val l3 = c2.filter(col("n1") < 10 && col("n2") < 10)
-        .agg(count(lit(1)).as("n3"))
-      c2.crossJoin(broadcast(l3))
-        .select(col("c_custkey"),
-          when(col("n1") >= 10, col("c_nationkey").cast("string"))
-            .when(col("n2") >= 10, col("c_nationkey").cast("string"))
-            .when(col("n3") >= 10, lit("ANY")).otherwise("SUPPRESSED")
-            .as("qi_nation"),
-          when(col("n1") >= 10, col("c_mktsegment"))
-            .when(col("n2") >= 10, lit("ANY"))
-            .when(col("n3") >= 10, lit("ANY")).otherwise("SUPPRESSED")
-            .as("qi_segment"),
-          when(col("n1") >= 10, 1).when(col("n2") >= 10, 2)
-            .when(col("n3") >= 10, 3).otherwise(0).as("anon_level"),
-          when(col("n1") >= 10, col("n1")).when(col("n2") >= 10, col("n2"))
-            .when(col("n3") >= 10, col("n3")).otherwise(0L).as("class_size"))
+      kAnonRelease(s, d)
+        .select("c_custkey", "qi_nation", "qi_segment", "anon_level",
+          "class_size")
+    }.intendsNestedLoop(
+      "broadcast side is the single-row level-3 escalation-count frame"),
+
+    // ---- l-diversity audit over the SAME k-anonymity release (the
+    //      second classical re-identification criterion: a class that
+    //      is large but whose members all share one sensitive value
+    //      still leaks it). Sensitive attribute = account-balance band
+    //      (DEBT / LOW / HIGH — threshold comparisons only, exact on
+    //      both engines); per released class: size, distinct sensitive
+    //      values, and the l >= 3 verdict. Shape: the cascade's
+    //      shrinking aggs + ONE more hash agg over released rows ----
+    QueryDef.sql(
+      "q_l_diversity",
+      s"""WITH $kAnonCtes, sens AS (
+         |  SELECT rel.qi_nation, rel.qi_segment,
+         |    CASE WHEN c.c_acctbal < 0e0 THEN 'DEBT'
+         |         WHEN c.c_acctbal < 5000e0 THEN 'LOW'
+         |         ELSE 'HIGH' END AS sband
+         |  FROM rel JOIN customer c USING (c_custkey)
+         |  WHERE rel.anon_level > 0
+         |)
+         |SELECT qi_nation, qi_segment,
+         |  CAST(count(*) AS BIGINT) AS class_size,
+         |  CAST(count(DISTINCT sband) AS BIGINT) AS l_distinct,
+         |  count(DISTINCT sband) >= 3 AS l_diverse
+         |FROM sens GROUP BY qi_nation, qi_segment""".stripMargin
+    ) { (s, d) =>
+      kAnonRelease(s, d)
+        .filter(col("anon_level") > 0)
+        .join(Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+          "c_custkey")
+        .withColumn("sband",
+          when(col("c_acctbal") < 0, "DEBT")
+            .when(col("c_acctbal") < 5000, "LOW").otherwise("HIGH"))
+        .groupBy(col("qi_nation"), col("qi_segment"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("sband")).as("l_distinct"),
+          (countDistinct(col("sband")) >= 3).as("l_diverse"))
     }.intendsNestedLoop(
       "broadcast side is the single-row level-3 escalation-count frame"),
 

@@ -31,6 +31,50 @@ object EvalQueries {
     301029995L, 289064826L)
   private val DcgCum: Seq[Long] = DcgW.scanLeft(0L)(_ + _).tail
 
+  /** Shared classifier-scorer CTEs (DuckDB), ending in `sc(s, y)`:
+    * s = the quantized integer floor(cos-to-class-0-centroid * 1e4)
+    * (the fixed-point centroid-mean arithmetic of the q_centroid_classify
+    * oracle), y = 1 iff label 0 — single-sourced between q_auc and
+    * q_calibration so the scorer cannot drift between the two metrics.
+    */
+  private def scorerCtes: String = {
+    val cos = OracleVec.cos("e.embedding", "cb.cent_emb")
+    s"""cb AS (
+       |  SELECT list(val ORDER BY pos) AS cent_emb FROM (
+       |    SELECT pos,
+       |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+       |        / 1e6 / CAST(count(*) AS DOUBLE) AS val
+       |    FROM (
+       |      SELECT unnest(embedding) AS x,
+       |        unnest(range(1, len(embedding) + 1)) AS pos
+       |      FROM embeddings WHERE label = 0)
+       |    GROUP BY pos)
+       |), sc AS (
+       |  SELECT CAST(floor($cos * 1e4) AS BIGINT) AS s,
+       |    CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+       |  FROM embeddings e CROSS JOIN cb
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[scorerCtes]]'s `sc` frame: one corpus pass against
+    * the broadcast 1-row class-0 centroid.
+    */
+  private def scored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.VecOps
+    import graft.ops.Classify
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cb0 = IvfIndex.materialize(
+      Classify.centroids(emb).filter(col("cent_id") === 0)
+        .select(col("cent_emb")))
+    emb.crossJoin(broadcast(cb0))
+      .select(
+        floor(VecOps.cosine(col("embedding"), col("cent_emb")) * 1e4)
+          .cast("long").as("s"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- ANN index evaluation: recall@5 and fixed-point MRR of the
@@ -401,23 +445,8 @@ object EvalQueries {
     //      n at ~2.1e6 labelled eval rows — eval sets are sampled
     //      way below that; for larger ones drop the 1e6 scale. ----
     QueryDef.sql(
-      "q_auc", {
-        val cos = OracleVec.cos("e.embedding", "cb.cent_emb")
-        s"""WITH cb AS (
-           |  SELECT list(val ORDER BY pos) AS cent_emb FROM (
-           |    SELECT pos,
-           |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
-           |        / 1e6 / CAST(count(*) AS DOUBLE) AS val
-           |    FROM (
-           |      SELECT unnest(embedding) AS x,
-           |        unnest(range(1, len(embedding) + 1)) AS pos
-           |      FROM embeddings WHERE label = 0)
-           |    GROUP BY pos)
-           |), sc AS (
-           |  SELECT CAST(floor($cos * 1e4) AS BIGINT) AS s,
-           |    CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
-           |  FROM embeddings e CROSS JOIN cb
-           |), bkt AS (
+      "q_auc",
+      s"""WITH $scorerCtes, bkt AS (
            |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
            |    CAST(count(*) - sum(y) AS BIGINT) AS ng
            |  FROM sc GROUP BY s
@@ -433,20 +462,8 @@ object EvalQueries {
            |    // (2 * CAST(sum(p) AS BIGINT) * CAST(sum(ng) AS BIGINT))
            |    AS auc_fp
            |FROM pre""".stripMargin
-      }
     ) { (s, d) =>
-      import graft.functions.VecOps
-      import graft.ops.Classify
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val cb0 = IvfIndex.materialize(
-        Classify.centroids(emb).filter(col("cent_id") === 0)
-          .select(col("cent_emb")))
-      val sc = emb.crossJoin(broadcast(cb0))
-        .select(
-          floor(VecOps.cosine(col("embedding"), col("cent_emb")) * 1e4)
-            .cast("long").as("s"),
-          when(col("label") === 0, 1L).otherwise(0L).as("y"))
+      val sc = scored(s, d)
       val bkt = sc.groupBy(col("s"))
         .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("ng"))
       val w = Window.orderBy(col("s"))
@@ -459,6 +476,41 @@ object EvalQueries {
       "broadcast side is the 1-row class-0 centroid frame")
       .intendsGlobalWindow(
         "windowed frame is the per-bucket aggregate of the quantized " +
-          "score: <= 2e4+1 rows at any corpus size")
+          "score: <= 2e4+1 rows at any corpus size"),
+
+    // ---- Calibration / reliability table of the SAME scorer (shared
+    //      CTEs with q_auc — ranking quality and probability quality
+    //      are different failure modes): the quantized score maps
+    //      affinely to a 1e6-fixed-point "probability"
+    //      p_fp = (s + 1e4) * 50, bins are s div 1000 (engine-identical
+    //      truncation toward zero), and each bin reports size, mean
+    //      predicted probability, observed positive rate, and its
+    //      Brier contribution sum((p - y*1e6)^2) div n — all pure
+    //      integer algebra. Scale shape: one corpus pass, one hash agg
+    //      onto <= 21 bins; per-row square <= 1e12 bounds the labelled
+    //      set at ~9e6 rows inside int64. ----
+    QueryDef.sql(
+      "q_calibration",
+      s"""WITH $scorerCtes, pb AS (
+         |  SELECT s // 1000 AS bin, (s + 10000) * 50 AS p_fp, y FROM sc
+         |)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(p_fp) AS BIGINT) // count(*) AS avg_p_fp,
+         |  (CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS frac_pos_fp,
+         |  CAST(sum((p_fp - y * 1000000) * (p_fp - y * 1000000)) AS BIGINT)
+         |    // count(*) AS brier_fp
+         |FROM pb GROUP BY bin""".stripMargin
+    ) { (s, d) =>
+      scored(s, d)
+        .select(expr("s div 1000").as("bin"),
+          ((col("s") + 10000L) * 50L).as("p_fp"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(p_fp) div count(1)").as("avg_p_fp"),
+          expr("(sum(y) * 1000000L) div count(1)").as("frac_pos_fp"),
+          expr("sum((p_fp - y * 1000000L) * (p_fp - y * 1000000L)) " +
+            "div count(1)").as("brier_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row class-0 centroid frame")
   )
 }
