@@ -84,7 +84,14 @@ object LabelProp {
     * (src, dst) and `graft_seeds` (node, label) CTEs — the oracle twin
     * of [[run]]. Ends selecting (node, label).
     */
-  def oracleSql(iters: Int = 3): String = {
+  def oracleSql(iters: Int = 3): String =
+    oracleCtes(iters) + s"\nSELECT node, label FROM l$iters"
+
+  /** [[oracleSql]]'s CTE chain alone (no final SELECT), ending with the
+    * `l<iters>(node, label)` relation — for composition by queries that
+    * aggregate OVER the converged labels (q_modularity).
+    */
+  def oracleCtes(iters: Int = 3): String = {
     val sb = new StringBuilder
     sb.append(
       """e AS MATERIALIZED (
@@ -114,7 +121,6 @@ object LabelProp {
            |  FROM l${i - 1} l LEFT JOIN b$i b ON b.dst = l.node
            |)""".stripMargin)
     }
-    sb.append(s"\nSELECT node, label FROM l$iters")
     sb.toString
   }
 }

@@ -243,6 +243,103 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
         .limit(20)
-    }
+    },
+
+    // ---- RFM segmentation (the classic customer-value triage): per
+    //      customer Recency (days since last order vs the corpus max
+    //      day), Frequency (order count), Monetary (2-decimal
+    //      fixed-point spend, COARSENED to a 100-unit grid for
+    //      bucketing), each quintiled by the integer empirical CDF
+    //      (bucket = floor(5·|{x<v}|/n) — the q_decile_bucket
+    //      convention, deterministic cross-engine at any scale), and
+    //      the 3-digit rfm_code. Scale shape: one groupBy on the
+    //      customer key; each CDF window runs over a DISTINCT-VALUE
+    //      frame bounded by the day / order-count / coarse-money grids
+    //      — never the customer table — and broadcasts back. ----
+    QueryDef.sql(
+      "q_rfm",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS cmax,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+        |      AS m_fp
+        |  FROM orders GROUP BY o_custkey
+        |), g AS (
+        |  SELECT max(cmax) AS gmax FROM cust
+        |), base AS (
+        |  SELECT o_custkey, gmax - cmax AS r, f, m_fp,
+        |    m_fp // 10000 AS mg
+        |  FROM cust CROSS JOIN g
+        |), rq AS (
+        |  SELECT r AS v, CAST(coalesce(sum(c) OVER (ORDER BY r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS lt, CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM (SELECT r, count(*) AS c FROM base GROUP BY r)
+        |), fq AS (
+        |  SELECT f AS v, CAST(coalesce(sum(c) OVER (ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS lt, CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM (SELECT f, count(*) AS c FROM base GROUP BY f)
+        |), mq AS (
+        |  SELECT mg AS v, CAST(coalesce(sum(c) OVER (ORDER BY mg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS lt, CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM (SELECT mg, count(*) AS c FROM base GROUP BY mg)
+        |)
+        |SELECT b.o_custkey, CAST(b.r AS BIGINT) AS r_days, b.f AS f_orders,
+        |  b.m_fp,
+        |  CAST(floor(5e0 * rq.lt / rq.n) AS BIGINT) AS r_q,
+        |  CAST(floor(5e0 * fq.lt / fq.n) AS BIGINT) AS f_q,
+        |  CAST(floor(5e0 * mq.lt / mq.n) AS BIGINT) AS m_q,
+        |  CAST(floor(5e0 * rq.lt / rq.n) * 100
+        |    + floor(5e0 * fq.lt / fq.n) * 10
+        |    + floor(5e0 * mq.lt / mq.n) AS BIGINT) AS rfm_code
+        |FROM base b
+        |JOIN rq ON rq.v = b.r
+        |JOIN fq ON fq.v = b.f
+        |JOIN mq ON mq.v = b.mg""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("cmax"),
+          count(lit(1)).as("f"),
+          sum(floor(col("o_totalprice") * 1e2).cast("long")).as("m_fp"))
+      val g = cust.agg(max(col("cmax")).as("gmax"))
+      val base = cust.crossJoin(broadcast(g))
+        .select(col("o_custkey"), datediff(col("gmax"), col("cmax")).as("r"),
+          col("f"), col("m_fp"), expr("m_fp div 10000").as("mg"))
+      def cdf(metric: String): DataFrame = {
+        val vc = base.groupBy(col(metric)).agg(count(lit(1)).as("c"))
+        val wLt = Window.orderBy(col(metric))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy()
+        vc.select(col(metric).as("v"),
+          coalesce(sum(col("c")).over(wLt), lit(0L)).as("lt"),
+          sum(col("c")).over(wAll).as("n"))
+      }
+      def quint(t: String) = floor(lit(5.0) * col(s"${t}_lt") / col(s"${t}_n"))
+        .cast("long")
+      val rq = cdf("r").select(col("v").as("r_v"), col("lt").as("r_lt"),
+        col("n").as("r_n"))
+      val fq = cdf("f").select(col("v").as("f_v"), col("lt").as("f_lt"),
+        col("n").as("f_n"))
+      val mq = cdf("mg").select(col("v").as("m_v"), col("lt").as("m_lt"),
+        col("n").as("m_n"))
+      base
+        .join(broadcast(rq), col("r_v") === col("r"))
+        .join(broadcast(fq), col("f_v") === col("f"))
+        .join(broadcast(mq), col("m_v") === col("mg"))
+        .select(col("o_custkey"), col("r").cast("long").as("r_days"),
+          col("f").as("f_orders"), col("m_fp"),
+          quint("r").as("r_q"), quint("f").as("f_q"), quint("m").as("m_q"),
+          (quint("r") * 100 + quint("f") * 10 + quint("m")).as("rfm_code"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row global-max-day frame")
+      .intendsGlobalWindow(
+        "windowed frames are the three DISTINCT-VALUE grids (days, " +
+          "order counts, 100-unit money buckets) — grid-bounded, never " +
+          "the customer table")
   )
 }

@@ -717,6 +717,97 @@ object RankQueries {
         .union(bi.select(col("b").as("src"), col("a").as("dst")))
       PageRank.run(edges, iters = 6)
         .orderBy(col("r_fp").desc, col("node")).limit(30)
-    }
+    },
+
+    // ---- Newman modularity of the label-propagation communities (the
+    //      quality score FOR q_label_prop's output — a partition is only
+    //      as good as its modularity): per community c,
+    //      q_fp = (4·m·L_c − d_c²)·1e6 div (4·m²), where L_c =
+    //      intra-community undirected edges, d_c = degree mass, m =
+    //      total undirected edges — pure integer algebra over the
+    //      converged labels, so the whole chain (3 label rounds + the
+    //      score) is hash-exact. Scale shape: the canonical undirected
+    //      edge set is one distinct; degrees/intra-counts are hash aggs
+    //      keyed by node/label; m is a lazy 1-row broadcast. Headroom:
+    //      4m²·1e6 < 2^63 bounds m at ~4.8e7 edges — drop the 1e6
+    //      scale for denser graphs. ----
+    QueryDef.sql(
+      "q_modularity",
+      s"""WITH base AS (
+         |  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         |         'C' || CAST(o_custkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), graft_edges AS (
+         |  SELECT src, dst FROM base
+         |  UNION ALL SELECT dst, src FROM base
+         |), graft_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+         |         'L' || CAST(s_nationkey % 5 AS VARCHAR) AS label
+         |  FROM supplier
+         |),
+         |${LabelProp.oracleCtes()},
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM graft_edges WHERE src <> dst
+         |), mm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m FROM und
+         |), dg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY node
+         |), lab AS (
+         |  SELECT node, label FROM l3 WHERE label IS NOT NULL
+         |), dc AS (
+         |  SELECT label, CAST(sum(dg) AS BIGINT) AS d_c
+         |  FROM dg JOIN lab USING (node) GROUP BY label
+         |), lc AS (
+         |  SELECT la.label, CAST(count(*) AS BIGINT) AS l_c
+         |  FROM und
+         |  JOIN lab la ON la.node = und.a
+         |  JOIN lab lb ON lb.node = und.b
+         |  WHERE la.label = lb.label GROUP BY la.label
+         |)
+         |SELECT dc.label, COALESCE(lc.l_c, 0) AS l_c, dc.d_c,
+         |  ((4 * mm.m * COALESCE(lc.l_c, 0) - dc.d_c * dc.d_c) * 1000000)
+         |    // (4 * mm.m * mm.m) AS q_fp
+         |FROM dc LEFT JOIN lc USING (label) CROSS JOIN mm""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(
+          concat(lit("S"), col("l_suppkey")).as("src"),
+          concat(lit("C"), col("o_custkey")).as("dst"))
+      val und = fwd.union(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val seeds = Tables.supplier(s, d).select(
+        concat(lit("S"), col("s_suppkey")).as("node"),
+        concat(lit("L"), pmod(col("s_nationkey"), lit(5))).as("label"))
+      val sym = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      val lab = LabelProp.run(sym, seeds).filter(col("label").isNotNull)
+      val mm = und.agg(count(lit(1)).as("m"))
+      val dg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val dc = dg.join(lab, "node")
+        .groupBy(col("label")).agg(sum(col("dg")).as("d_c"))
+      val lc = und
+        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("l_c"))
+      dc.join(lc, Seq("label"), "left")
+        .crossJoin(broadcast(mm))
+        .select(col("label"),
+          coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"),
+          expr("((4 * m * coalesce(l_c, 0L) - d_c * d_c) * 1000000L) " +
+            "div (4 * m * m)").as("q_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row total-edge-count frame")
   )
 }
