@@ -511,6 +511,94 @@ object EvalQueries {
           expr("sum((p_fp - y * 1000000L) * (p_fp - y * 1000000L)) " +
             "div count(1)").as("brier_fp"))
     }.intendsNestedLoop(
-      "broadcast side is the 1-row class-0 centroid frame")
+      "broadcast side is the 1-row class-0 centroid frame"),
+
+    // ---- Split-conformal prediction intervals per event_type (alpha =
+    //      0.1): calibrate on even event_ids (residuals of the
+    //      fixed-point mean predictor), take the conformal quantile
+    //      qhat = the ceil((n_cal+1)*0.9)-th smallest |residual| as an
+    //      EXACT order-statistic pick (rank k = (9*n_cal+18) div 10 —
+    //      no interpolation convention to diverge on), then measure
+    //      empirical coverage on the odd-id test split. The marginal
+    //      guarantee P(|y - pred| <= qhat) >= 0.9 is
+    //      distribution-free; coverage_fp near 900000 is the check.
+    //      Scale shape: one pass for per-type (sum, count), residual
+    //      rank via a window PARTITIONED by event_type (sort within
+    //      groups, never global), test coverage one hash-join pass.
+    //      Headroom: |sum(v_fp)| < 2^63 bounds each type at ~1.9e10
+    //      rows for value <= 490; larger types drop the 1e6 quantize
+    //      scale. Requires n_cal >= 9 per type (else the rank
+    //      exceeds n_cal and the type has no finite interval — it
+    //      drops out on both engines identically). ----
+    QueryDef.sql(
+      "q_conformal",
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS v_fp,
+        |    event_id % 2 AS split
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(v_fp) AS BIGINT) // count(*) AS mean_fp,
+        |    CAST(count(*) AS BIGINT) AS n_cal
+        |  FROM v WHERE split = 0 GROUP BY event_type
+        |), k AS (
+        |  SELECT event_type, n_cal, mean_fp,
+        |    (9 * n_cal + 18) // 10 AS kk
+        |  FROM m
+        |), q AS (
+        |  SELECT r.event_type, r.res AS qhat_fp FROM (
+        |    SELECT v.event_type, abs(v.v_fp - k.mean_fp) AS res,
+        |      row_number() OVER (PARTITION BY v.event_type
+        |        ORDER BY abs(v.v_fp - k.mean_fp), v.event_id) AS rk
+        |    FROM v JOIN k ON k.event_type = v.event_type
+        |    WHERE v.split = 0) r
+        |  JOIN k ON k.event_type = r.event_type AND r.rk = k.kk
+        |), t AS (
+        |  SELECT v.event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(v.v_fp - k.mean_fp) <= q.qhat_fp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |  FROM v
+        |  JOIN k ON k.event_type = v.event_type
+        |  JOIN q ON q.event_type = v.event_type
+        |  WHERE v.split = 1 GROUP BY v.event_type
+        |)
+        |SELECT k.event_type, k.n_cal, k.mean_fp, q.qhat_fp, t.n_test,
+        |  (t.covered * 1000000) // t.n_test AS coverage_fp
+        |FROM k
+        |JOIN q ON q.event_type = k.event_type
+        |JOIN t ON t.event_type = k.event_type""".stripMargin
+    ) { (s, d) =>
+      val v = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v_fp"),
+        (col("event_id") % 2).as("split"))
+      val m = v.filter(col("split") === 0).groupBy("event_type")
+        .agg(expr("sum(v_fp) div count(1)").as("mean_fp"),
+          count(lit(1)).as("n_cal"))
+      val k = m.withColumn("kk", expr("(9 * n_cal + 18) div 10"))
+      val rw = Window.partitionBy(col("event_type"))
+        .orderBy(col("res"), col("event_id"))
+      val q = v.filter(col("split") === 0)
+        .join(k.select(col("event_type"), col("mean_fp")), "event_type")
+        .select(col("event_type"), col("event_id"),
+          abs(col("v_fp") - col("mean_fp")).as("res"))
+        .withColumn("rk", row_number().over(rw))
+        .join(k.select(col("event_type"), col("kk")), "event_type")
+        .filter(col("rk") === col("kk"))
+        .select(col("event_type"), col("res").as("qhat_fp"))
+      val t = v.filter(col("split") === 1)
+        .join(k.select(col("event_type"), col("mean_fp")), "event_type")
+        .join(q, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("v_fp") - col("mean_fp")) <= col("qhat_fp"), 1L)
+            .otherwise(0L)).as("covered"))
+      k.select(col("event_type"), col("n_cal"), col("mean_fp"))
+        .join(q, "event_type")
+        .join(t, "event_type")
+        .select(col("event_type"), col("n_cal"), col("mean_fp"),
+          col("qhat_fp"), col("n_test"),
+          expr("(covered * 1000000L) div n_test").as("coverage_fp"))
+    }
   )
 }
