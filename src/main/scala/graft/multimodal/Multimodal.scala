@@ -155,6 +155,26 @@ object Multimodal {
     * colorspace-derived stride (420/422/444/mono). Pure byte reads, so
     * the plane is bit-deterministic across JVMs.
     */
+  /** Per-frame chroma(+alpha) byte count for the 8-bit Y4M colorspaces
+    * [[Y4mCodec]] decodes; `None` = unsupported (e.g. the 10/12-bit
+    * `420p10`-style tags, whose strides differ). Single source for both
+    * the codec's stride and [[SniffingCodec]]'s routing decision, so
+    * "what the router sends" and "what the codec parses" cannot drift:
+    * an unsupported colorspace routes to the stand-in instead of
+    * mis-striding or killing the job. Exact tag match on purpose — a
+    * prefix match would claim `420p10` with an 8-bit stride.
+    */
+  private[multimodal] def y4mChromaBytes(
+      cs: String, w: Int, h: Int): Option[Int] = cs match {
+    case "420jpeg" | "420mpeg2" | "420paldv" | "420" =>
+      Some(2 * ((w / 2) * (h / 2)))
+    case "422" => Some(2 * ((w / 2) * h))
+    case "444" => Some(2 * (w * h))
+    case "444alpha" => Some(3 * (w * h)) // Cb + Cr + alpha planes
+    case "mono" => Some(0)
+    case _ => None
+  }
+
   object Y4mCodec extends MediaCodec {
     override def decode(mediaType: String, blob: Array[Byte]): Decoded = {
       val nlHeader = blob.indexOf('\n'.toByte)
@@ -171,12 +191,8 @@ object Multimodal {
       require(w > 0 && h > 0, s"bad Y4M dimensions ${w}x$h")
       val cs = tag('C').getOrElse("420jpeg") // spec default is 4:2:0
       val lumaBytes = w * h
-      val chromaBytes =
-        if (cs.startsWith("420")) 2 * ((w / 2) * (h / 2))
-        else if (cs.startsWith("422")) 2 * ((w / 2) * h)
-        else if (cs.startsWith("444")) 2 * (w * h)
-        else if (cs.startsWith("mono")) 0
-        else sys.error(s"unsupported Y4M colorspace C$cs")
+      val chromaBytes = y4mChromaBytes(cs, w, h).getOrElse(
+        sys.error(s"unsupported Y4M colorspace C$cs"))
       val frames = Array.newBuilder[Array[Double]]
       var off = nlHeader + 1
       while (off < blob.length) {
@@ -203,10 +219,14 @@ object Multimodal {
   /** ======================== STUB BOUNDARY ========================
     * COMPRESSED video codecs (ffmpeg behind JNI) are NOT available in
     * this environment; [[FakeCodec]] is the clearly-marked deterministic
-    * stand-in for compressed video payloads and non-WAV audio
-    * containers. Image payloads ([[ImageIoCodec]]), RIFF/WAVE PCM audio
-    * ([[WavCodec]]), and uncompressed YUV4MPEG2 video ([[Y4mCodec]])
-    * have real decoders above.
+    * stand-in for compressed video payloads, non-WAV audio containers,
+    * and WAV/Y4M variants outside the real codecs' support (24/32-bit
+    * or float PCM, 10/12-bit Y4M colorspaces — the router checks
+    * decodability, not just magic bytes, so such payloads degrade to
+    * the stand-in instead of failing the job). Image payloads
+    * ([[ImageIoCodec]]), 8/16-bit integer-PCM RIFF/WAVE audio
+    * ([[WavCodec]]), and 8-bit uncompressed YUV4MPEG2 video
+    * ([[Y4mCodec]]) have real decoders above.
     */
   object FakeCodec extends MediaCodec {
     /** Interprets the payload as unsigned bytes row-major in a W×H plane,
@@ -241,18 +261,59 @@ object Multimodal {
         hasPrefix(blob, 'G', 'I', 'F', '8') || // GIF
         hasPrefix(blob, 0xff, 0xd8, 0xff) // JPEG
 
-    /** RIFF container declaring a WAVE form: "RIFF" at 0, "WAVE" at 8. */
+    /** RIFF container declaring a WAVE form ("RIFF" at 0, "WAVE" at 8)
+      * whose fmt chunk [[WavCodec]] can actually decode: integer PCM
+      * (format tag 1), 8- or 16-bit. Other legal WAV variants (24/32-bit,
+      * IEEE-float tag 3, ADPCM, extensible) route to the stand-in
+      * instead of crashing the decode job — the router's contract is
+      * "real codecs only get payloads they support"; a malformed or
+      * unsupported fmt chunk is a routing decision here, a loud failure
+      * only when [[WavCodec]] is called directly.
+      */
     def isWav(blob: Array[Byte]): Boolean =
       hasPrefix(blob, 'R', 'I', 'F', 'F') && blob.length >= 12 &&
-        blob(8) == 'W' && blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E'
+        blob(8) == 'W' && blob(9) == 'A' && blob(10) == 'V' &&
+        blob(11) == 'E' && wavFmtDecodable(blob)
+
+    /** Walk the RIFF chunk list for "fmt " and check (tag, bits). */
+    private def wavFmtDecodable(blob: Array[Byte]): Boolean = {
+      def u16(o: Int): Int = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long = (u16(o).toLong | (u16(o + 2).toLong << 16))
+      var off = 12L
+      while (off + 8 <= blob.length) {
+        val o = off.toInt
+        val isFmt = blob(o) == 'f' && blob(o + 1) == 'm' &&
+          blob(o + 2) == 't' && blob(o + 3) == ' '
+        val sz = u32(o + 4)
+        if (isFmt) {
+          return off + 8 + 16 <= blob.length && sz >= 16 && {
+            val fmtTag = u16(o + 8)
+            val bits = u16(o + 8 + 14)
+            fmtTag == 1 && (bits == 8 || bits == 16)
+          }
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      false
+    }
 
     /** YUV4MPEG2 stream magic: the literal tag plus its mandatory
       * space separator (a plain-text document could start with the bare
       * word; the full `"YUV4MPEG2 "` prefix is the format's actual
-      * stream signature).
+      * stream signature) — AND a parseable header whose colorspace
+      * [[Y4mCodec]] supports ([[y4mChromaBytes]]); 10/12-bit streams
+      * route to the stand-in instead of crashing the job.
       */
     def isY4m(blob: Array[Byte]): Boolean =
-      hasPrefix(blob, 'Y', 'U', 'V', '4', 'M', 'P', 'E', 'G', '2', ' ')
+      hasPrefix(blob, 'Y', 'U', 'V', '4', 'M', 'P', 'E', 'G', '2', ' ') && {
+        val nl = blob.indexOf('\n'.toByte)
+        nl > 0 && {
+          val cs = new String(blob, 0, nl, "US-ASCII").split(' ').tail
+            .find(t => t.nonEmpty && t.head == 'C').map(_.tail)
+            .getOrElse("420jpeg")
+          y4mChromaBytes(cs, 2, 2).isDefined
+        }
+      }
 
     override def decode(mediaType: String, blob: Array[Byte]): Decoded =
       if (isImage(blob)) ImageIoCodec.decode(mediaType, blob)

@@ -36,8 +36,7 @@ object CusumAlarm {
   /** Internal fold row (public: Catalyst's generated deserializer cannot
     * access a private case class).
     */
-  case class Ev(
-      symbol: String, ord: Long, tie: Long, event_id: Long, p: Long)
+  case class Ev(symbol: String, ord: Long, event_id: Long, p: Long)
 
   /** Alarm fold over `df` (columns: symbol, ts, event_id, value).
     * Output: (event_id, p_fp, su_fp, sl_fp, alarm) in integer cents.
@@ -47,12 +46,11 @@ object CusumAlarm {
     import spark.implicits._
     df.select(col("symbol"),
         expr("unix_micros(ts)").as("ord"),
-        col("event_id").as("tie"),
         col("event_id"),
         expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("p"))
       .as[Ev]
       .groupByKey(_.symbol)
-      .flatMapSortedGroups($"ord", $"tie") { (_, it) =>
+      .flatMapSortedGroups($"ord", $"event_id") { (_, it) =>
         var ref = 0L
         var su = 0L
         var sl = 0L

@@ -53,7 +53,6 @@ object Lttb {
       buckets: Int = 12, yScale: Long = 100L): DataFrame = {
     require(buckets >= 1, s"need at least one bucket, got $buckets")
     val B = buckets
-    val spark = df.sparkSession
 
     val w = Window.partitionBy(col("sym")).orderBy(col("t"), col("pid"))
     val named = df.select(

@@ -63,16 +63,23 @@ class HttpPoller(options: java.util.Map[String, String])
       .timeout(Duration.ofMillis(timeoutMs)).GET().build()
     var attempt = 0
     while (true) {
-      try {
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() != 200)
-          throw new IOException(
-            s"HTTP ${resp.statusCode()} from $url?$query")
-        return resp.body()
-      } catch {
-        case e: IOException if attempt < retries =>
-          attempt += 1
-          Thread.sleep(50L * attempt)
+      val resp =
+        try client.send(req, HttpResponse.BodyHandlers.ofString())
+        catch {
+          // transport-level blip (connect refused/timed out): retry here
+          case e: IOException if attempt < retries =>
+            attempt += 1; Thread.sleep(50L * attempt); null
+        }
+      if (resp != null) {
+        resp.statusCode() match {
+          case 200 => return resp.body()
+          // 5xx = the endpoint itself hiccuped: transient, retry
+          case s if s >= 500 && attempt < retries =>
+            attempt += 1; Thread.sleep(50L * attempt)
+          // 3xx/4xx (and exhausted 5xx) = deterministic config/endpoint
+          // error: fail fast, don't mask it behind identical retries
+          case s => throw new IOException(s"HTTP $s from $url?$query")
+        }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -82,7 +89,12 @@ class HttpPoller(options: java.util.Map[String, String])
 
   override def fetch(since: Long, max: Int): Seq[String] = {
     val body = get(s"op=fetch&since=$since&max=$max")
-    if (body.isEmpty) Seq.empty
-    else body.split("\n", -1).toSeq.filter(_.nonEmpty)
+    // Cursor alignment contract: record i of the response IS cursor
+    // since+i, so interior empty lines must be kept (they are that
+    // cursor's — empty — payload; dropping them would misattribute
+    // every later cursor and break checkpoint replay). Only a single
+    // trailing newline is a framing artifact, not a record.
+    val trimmed = if (body.endsWith("\n")) body.dropRight(1) else body
+    if (trimmed.isEmpty) Seq.empty else trimmed.split("\n", -1).toSeq
   }
 }

@@ -214,6 +214,43 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       "YUV4MPEG2 W2 H2\nBOGUS\n".getBytes("US-ASCII"))
   }
 
+  test("router degrades unsupported WAV/Y4M variants to the stand-in " +
+    "instead of crashing the job") {
+    import javax.sound.sampled._
+    // IEEE-float 32-bit WAV: legal container, outside WavCodec support.
+    // The JDK writer can't emit float WAV, so splice the fmt chunk of a
+    // real 16-bit file to (tag=3, bits=32) — chunk layout is unchanged.
+    val wav = encodeWav(16, 1, bigEndian = false)(Array(0, 1, 2, 3))
+    val floatWav = wav.clone()
+    val fmtAt = {
+      var o = 12
+      while (!(floatWav(o) == 'f' && floatWav(o + 1) == 'm' &&
+        floatWav(o + 2) == 't' && floatWav(o + 3) == ' ')) o += 1
+      o
+    }
+    floatWav(fmtAt + 8) = 3 // wFormatTag = IEEE float (little-endian lo)
+    floatWav(fmtAt + 22) = 32 // wBitsPerSample
+    SniffingCodec.isWav(wav) shouldBe true
+    SniffingCodec.isWav(floatWav) shouldBe false
+    // production route must survive and return the deterministic stand-in
+    val df = SniffingCodec.decode("audio", floatWav)
+    df.pixels shouldBe FakeCodec.decode("audio", floatWav).pixels
+
+    // 10-bit Y4M colorspace: real tag ffmpeg emits, stride differs from
+    // 8-bit — must route to the stand-in, not mis-stride or crash
+    val p10 = "YUV4MPEG2 W2 H2 C420p10\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(1)
+    SniffingCodec.isY4m(p10) shouldBe false
+    val dv = SniffingCodec.decode("video", p10)
+    dv.pixels shouldBe FakeCodec.decode("video", p10).pixels
+    // ...while a direct Y4mCodec call on it still fails loudly
+    an[Exception] should be thrownBy Y4mCodec.decode("video", p10)
+    // supported colorspaces still route to the real codec (isY4m reads
+    // only the header line)
+    SniffingCodec.isY4m(
+      "YUV4MPEG2 W2 H2 C444alpha\n".getBytes("US-ASCII")) shouldBe true
+  }
+
   test("real Y4M payloads flow through the production mapPartitions path") {
     import spark.implicits._
     // 2 frames of 4x4 with luma (frame*16 + idx): mean over the stacked
