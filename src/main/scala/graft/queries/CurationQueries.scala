@@ -205,6 +205,75 @@ object CurationQueries {
     }.intendsNestedLoop(
       "broadcast side is the single-row level-3 escalation-count frame"),
 
+    // ---- t-closeness audit over the SAME k-anonymity release — the
+    //      third classical criterion (a diverse class can still leak by
+    //      SKEW: all-HIGH-balance is informative even with 3 distinct
+    //      bands present). t = Earth-Mover's Distance between the
+    //      class's ordered sensitive-band distribution (DEBT < LOW <
+    //      HIGH) and the released-population distribution. Exactness:
+    //      EMD over an ordered 3-category attribute is the mean of the
+    //      two interior CDF gaps; each CDF is quantized to 1e6 fixed
+    //      point by integer division FIRST (exact on both engines), so
+    //      t_fp is pure int64 algebra with n*1e6 < 2^63 headroom (no
+    //      n*N cross term). Shape: the cascade's shrinking aggs + one
+    //      hash agg onto the class frame + a broadcast 1-row global. ----
+    QueryDef.sql(
+      "q_t_closeness",
+      s"""WITH $kAnonCtes, sens AS (
+         |  SELECT rel.qi_nation, rel.qi_segment,
+         |    CASE WHEN c.c_acctbal < 0e0 THEN 'DEBT'
+         |         WHEN c.c_acctbal < 5000e0 THEN 'LOW'
+         |         ELSE 'HIGH' END AS sband
+         |  FROM rel JOIN customer c USING (c_custkey)
+         |  WHERE rel.anon_level > 0
+         |), cls AS (
+         |  SELECT qi_nation, qi_segment,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN sband = 'DEBT' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nd,
+         |    CAST(sum(CASE WHEN sband = 'LOW' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nl
+         |  FROM sens GROUP BY qi_nation, qi_segment
+         |), g AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS gn,
+         |    CAST(sum(nd) AS BIGINT) AS gd,
+         |    CAST(sum(nl) AS BIGINT) AS gl
+         |  FROM cls
+         |)
+         |SELECT qi_nation, qi_segment, n AS class_size,
+         |  (abs((nd * 1000000) // n - (gd * 1000000) // gn)
+         |   + abs(((nd + nl) * 1000000) // n - ((gd + gl) * 1000000) // gn))
+         |    // 2 AS t_fp,
+         |  (abs((nd * 1000000) // n - (gd * 1000000) // gn)
+         |   + abs(((nd + nl) * 1000000) // n - ((gd + gl) * 1000000) // gn))
+         |    // 2 <= 250000 AS t_close
+         |FROM cls CROSS JOIN g""".stripMargin
+    ) { (s, d) =>
+      val sens = kAnonRelease(s, d)
+        .filter(col("anon_level") > 0)
+        .join(Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+          "c_custkey")
+        .withColumn("sband",
+          when(col("c_acctbal") < 0, "DEBT")
+            .when(col("c_acctbal") < 5000, "LOW").otherwise("HIGH"))
+      val cls = sens.groupBy(col("qi_nation"), col("qi_segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sband") === "DEBT", 1L).otherwise(0L)).as("nd"),
+          sum(when(col("sband") === "LOW", 1L).otherwise(0L)).as("nl"))
+      val g = cls.agg(sum(col("n")).as("gn"), sum(col("nd")).as("gd"),
+        sum(col("nl")).as("gl"))
+      cls.crossJoin(broadcast(g))
+        .withColumn("t_fp",
+          expr("(abs((nd * 1000000L) div n - (gd * 1000000L) div gn) + " +
+            "abs(((nd + nl) * 1000000L) div n - " +
+            "((gd + gl) * 1000000L) div gn)) div 2"))
+        .select(col("qi_nation"), col("qi_segment"),
+          col("n").as("class_size"), col("t_fp"),
+          (col("t_fp") <= 250000L).as("t_close"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row level-3 escalation count and the " +
+        "1-row released-population distribution"),
+
     // ---- benchmark decontamination: flag training docs sharing 3-gram
     //      shingles with the eval split (doc_id % 50 = 0 stands in for a
     //      held-out benchmark). Eval hash set is BROADCAST — the corpus

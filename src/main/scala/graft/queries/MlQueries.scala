@@ -352,6 +352,46 @@ object MlQueries {
       .intendsGlobalWindow(
         "windowed frame is the per-bucket aggregate of the quantized " +
           "projection: value-range bounded (hundreds of rows), never " +
-          "corpus-sized")
+          "corpus-sized"),
+
+    // ---- Gradient-boosted stumps (see ops.Boost): 3 squared-loss
+    //      boosting rounds over the SAME quantized projection feature
+    //      as q_stump (its boosting-loop completion). The whole loop
+    //      runs on the value-range-bounded bucket frame — the corpus
+    //      is scanned ONCE to build (s, n, sum_residual); every round
+    //      is prefix-sum + broadcast-totals + TakeOrdered argmax over
+    //      that frame. Exact int64 algebra end-to-end (1e3-fp target,
+    //      truncating leaf means, shrinkage 1/2); the oracle unrolls
+    //      the identical recurrence. ----
+    QueryDef.sql(
+      "q_boost", {
+        def fold(j: Int): String =
+          s"""list_reduce(list_prepend(0e0, list_transform(range(1, len(e.embedding) + 1),
+             |      i -> CAST(e.embedding[i] AS DOUBLE)
+             |        * ((((i * (1000003 + $j * 7919)) + ($j * 271 + 17)) % 1000) * 1e-3 - 5e-1))),
+             |      (acc, x) -> acc + x)""".stripMargin
+        graft.ops.Boost.oracleSql(
+          s"""  SELECT s, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y_fp) AS BIGINT) AS sr
+             |  FROM (
+             |    SELECT CAST(floor(${fold(98)} * 1e2) AS BIGINT) AS s,
+             |      CASE WHEN e.label = 0 THEN 1000 ELSE 0 END AS y_fp
+             |    FROM embeddings e)
+             |  GROUP BY s""".stripMargin,
+          rounds = 3)
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps.planeDot
+      val sc = Tables.embeddings(s, d).select(
+        floor(planeDot(col("embedding"), 1000003 + 98 * 7919, 98 * 271 + 17)
+          * 1e2).cast("long").as("s"),
+        when(col("label") === 0, 1000L).otherwise(0L).as("y_fp"))
+      graft.ops.Boost.train(sc, rounds = 3)
+      // no plan intents: the per-round global window and broadcast-1-row
+      // cross joins execute inside construction-time materialized rounds
+      // (Boost.train collects each argmax); the RETURNED model plan is a
+      // union of local-relation selects — declaring the intent would
+      // trip the staleness gate (the q_pca_power precedent)
+    }
   )
 }
