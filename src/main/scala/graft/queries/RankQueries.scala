@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Bfs, Hits, KCore, LabelProp, Mmr, PageRank, Sssp}
+import graft.ops.{Bfs, Hits, KCore, LabelProp, Mmr, PageRank, Scc, Sssp}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -808,6 +808,32 @@ object RankQueries {
           expr("((4 * m * coalesce(l_c, 0L) - d_c * d_c) * 1000000L) " +
             "div (4 * m * m)").as("q_fp"))
     }.intendsNestedLoop(
-      "broadcast side is the 1-row total-edge-count frame")
+      "broadcast side is the 1-row total-edge-count frame"),
+
+    // ---- Strongly connected components of a functional graph (see
+    //      ops.Scc): successor map succ(k) = (k*k + 1) mod n over the
+    //      contiguous customer keys — the Pollard-rho shape with real
+    //      tails, cycles and self-loops. Spark side: pointer doubling,
+    //      O(log n) equi-join rounds, no closure ever materialized;
+    //      oracle side: the textbook mutual-reachability DEFINITION
+    //      over a recursive closure — the gate checks two independent
+    //      algorithms against each other. Headroom: k*k < 2^63 bounds
+    //      n at ~3e9 nodes. ----
+    QueryDef.sql(
+      "q_scc",
+      s"""WITH RECURSIVE nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m FROM customer
+         |), graft_fn AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS v,
+         |    (CAST(c_custkey AS BIGINT) * CAST(c_custkey AS BIGINT) + 1) % m
+         |      AS s
+         |  FROM customer CROSS JOIN nn
+         |),
+         |${Scc.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      val nodes = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("v"))
+      Scc.run(s, nodes, (k, n) => (k * k + lit(1L)) % lit(n))
+    }
   )
 }
