@@ -513,6 +513,85 @@ object EvalQueries {
     }.intendsNestedLoop(
       "broadcast side is the 1-row class-0 centroid frame"),
 
+    // ---- Isotonic calibration (PAV) of the SAME scorer via the exact
+    //      minimax identity (Robertson, Wright & Dykstra 1988):
+    //      iso(i) = max_{j<=i} min_{k>=i} wavg(y over bins j..k) —
+    //      equal to the pool-adjacent-violators fit, but expressible as
+    //      bounded-frame algebra instead of a sequential pooling scan.
+    //      Exactness: each weighted average is an integer division of
+    //      prefix-sum differences ((Sy_k - Sy_{j-1})*1e6) div
+    //      (W_k - W_{j-1}); min/max over exact int64 values. Scale
+    //      shape: ONE corpus pass onto <= 21 score bins (the
+    //      q_calibration frame); the O(B^3) minimax runs on that
+    //      bin-bounded frame — B is fixed by the score quantization,
+    //      never the corpus. Output is provably non-decreasing in bin
+    //      (the isotonic property — pinned in spec and by the oracle). ----
+    QueryDef.sql(
+      "q_isotonic",
+      s"""WITH $scorerCtes, pb AS (
+         |  SELECT s // 1000 AS bin, y FROM sc
+         |), b AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy
+         |  FROM pb GROUP BY bin
+         |), pre AS (
+         |  SELECT bin, n, sy,
+         |    CAST(sum(n) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS w,
+         |    CAST(sum(sy) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cy
+         |  FROM b
+         |), pairs AS (
+         |  SELECT j.bin AS jb, k.bin AS kb,
+         |    ((k.cy - (j.cy - j.sy)) * 1000000)
+         |      // (k.w - (j.w - j.n)) AS avg_fp
+         |  FROM pre j JOIN pre k ON j.bin <= k.bin
+         |), mn AS (
+         |  SELECT p.jb, i.bin AS ib, min(p.avg_fp) AS mn_fp
+         |  FROM pairs p JOIN pre i ON p.kb >= i.bin AND p.jb <= i.bin
+         |  GROUP BY p.jb, i.bin
+         |)
+         |SELECT pre.bin, pre.n,
+         |  (pre.sy * 1000000) // pre.n AS frac_pos_fp,
+         |  (SELECT max(mn_fp) FROM mn
+         |   WHERE mn.ib = pre.bin AND mn.jb <= pre.bin) AS iso_fp
+         |FROM pre""".stripMargin
+    ) { (s, d) =>
+      val b = scored(s, d)
+        .select(expr("s div 1000").as("bin"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = b
+        .withColumn("w", sum(col("n")).over(w))
+        .withColumn("cy", sum(col("sy")).over(w))
+      val j = pre.select(col("bin").as("jb"), col("w").as("jw"),
+        col("cy").as("jcy"), col("n").as("jn"), col("sy").as("jsy"))
+      val kk = pre.select(col("bin").as("kb"), col("w").as("kw"),
+        col("cy").as("kcy"))
+      val pairs = j.join(kk, col("jb") <= col("kb"))
+        .select(col("jb"), col("kb"),
+          expr("((kcy - (jcy - jsy)) * 1000000L) div (kw - (jw - jn))")
+            .as("avg_fp"))
+      val ib = pre.select(col("bin").as("ib"))
+      val mn = pairs.join(ib, col("kb") >= col("ib") && col("jb") <= col("ib"))
+        .groupBy(col("jb"), col("ib")).agg(min(col("avg_fp")).as("mn_fp"))
+      val iso = mn.groupBy(col("ib")).agg(max(col("mn_fp")).as("iso_fp"))
+      pre.join(iso, pre("bin") === iso("ib"))
+        .select(col("bin"), col("n"),
+          expr("(sy * 1000000L) div n").as("frac_pos_fp"), col("iso_fp"))
+    }.intendsNestedLoop(
+      "broadcast/nested-loop sides are the score-bin frame itself: " +
+        "<= 21 rows at any corpus size (score quantization bound), so " +
+        "the O(B^3) minimax inequality joins never touch corpus-sized " +
+        "data; plus the 1-row class-0 centroid frame")
+      .intendsGlobalWindow(
+        "windowed frame is the per-bin aggregate: <= 21 rows at any " +
+          "corpus size"),
+
     // ---- Split-conformal prediction intervals per event_type (alpha =
     //      0.1): calibrate on even event_ids (residuals of the
     //      fixed-point mean predictor), take the conformal quantile
