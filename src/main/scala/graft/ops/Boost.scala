@@ -40,6 +40,13 @@ object Boost {
     val b0 = IvfIndex.materialize(
       sc.groupBy(col("s"))
         .agg(count(lit(1)).as("n"), sum(col("y_fp")).as("sr")))
+    // a single bucket admits no split (the nn - cn > 0 filter empties
+    // every candidate set) — fail loudly instead of returning an
+    // empty/rounds-deficient model; b0 is a local relation, the count
+    // is free
+    require(b0.count() >= 2,
+      "boosting needs >= 2 feature buckets; the quantized feature is " +
+        "constant — widen the quantization or pick another projection")
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var b = b0

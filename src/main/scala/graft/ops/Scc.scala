@@ -39,6 +39,14 @@ object Scc {
   /** `nodes`: one column `v` (BIGINT, distinct). `succOf(col, n)` builds
     * the successor expression (n = node count, for modular maps).
     * Output: (node, scc_id, on_cycle, scc_size).
+    *
+    * PRECONDITION: the successor map must be CLOSED over `nodes` —
+    * every succ value is itself a node (e.g. a modular map over a
+    * contiguous 0..n-1 key set). The doubling join is an inner join on
+    * that assumption; a dangling successor would silently drop its
+    * whole upstream chain, so the result is guarded by a loud row-count
+    * check against n (one cheap count over the final checkpointed
+    * frame).
     */
   def run(
       spark: SparkSession, nodes: DataFrame,
@@ -74,11 +82,21 @@ object Scc {
       // cycle length per canonical id, over cycle nodes only
       val lens = flagged.filter(col("on_cycle"))
         .groupBy(col("c")).agg(count(lit(1)).as("clen"))
-      flagged.join(lens, Seq("c"), "left")
-        .select(col("v").as("node"),
-          when(col("on_cycle"), col("c")).otherwise(col("v")).as("scc_id"),
-          col("on_cycle"),
-          when(col("on_cycle"), col("clen")).otherwise(1L).as("scc_size"))
+      // materialize the epilogue INSIDE the scoped width (the withWidth
+      // contract: loop ops hand back checkpointed frames) — and use the
+      // now-free count to enforce the closure precondition loudly
+      val out = Iterate.materialize(
+        flagged.join(lens, Seq("c"), "left")
+          .select(col("v").as("node"),
+            when(col("on_cycle"), col("c")).otherwise(col("v")).as("scc_id"),
+            col("on_cycle"),
+            when(col("on_cycle"), col("clen")).otherwise(1L).as("scc_size")))
+      val got = out.count()
+      require(got == n,
+        s"successor map is not closed over the node set: $got of $n nodes " +
+          "survived the doubling joins (a succ value is missing from " +
+          "`nodes`) — Scc.run requires succ: nodes -> nodes")
+      out
     }
   }
 

@@ -48,8 +48,9 @@ object CurationQueries {
 
   /** k-anonymity release cascade as shared DuckDB CTEs ending in
     * `rel(c_custkey, qi_nation, qi_segment, anon_level, class_size)` —
-    * single-sourced between q_k_anonymity (the release itself) and
-    * q_l_diversity (the audit over it) so the two cannot drift.
+    * single-sourced between q_k_anonymity (the release itself) and the
+    * two audits over it, q_l_diversity and q_t_closeness (via
+    * [[sensDuck]]), so none of the three can drift.
     */
   private val kAnonCtes: String =
     """l1 AS (
@@ -79,6 +80,33 @@ object CurationQueries {
       |         WHEN n3 >= 10 THEN n3 ELSE CAST(0 AS BIGINT) END AS class_size
       |  FROM c2 CROSS JOIN l3
       |)""".stripMargin
+
+  /** Sensitive-attribute frame over the released rows, as a DuckDB CTE
+    * body ending in `sens(qi_nation, qi_segment, sband)` — the
+    * account-balance band (DEBT / LOW / HIGH, threshold comparisons
+    * only) joined onto [[kAnonCtes]]'s release. Single-sourced between
+    * q_l_diversity and q_t_closeness (they audit the IDENTICAL release
+    * over the IDENTICAL sensitive attribute; a band edit must hit both).
+    */
+  private val sensDuck: String =
+    """sens AS (
+      |  SELECT rel.qi_nation, rel.qi_segment,
+      |    CASE WHEN c.c_acctbal < 0e0 THEN 'DEBT'
+      |         WHEN c.c_acctbal < 5000e0 THEN 'LOW'
+      |         ELSE 'HIGH' END AS sband
+      |  FROM rel JOIN customer c USING (c_custkey)
+      |  WHERE rel.anon_level > 0
+      |)""".stripMargin
+
+  /** Spark twin of [[sensDuck]]. */
+  private def sensBand(s: SparkSession, d: String): DataFrame =
+    kAnonRelease(s, d)
+      .filter(col("anon_level") > 0)
+      .join(Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+        "c_custkey")
+      .withColumn("sband",
+        when(col("c_acctbal") < 0, "DEBT")
+          .when(col("c_acctbal") < 5000, "LOW").otherwise("HIGH"))
 
   /** Spark twin of [[kAnonCtes]]'s `rel` frame. */
   private def kAnonRelease(s: SparkSession, d: String): DataFrame = {
@@ -177,27 +205,14 @@ object CurationQueries {
     //      shrinking aggs + ONE more hash agg over released rows ----
     QueryDef.sql(
       "q_l_diversity",
-      s"""WITH $kAnonCtes, sens AS (
-         |  SELECT rel.qi_nation, rel.qi_segment,
-         |    CASE WHEN c.c_acctbal < 0e0 THEN 'DEBT'
-         |         WHEN c.c_acctbal < 5000e0 THEN 'LOW'
-         |         ELSE 'HIGH' END AS sband
-         |  FROM rel JOIN customer c USING (c_custkey)
-         |  WHERE rel.anon_level > 0
-         |)
+      s"""WITH $kAnonCtes, $sensDuck
          |SELECT qi_nation, qi_segment,
          |  CAST(count(*) AS BIGINT) AS class_size,
          |  CAST(count(DISTINCT sband) AS BIGINT) AS l_distinct,
          |  count(DISTINCT sband) >= 3 AS l_diverse
          |FROM sens GROUP BY qi_nation, qi_segment""".stripMargin
     ) { (s, d) =>
-      kAnonRelease(s, d)
-        .filter(col("anon_level") > 0)
-        .join(Tables.customer(s, d).select("c_custkey", "c_acctbal"),
-          "c_custkey")
-        .withColumn("sband",
-          when(col("c_acctbal") < 0, "DEBT")
-            .when(col("c_acctbal") < 5000, "LOW").otherwise("HIGH"))
+      sensBand(s, d)
         .groupBy(col("qi_nation"), col("qi_segment"))
         .agg(count(lit(1)).as("class_size"),
           countDistinct(col("sband")).as("l_distinct"),
@@ -219,14 +234,7 @@ object CurationQueries {
     //      hash agg onto the class frame + a broadcast 1-row global. ----
     QueryDef.sql(
       "q_t_closeness",
-      s"""WITH $kAnonCtes, sens AS (
-         |  SELECT rel.qi_nation, rel.qi_segment,
-         |    CASE WHEN c.c_acctbal < 0e0 THEN 'DEBT'
-         |         WHEN c.c_acctbal < 5000e0 THEN 'LOW'
-         |         ELSE 'HIGH' END AS sband
-         |  FROM rel JOIN customer c USING (c_custkey)
-         |  WHERE rel.anon_level > 0
-         |), cls AS (
+      s"""WITH $kAnonCtes, $sensDuck, cls AS (
          |  SELECT qi_nation, qi_segment,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(CASE WHEN sband = 'DEBT' THEN 1 ELSE 0 END)
@@ -249,14 +257,7 @@ object CurationQueries {
          |    // 2 <= 250000 AS t_close
          |FROM cls CROSS JOIN g""".stripMargin
     ) { (s, d) =>
-      val sens = kAnonRelease(s, d)
-        .filter(col("anon_level") > 0)
-        .join(Tables.customer(s, d).select("c_custkey", "c_acctbal"),
-          "c_custkey")
-        .withColumn("sband",
-          when(col("c_acctbal") < 0, "DEBT")
-            .when(col("c_acctbal") < 5000, "LOW").otherwise("HIGH"))
-      val cls = sens.groupBy(col("qi_nation"), col("qi_segment"))
+      val cls = sensBand(s, d).groupBy(col("qi_nation"), col("qi_segment"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("sband") === "DEBT", 1L).otherwise(0L)).as("nd"),
           sum(when(col("sband") === "LOW", 1L).otherwise(0L)).as("nl"))

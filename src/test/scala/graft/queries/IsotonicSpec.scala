@@ -58,6 +58,19 @@ class IsotonicSpec extends AnyFunSuite with Matchers {
       case Array(a, b) => b < a
       case _ => false
     } shouldBe true
+
+    // distributed == serial on the SAME bin aggregates. sy is uniquely
+    // invertible from frac_pos_fp = (sy*1e6) div n whenever n < 1e6
+    // (the candidate interval [frac*n/1e6, (frac+1)*n/1e6) is narrower
+    // than 1): sy = ceil(frac*n / 1e6)
+    val bins = rows.map { case (bin, n, frac, _) =>
+      n should be < 1000000L
+      val sy = (frac * n + 999999L) / 1000000L
+      ((sy * 1000000L) / n) shouldBe frac // inversion sanity
+      (bin, n, sy)
+    }.toSeq
+    val expected = serialIso(bins)
+    rows.foreach { case (bin, _, _, iso) => iso shouldBe expected(bin) }
   }
 
   test("planted violation pools to the weighted average") {
