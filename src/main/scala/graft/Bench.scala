@@ -60,6 +60,9 @@ object Bench {
     // native session_window sessionization over the events replay
     if (want("stream_sessions"))
       results("stream_sessions") = sessionStreamReplay(spark, sfDir)
+    // live Pareto-frontier maintenance over the part-table replay
+    if (want("stream_skyline"))
+      results("stream_skyline") = skylineStreamReplay(spark, sfDir)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => want(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -176,6 +179,49 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_docs: ${docs.length} docs -> $n chunks in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
+        secs
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Replay the part table through the streaming Pareto-frontier
+    * changelog ([[graft.streaming.SkylineStream]]) in micro-batches;
+    * returns wall seconds (row rate to stderr). Arrival order is a
+    * deterministic hash shuffle — the adversarial case for frontier
+    * churn (sorted-by-price arrivals would evict almost nothing).
+    */
+  def skylineStreamReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val pts = graft.model.Tables.part(spark, sfDir)
+      .select(col("p_brand").as("brand"),
+        col("p_retailprice").as("price"), col("p_size").cast("int").as("size"))
+      .as[graft.streaming.SkylineStream.Pt]
+      .collect()
+      .sortBy(p => (p.brand.hashCode * 31 + p.size) ^
+        java.lang.Double.hashCode(p.price))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.SkylineStream.Pt]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.SkylineStream.changelog(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bench_skyline").start()
+      try {
+        pts.grouped(math.max(1000, pts.length / batches)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val n = spark.table("bench_skyline").count()
+        spark.catalog.dropTempView("bench_skyline")
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_skyline: ${pts.length} rows -> $n changelog " +
+            f"entries in $secs%.2f s = ${pts.length / secs}%.0f rec/s")
         secs
       } finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
