@@ -43,7 +43,11 @@ object Plans {
     "q_dist_drift", // one tokenize pass, conditional aggs, TakeOrdered(30)
     "q_para_dedup", // paragraph hash agg + keep-join, ordered reassembly
     "q_lttb", // checkpointed candidates x two broadcast frames per round
-    "q_moving_median" // symbol-key exchange, bounded 7-row frames
+    "q_moving_median", // symbol-key exchange, bounded 7-row frames
+    "q_conformal", // per-type aggs, rank window PARTITIONED by type
+    "q_t_closeness", // shrinking cascade aggs + broadcast 1-row global
+    "q_scc", // log n doubling joins, epilogue checkpointed in-width
+    "q_isotonic" // <=21-row bin frame: bounded minimax joins only
   )
 
   def main(args: Array[String]): Unit = {
