@@ -1593,6 +1593,50 @@ object DataPrepQueries {
           expr("(s2 * 100 + 10 * ((gs2 * 100) div gn)) div (n + 10)")
             .as("enc_fp4"))
     }.intendsNestedLoop(
-      "broadcast side is the 1-row global-prior frame")
+      "broadcast side is the 1-row global-prior frame"),
+
+    // ---- Per-document character-entropy quality signal (the classic
+    //      gibberish / low-diversity detector next to q_text_stats's
+    //      ratio features): Shannon entropy of the character
+    //      distribution, defined as the ORDER-INDEPENDENT statistic
+    //      (sum over classes of floor(cnt*ln(n/cnt)*1e6)) div n —
+    //      quantize each class term FIRST, then exact integer sum and
+    //      division, the q_lm_score convention (DuckDB ln and JVM log
+    //      agree at the 1e-6 floor on these magnitudes; the per-term
+    //      floor makes the sum order-independent at any parallelism).
+    //      Scale shape: one explode + one (doc, char) hash agg + one
+    //      per-doc agg — linear, partial-aggregable. Headroom:
+    //      n*ln(n)*1e6 < 2^63 bounds docs at ~2e11 chars. ----
+    QueryDef.sql(
+      "q_char_entropy",
+      """WITH cc AS (
+        |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS c
+        |    FROM documents)
+        |  GROUP BY doc_id, c
+        |), nn AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents
+        |)
+        |SELECT cc.doc_id, max(nn.n) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS distinct_chars,
+        |  CAST(sum(CAST(floor(
+        |    cnt * ln(CAST(nn.n AS DOUBLE) / cnt) * 1e6) AS BIGINT))
+        |    AS BIGINT) // max(nn.n) AS entropy_fp
+        |FROM cc JOIN nn USING (doc_id)
+        |GROUP BY cc.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cc = docs
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "") // Spark's split keeps a trailing empty
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+      val nn = docs.select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      cc.join(nn, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_chars"),
+          count(lit(1)).as("distinct_chars"),
+          expr("sum(cast(floor(cnt * ln(cast(n as double) / cnt) * 1e6) " +
+            "as bigint)) div max(n)").as("entropy_fp"))
+    }
   )
 }
