@@ -734,6 +734,120 @@ object TechQueries {
       words.groupBy(col("sax_word"))
         .agg(count(lit(1)).as("n_windows"),
           countDistinct(col("sym")).as("n_series"))
-    }
+    },
+
+    // ---- Theil-Sen robust trend slope per (symbol, day): the median of
+    //      all pairwise slopes — the outlier-proof companion to
+    //      q_ols_trend's least squares (one wild tick shifts OLS, not
+    //      the pairwise median). All in exact integers: slope_fp =
+    //      ((y2-y1)*1e4) div (x2-x1) (both engines truncate toward
+    //      zero), median = the lower order statistic at rank
+    //      (n_pairs+1) div 2 under (slope_fp, x1, x2) ordering — a
+    //      k-th order statistic BY VALUE, so deterministic at any
+    //      parallelism. Scale shape: the pair generator is a
+    //      within-group self-join — O(g^2) pairs per group, bounded by
+    //      the day granularity (~70 rows -> ~2.4k pairs here; the
+    //      q_ols_trend group-size contract: re-bucket the key for
+    //      denser series, or band the join on x2-x1 <= w for an
+    //      O(g*w) windowed variant). Equi-join on the group key, then
+    //      per-group partitioned window — no global ordering anywhere ----
+    QueryDef.sql(
+      "q_theilsen",
+      """WITH r AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS x,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS y
+        |  FROM events
+        |), p AS (
+        |  SELECT a.symbol, a.day, a.x AS x1, b.x AS x2,
+        |    ((b.y - a.y) * 10000) // (b.x - a.x) AS slope_fp
+        |  FROM r a JOIN r b
+        |    ON a.symbol = b.symbol AND a.day = b.day AND a.x < b.x
+        |), o AS (
+        |  SELECT symbol, day, slope_fp,
+        |    row_number() OVER (PARTITION BY symbol, day
+        |      ORDER BY slope_fp, x1, x2) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY symbol, day) AS BIGINT) AS np
+        |  FROM p
+        |)
+        |SELECT symbol, day, np AS n_pairs, slope_fp AS med_slope_fp
+        |FROM o WHERE rn = (np + 1) // 2""".stripMargin
+    ) { (s, d) =>
+      val wr = Window.partitionBy(col("symbol"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val r = Tables.events(s, d)
+        .select(col("event_type").as("symbol"),
+          col("ts").cast("date").as("day"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("y"))
+        .withColumn("x", row_number().over(wr).cast("long"))
+        .select("symbol", "day", "x", "y")
+      val a = r.select(col("symbol"), col("day"),
+        col("x").as("x1"), col("y").as("y1"))
+      val b = r.select(col("symbol").as("symbol_b"), col("day").as("day_b"),
+        col("x").as("x2"), col("y").as("y2"))
+      val p = a.join(b,
+          col("symbol") === col("symbol_b") && col("day") === col("day_b") &&
+            col("x1") < col("x2"))
+        .select(col("symbol"), col("day"), col("x1"), col("x2"),
+          expr("((y2 - y1) * 10000) div (x2 - x1)").as("slope_fp"))
+      val wg = Window.partitionBy(col("symbol"), col("day"))
+      val o = p
+        .withColumn("rn",
+          row_number().over(wg.orderBy(col("slope_fp"), col("x1"), col("x2"))))
+        .withColumn("np", count(lit(1)).over(wg))
+      o.filter(expr("rn = (np + 1) div 2"))
+        .select(col("symbol"), col("day"), col("np").as("n_pairs"),
+          col("slope_fp").as("med_slope_fp"))
+    },
+
+    // ---- Benford first-digit audit over lineitem extended prices: the
+    //      classic fabricated-numbers screen (a data-quality tier row
+    //      next to q_expectations/q_outliers_mad). Observed per-digit
+    //      frequency vs the Benford expectation log10(1 + 1/d), both
+    //      1e6 fixed-point: the expectation term is a per-digit
+    //      constant floor(ln((d+1)/d)/ln(10)*1e6) (DuckDB ln and JVM
+    //      log agree at the 1e-6 floor on these magnitudes — the
+    //      q_char_entropy convention; none of the 9 constants sits
+    //      near a floor boundary). Scale shape: ONE partial-aggregable
+    //      hash agg to 9 digit rows, then a broadcast 1-row total —
+    //      nothing downstream of the scan is corpus-sized ----
+    QueryDef.sql(
+      "q_benford",
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), dg AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v WHERE cents > 0 GROUP BY 1
+        |), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM dg)
+        |SELECT digit, cnt,
+        |  (cnt * 1000000) // total AS obs_fp,
+        |  CAST(floor(ln((digit + 1) * 1e0 / digit) / ln(10e0) * 1e6)
+        |    AS BIGINT) AS exp_fp,
+        |  (cnt * 1000000) // total
+        |    - CAST(floor(ln((digit + 1) * 1e0 / digit) / ln(10e0) * 1e6)
+        |        AS BIGINT) AS dev_fp
+        |FROM dg CROSS JOIN t""".stripMargin
+    ) { (s, d) =>
+      val dg = Tables.lineitem(s, d)
+        .select(expr("CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)")
+          .as("cents"))
+        .filter(col("cents") > 0)
+        .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      val t = dg.agg(sum(col("cnt")).as("total"))
+      dg.crossJoin(broadcast(t))
+        .select(col("digit"), col("cnt"),
+          expr("(cnt * 1000000) div total").as("obs_fp"),
+          expr("CAST(floor(ln((digit + 1) * 1e0 / digit) / ln(10e0) * 1e6) " +
+            "AS BIGINT)").as("exp_fp"),
+          expr("(cnt * 1000000) div total " +
+            "- CAST(floor(ln((digit + 1) * 1e0 / digit) / ln(10e0) * 1e6) " +
+            "AS BIGINT)").as("dev_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row global digit-count total")
   )
 }
