@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Bfs, Hits, KCore, LabelProp, Mmr, PageRank, Scc, Sssp}
+import graft.ops.{Bfs, Closeness, Hits, KCore, LabelProp, Mmr, PageRank, Scc, Sssp}
 
 /** Ranking operators for corpus curation and retrieval: link-graph
   * PageRank (the web-crawl quality prior) and BM25 ranked retrieval
@@ -171,6 +171,40 @@ object RankQueries {
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
       Bfs.run(fwd.union(rev), seeds, maxHops = 4)
+    },
+
+    // ---- Harmonic closeness centrality for 4 md5-sampled supplier
+    //      seeds (see ops.Closeness): per-seed BFS over the ONE pinned
+    //      edge partitioning, then sum of 1e6 div hop — the
+    //      Eppstein-Wang sampled form of the third centrality axis
+    //      (distance-to-everything) next to q_pagerank and q_hits.
+    //      The seed sample is md5-ordered (the k-means convention), so
+    //      the query is a pure function of the data; k bounds the
+    //      frontier blow-up at a constant ----
+    QueryDef.sql(
+      "q_closeness",
+      s"""WITH graft_edges AS (\n$edgesDuck\n),
+         |graft_close_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+         |  FROM supplier
+         |  ORDER BY md5(CAST(s_suppkey AS VARCHAR)), s_suppkey LIMIT 4
+         |),\n""".stripMargin + Closeness.oracleSql(maxHops = 4)
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val seeds = Tables.supplier(s, d)
+        .select(concat(lit("S"), col("s_suppkey")).as("node"),
+          md5(col("s_suppkey").cast("string")).as("h"), col("s_suppkey"))
+        .orderBy(col("h"), col("s_suppkey")).limit(4)
+        .select("node")
+      Closeness.run(fwd.union(rev), seeds, maxHops = 4)
     },
 
     // ---- BM25 top-5 per query (k1=1.2, b=0.75, Robertson-style
