@@ -848,6 +848,95 @@ object TechQueries {
             "- CAST(floor(ln((digit + 1) * 1e0 / digit) / ln(10e0) * 1e6) " +
             "AS BIGINT)").as("dev_fp"))
     }.intendsNestedLoop(
-      "broadcast side is the 1-row global digit-count total")
+      "broadcast side is the 1-row global digit-count total"),
+
+    // ---- Lead-lag cross-correlation at lags -3..+3 hours between the
+    //      view and click hourly series: WHICH series moves first — the
+    //      lead-lag discovery companion to q_pair_corr's contemporaneous
+    //      rolling correlation. Hourly last-ticks ranked per series,
+    //      then each lag matches rank r against rank r+lag via an
+    //      equi-join whose left key is (r + lag) — never a band scan.
+    //      Moments are exact int64 sums of 1e-3-quantized values
+    //      (headroom: n * sxy bounded by hours^2 * max|x|^2 ~ 1.6e17
+    //      here, int64-safe to ~1e5 hourly points at these magnitudes;
+    //      the series length is wall-clock-bounded, not corpus-bound);
+    //      identical int64 moments convert to identical doubles, so
+    //      the final sqrt/divide agrees under the harness' 9-decimal
+    //      rounding on both engines. Scale shape: the 7-row lag frame
+    //      is broadcast; everything else is one partial-aggregable
+    //      groupBy per lag ----
+    QueryDef.sql(
+      "q_xcorr",
+      """WITH hourly AS (
+        |  SELECT event_type, hour_ts, value FROM (
+        |    SELECT event_type, date_trunc('hour', ts) AS hour_ts, value,
+        |      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1
+        |), ranked AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hour_ts) AS BIGINT) AS r,
+        |    CAST(floor(value * 1e3) AS BIGINT) AS x
+        |  FROM hourly
+        |), lags AS (
+        |  SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) t(lag)
+        |), j AS (
+        |  SELECT l.lag, a.x AS xa, b.x AS xb
+        |  FROM ranked a CROSS JOIN lags l
+        |  JOIN ranked b ON b.r = a.r + l.lag
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |), m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+        |    CAST(sum(xa * xa) AS BIGINT) AS sxx,
+        |    CAST(sum(xb * xb) AS BIGINT) AS syy,
+        |    CAST(sum(xa * xb) AS BIGINT) AS sxy
+        |  FROM j GROUP BY lag
+        |)
+        |SELECT lag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |            THEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END)
+        |    AS xcorr
+        |FROM m WHERE n >= 2""".stripMargin
+    ) { (s, d) =>
+      val wHour = Window
+        .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .withColumn("rn", row_number().over(wHour))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_ts"), col("value"))
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      val ranked = hourly
+        .withColumn("r", row_number().over(wr).cast("long"))
+        .select(col("event_type"),
+          col("r"), floor(col("value") * lit(1e3)).cast("long").as("x"))
+      val lags = s.range(-3, 4).select(col("id").cast("int").as("lag"))
+      val a = ranked.filter(col("event_type") === "view")
+        .crossJoin(broadcast(lags))
+        .select(col("lag"), (col("r") + col("lag")).as("rk"), col("x").as("xa"))
+      val b = ranked.filter(col("event_type") === "click")
+        .select(col("r").as("rb"), col("x").as("xb"))
+      val m = a.join(b, col("rk") === col("rb"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"),
+          sum(col("xb")).as("sy"), sum(col("xa") * col("xa")).as("sxx"),
+          sum(col("xb") * col("xb")).as("syy"),
+          sum(col("xa") * col("xb")).as("sxy"))
+      val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      m.filter(col("n") >= 2)
+        .select(col("lag"), col("n"),
+          (covN / when(varX > 0 && varY > 0,
+            sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+            .as("xcorr"))
+    }.intendsNestedLoop(
+      "broadcast side is the constant 7-row lag frame")
   )
 }
