@@ -385,6 +385,76 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of a decoded plane: block-average
+    * resize to a 9×8 luma grid, then bit (y*8 + x) = 1 iff
+    * cell(x, y) > cell(x+1, y) — the standard perceptual image
+    * fingerprint (row-wise brightness gradients survive rescaling,
+    * re-encoding, and small edits; Hamming distance measures visual
+    * change). Pure function of the decoded plane, so it is exactly as
+    * deterministic as the codec that produced it.
+    */
+  def dHash(d: Decoded): Long = {
+    val g = resize(d, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) > g(y * 9 + x + 1)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** (doc_id, dhash) per media row — one streaming decode pass per
+    * partition, same shape as [[extractFeatures]].
+    */
+  def imageSignatures(
+      media: Dataset[MediaRecord],
+      codec: MediaCodec = SniffingCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map(rec => (rec.doc_id, dHash(codec.decode(rec.media_type, rec.blob))))
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs over 64-bit dHash signatures — the
+    * image twin of the SimHash text pipeline ([[graft.ops.NearDup]]):
+    * band the hash into 4×16-bit keys, take candidates from band-key
+    * equi-joins (pigeonhole: any pair within Hamming distance ≤ 3
+    * agrees exactly on ≥ 1 of the 4 bands, so recall is exact — never
+    * an all-pairs product), then popcount-verify. Output
+    * (id_a, id_b, dist) with id_a < id_b.
+    *
+    * Scale shape: the banded frame is 4 rows per image; candidates
+    * come only from same-band-key buckets (skewed buckets mean
+    * near-identical images — exactly the pairs wanted); the verify is
+    * one codegen'd `bit_count(a ^ b)` per candidate.
+    */
+  def nearDupPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 bands guarantee exact recall only for maxDist <= 3")
+    val bands = sigs.select(
+      col("doc_id"), col("dhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("shiftright(dhash, band * 16) & 65535"))
+    val a = bands.select(col("band"), col("bkey"),
+      col("doc_id").as("id_a"), col("dhash").as("ha"))
+    val b = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+      col("doc_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b,
+        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .distinct() // a pair can match on several bands
+      .withColumn("dist", expr(s"bit_count(ha ^ hb)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** Frame sampling: every `strideBytes`-th window of `frameBytes` bytes,
     * capped at `maxFrames` — the Spark-side plumbing of "sample every k-th
     * video frame" with the frame boundary math done in the engine and only

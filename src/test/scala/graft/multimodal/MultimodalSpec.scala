@@ -381,4 +381,57 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val types = m.select("media_type").distinct().collect().map(_.getString(0))
     types.toSet.subsetOf(Set("image", "audio", "video")) shouldBe true
   }
+
+  // deterministic 16x16 diagonal gradient; `tweak` flips one corner block
+  private def gradientPng(scale: Int = 1, tweak: Boolean = false): Array[Byte] =
+    encodeImage("png", 16 * scale, 16 * scale) { (x, y) =>
+      val gx = x / scale; val gy = y / scale
+      val v =
+        if (tweak && gx < 2 && gy < 2) 255
+        else math.min(255, (gx + gy) * 8)
+      (v << 16) | (v << 8) | v
+    }
+
+  test("dHash: scale-invariant on exact upscales, edit-sensitive") {
+    val base = dHash(ImageIoCodec.decode("image", gradientPng()))
+    // 2x nearest-neighbor upscale block-averages back to the same grid
+    val up = dHash(ImageIoCodec.decode("image", gradientPng(scale = 2)))
+    up shouldBe base
+    // one corner-block edit moves only a few gradient bits
+    val edited = dHash(ImageIoCodec.decode("image", gradientPng(tweak = true)))
+    val editDist = java.lang.Long.bitCount(base ^ edited)
+    editDist should be > 0
+    editDist should be <= 6
+    // an anti-diagonal gradient reverses most row gradients
+    val reversed = dHash(ImageIoCodec.decode("image",
+      encodeImage("png", 16, 16) { (x, y) =>
+        val v = math.min(255, ((15 - x) + y) * 8); (v << 16) | (v << 8) | v
+      }))
+    java.lang.Long.bitCount(base ^ reversed) should be >= 20
+  }
+
+  test("nearDupPairs: banded candidates find planted near-dups, never all-pairs") {
+    import spark.implicits._
+    val h0 = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, h0),
+      (2L, h0 ^ (1L << 7)), // 1 bit off doc 1
+      (3L, h0 ^ 0x00f0f0f0f0f0f0f0L), // far from everything
+      (4L, h0 ^ (1L << 62) ^ (1L << 3)) // 2 bits off doc 1
+    ).toDF("doc_id", "dhash")
+    val got = nearDupPairs(sigs, maxDist = 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect()
+    got shouldBe Array((1L, 2L, 1), (1L, 4L, 2), (2L, 4L, 3))
+    // pigeonhole recall: every 1-bit flip and a stride of 2-bit flips
+    // (bit pairs straddling band boundaries included) is always found
+    val flips = (0 until 64).map(i => h0 ^ (1L << i)) ++
+      (0 until 64).map(i => h0 ^ (1L << i) ^ (1L << ((i + 17) % 64)))
+    val many = (Seq((0L, h0)) ++ flips.zipWithIndex.map {
+      case (h, k) => ((k + 1).toLong, h)
+    }).toDF("doc_id", "dhash")
+    val found = nearDupPairs(many, maxDist = 2)
+      .filter(org.apache.spark.sql.functions.col("id_a") === 0L).count()
+    found shouldBe flips.length.toLong
+  }
 }
