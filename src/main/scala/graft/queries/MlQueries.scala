@@ -392,6 +392,91 @@ object MlQueries {
       // (Boost.train collects each argmax); the RETURNED model plan is a
       // union of local-relation selects — declaring the intent would
       // trip the staleness gate (the q_pca_power precedent)
+    },
+
+    // ---- Mahalanobis outliers per supplier over (quantity, price):
+    //      the MULTIVARIATE companion to q_outliers_mad — a row can be
+    //      normal in each margin yet far off the group's quantity-price
+    //      correlation ridge. Centered second moments Dxx/Dyy/Dxy are
+    //      exact int64 (headroom: n^2 * y_max^2 < 2^63 -> groups up to
+    //      ~29k rows at 1e5-range magnitudes; rescale y or sub-bucket
+    //      the key beyond); the quadratic form
+    //      d^2 = (Dyy*ndx^2 - 2*Dxy*ndx*ndy + Dxx*ndy^2) / det runs in
+    //      doubles with the IDENTICAL textual op order on both engines
+    //      (+,-,*,/ are IEEE-exact per op, so identical int64 inputs
+    //      give bit-identical results — no ln/sqrt anywhere), then
+    //      quantizes to 1e3 fp. Threshold: the marginals here are
+    //      BOUNDED uniforms, which cap d^2 near 6 (max dx^2/var = 3
+    //      per axis), so the textbook chi2(2, 0.999) = 13.8 cut flags
+    //      nothing by construction; the query uses 5.5 (chi2 CDF
+    //      1 - e^(-d2/2) = 0.936) to exercise the tail — production
+    //      callers pass their own cut for heavy-tailed data. Scale shape: one moment groupBy + one
+    //      co-partitioned join back on the group key — linear,
+    //      partial-aggregable, no window ----
+    QueryDef.sql(
+      "q_mahalanobis",
+      """WITH r AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM r GROUP BY l_suppkey
+        |), c AS (
+        |  SELECT l_suppkey, n, sx, sy,
+        |    n * sxx - sx * sx AS dxx,
+        |    n * syy - sy * sy AS dyy,
+        |    n * sxy - sx * sy AS dxy
+        |  FROM m WHERE n >= 30
+        |), s AS (
+        |  SELECT r.l_suppkey, r.l_orderkey, r.l_linenumber,
+        |    CAST(floor(
+        |      (CAST(c.dyy AS DOUBLE) * (c.n * r.x - c.sx) * (c.n * r.x - c.sx)
+        |       - 2e0 * CAST(c.dxy AS DOUBLE)
+        |         * (c.n * r.x - c.sx) * (c.n * r.y - c.sy)
+        |       + CAST(c.dxx AS DOUBLE) * (c.n * r.y - c.sy) * (c.n * r.y - c.sy))
+        |      / (CAST(c.dxx AS DOUBLE) * CAST(c.dyy AS DOUBLE)
+        |         - CAST(c.dxy AS DOUBLE) * CAST(c.dxy AS DOUBLE))
+        |      * 1e3) AS BIGINT) AS d2_fp
+        |  FROM r JOIN c USING (l_suppkey)
+        |  WHERE CAST(c.dxx AS DOUBLE) * CAST(c.dyy AS DOUBLE)
+        |        - CAST(c.dxy AS DOUBLE) * CAST(c.dxy AS DOUBLE) > 0e0
+        |)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, d2_fp
+        |FROM s WHERE d2_fp > 5500""".stripMargin
+    ) { (s, d) =>
+      val r = Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      val m = r.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 30)
+        .select(col("l_suppkey").as("sk"), col("n"), col("sx"), col("sy"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("dxx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("dyy"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("dxy"))
+      r.join(m, col("l_suppkey") === col("sk"))
+        .withColumn("det",
+          expr("CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE) " +
+            "- CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)"))
+        .filter(col("det") > 0d)
+        .withColumn("d2_fp",
+          expr("""CAST(floor(
+                 |  (CAST(dyy AS DOUBLE) * (n * x - sx) * (n * x - sx)
+                 |   - 2e0 * CAST(dxy AS DOUBLE) * (n * x - sx) * (n * y - sy)
+                 |   + CAST(dxx AS DOUBLE) * (n * y - sy) * (n * y - sy))
+                 |  / det * 1e3) AS BIGINT)""".stripMargin))
+        .filter(col("d2_fp") > 5500)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "d2_fp")
     }
   )
 }
