@@ -937,6 +937,103 @@ object TechQueries {
             sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
             .as("xcorr"))
     }.intendsNestedLoop(
-      "broadcast side is the constant 7-row lag frame")
+      "broadcast side is the constant 7-row lag frame"),
+
+    // ---- Linear-interpolation resample (pandas interpolate('linear')
+    //      parity): q_gap_fill's dense hourly spine, but gaps filled by
+    //      the line between the bracketing known ticks instead of
+    //      carry-forward. Exact integers end-to-end: values quantized
+    //      to 1e6 fp FIRST, time measured as the dense spine rank (gap
+    //      width == rank difference by construction), then
+    //      pv + ((nv - pv) * (t - pt)) div (nt - pt) — both engines
+    //      truncate toward zero, and known rows keep their exact value
+    //      (no drift through a fill). Edges (before the first / after
+    //      the last known tick) stay NULL, the pandas convention.
+    //      Scale shape: spine from a 5-row min/max agg exploded
+    //      executor-side; both bracketing scans are O(1)/row running
+    //      window passes riding ONE symbol exchange ----
+    QueryDef.sql(
+      "q_interp_linear",
+      """WITH bounds AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events GROUP BY event_type
+        |), spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM bounds
+        |), hourly AS (
+        |  SELECT event_type, hour_ts, v_fp FROM (
+        |    SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |      CAST(floor(value * 1e6) AS BIGINT) AS v_fp,
+        |      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1
+        |), g AS (
+        |  SELECT s.event_type, s.hour_ts, h.v_fp,
+        |    CAST(row_number() OVER (PARTITION BY s.event_type
+        |      ORDER BY s.hour_ts) AS BIGINT) AS t
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+        |), b AS (
+        |  SELECT event_type, hour_ts, v_fp, t,
+        |    last_value(v_fp IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v_fp IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v_fp IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v_fp IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |      ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM g
+        |)
+        |SELECT event_type, hour_ts, v_fp AS last_tick_fp,
+        |  CASE WHEN v_fp IS NOT NULL THEN v_fp
+        |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |       ELSE pv + ((nv - pv) * (t - pt)) // (nt - pt) END AS interp_fp,
+        |  CAST(v_fp IS NULL AS BIGINT) AS is_gap
+        |FROM b""".stripMargin
+    ) { (s, d) =>
+      val events = Tables.events(s, d)
+      val spine = events
+        .groupBy(col("event_type"))
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour_ts"))
+      val wHour = Window
+        .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = events
+        .withColumn("rn", row_number().over(wHour))
+        .filter(col("rn") === 1)
+        .select(col("event_type").as("h_type"),
+          date_trunc("hour", col("ts")).as("h_hour"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_fp"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = wOrd.rowsBetween(0, Window.unboundedFollowing)
+      spine
+        .join(hourly,
+          col("event_type") === col("h_type") && col("hour_ts") === col("h_hour"),
+          "left")
+        .select(col("event_type"), col("hour_ts"), col("v_fp"))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("pv", last(col("v_fp"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("v_fp").isNotNull, col("t")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v_fp"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("v_fp").isNotNull, col("t")),
+          ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("hour_ts"),
+          col("v_fp").as("last_tick_fp"),
+          expr("""CASE WHEN v_fp IS NOT NULL THEN v_fp
+                 |     WHEN pv IS NULL OR nv IS NULL THEN NULL
+                 |     ELSE pv + ((nv - pv) * (t - pt)) div (nt - pt)
+                 |END""".stripMargin).as("interp_fp"),
+          col("v_fp").isNull.cast("long").as("is_gap"))
+    }
   )
 }
