@@ -340,6 +340,112 @@ object AnalyticsQueries {
       .intendsGlobalWindow(
         "windowed frames are the three DISTINCT-VALUE grids (days, " +
           "order counts, 100-unit money buckets) — grid-bounded, never " +
-          "the customer table")
+          "the customer table"),
+
+    // ---- Two-proportion A/B z-test: variant = user_id parity (the
+    //      deterministic hash-split convention of q_split_sets),
+    //      conversion = the user purchased at least once. Counts are
+    //      exact int64 from ONE user-keyed agg + a 4-way conditional
+    //      agg to a single row; the pooled z statistic runs in doubles
+    //      with the IDENTICAL textual op order on both engines
+    //      (int64 -> double conversions and IEEE /,*,sqrt are
+    //      deterministic), then quantizes to 1e6 fp. Scale shape: one
+    //      shuffle on user_id, then scalar algebra on a 1-row frame ----
+    QueryDef.sql(
+      "q_ab_test",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), v AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM u
+        |)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  CAST(floor((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |    * 1e6) AS BIGINT) AS lift_fp,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+        |            AND c_a + c_b < n_a + n_b THEN
+        |    CAST(floor((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |      / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+        |             * (1e0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |             * (1e0 / n_a + 1e0 / n_b))
+        |      * 1e6) AS BIGINT)
+        |  END AS z_fp
+        |FROM v""".stripMargin
+    ) { (s, d) =>
+      val u = ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val v = u.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv").cast("long")).otherwise(0L))
+          .as("c_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv").cast("long")).otherwise(0L))
+          .as("c_b"))
+      v.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("CAST(floor((CAST(c_a AS DOUBLE) / n_a " +
+          "- CAST(c_b AS DOUBLE) / n_b) * 1e6) AS BIGINT)").as("lift_fp"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+               |          AND c_a + c_b < n_a + n_b THEN
+               |  CAST(floor((CAST(c_a AS DOUBLE) / n_a
+               |    - CAST(c_b AS DOUBLE) / n_b)
+               |    / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+               |           * (1e0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               |           * (1e0 / n_a + 1e0 / n_b))
+               |    * 1e6) AS BIGINT)
+               |END""".stripMargin).as("z_fp"))
+    },
+
+    // ---- Wilson lower-bound ranking of per-brand return rates: the
+    //      "how not to sort by average rating" estimator — a brand with
+    //      2/3 lines returned must rank below one with 200/300, which
+    //      the raw ratio gets backwards. Exact int64 (n, r) per brand
+    //      from one co-partitioned lineitem-part join + hash agg; the
+    //      Wilson bound (z = 1.96) runs in doubles with identical
+    //      textual op order (IEEE /,*,sqrt on exact int64 inputs),
+    //      quantized to 1e6 fp ----
+    QueryDef.sql(
+      "q_wilson",
+      """WITH b AS (
+        |  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand
+        |)
+        |SELECT p_brand, n, r,
+        |  CAST(floor(
+        |    (CAST(r AS DOUBLE) / n + 38416e-4 / (2e0 * n)
+        |     - 196e-2 * sqrt((CAST(r AS DOUBLE) / n
+        |                      * (1e0 - CAST(r AS DOUBLE) / n)) / n
+        |                     + 38416e-4 / (4e0 * n * n)))
+        |    / (1e0 + 38416e-4 / n) * 1e6) AS BIGINT) AS wilson_fp
+        |FROM b WHERE n > 0""".stripMargin
+    ) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_returnflag"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      b.filter(col("n") > 0)
+        .select(col("p_brand"), col("n"), col("r"),
+          expr("""CAST(floor(
+                 |  (CAST(r AS DOUBLE) / n + 38416e-4 / (2e0 * n)
+                 |   - 196e-2 * sqrt((CAST(r AS DOUBLE) / n
+                 |                    * (1e0 - CAST(r AS DOUBLE) / n)) / n
+                 |                   + 38416e-4 / (4e0 * n * n)))
+                 |  / (1e0 + 38416e-4 / n) * 1e6) AS BIGINT)""".stripMargin)
+            .as("wilson_fp"))
+    }
   )
 }
