@@ -1637,6 +1637,72 @@ object DataPrepQueries {
           count(lit(1)).as("distinct_chars"),
           expr("sum(cast(floor(cnt * ln(cast(n as double) / cnt) * 1e6) " +
             "as bigint)) div max(n)").as("entropy_fp"))
-    }
+    },
+
+    // ---- Quantile normalization of per-source doc-length
+    //      distributions (the microarray-normalization classic, here
+    //      the de-biasing step before cross-source length-based
+    //      curation): each (source, n_chars) maps to the GLOBAL length
+    //      distribution's exact order statistic at the same relative
+    //      rank — idx = ceil(cum_grp * N / m) in pure integers, the
+    //      pick via a range probe C(v') - cnt' < idx <= C(v') on the
+    //      global CDF. EVERYTHING runs on the DISTINCT-VALUE grid (the
+    //      q_decile_bucket/q_rfm convention): windows and the non-equi
+    //      probe touch only grid rows — value-range-bounded, never the
+    //      corpus — so the corpus itself is one hash agg in, one
+    //      equi-join out ----
+    QueryDef.sql(
+      "q_quantile_norm",
+      """WITH sg AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY source, n_chars
+        |), sgc AS (
+        |  SELECT source, n_chars, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM sg
+        |), gg AS (
+        |  SELECT n_chars AS gv, CAST(count(*) AS BIGINT) AS gcnt
+        |  FROM documents GROUP BY n_chars
+        |), ggc AS (
+        |  SELECT gv, gcnt,
+        |    CAST(sum(gcnt) OVER (ORDER BY gv) AS BIGINT) AS gcum,
+        |    CAST(sum(gcnt) OVER () AS BIGINT) AS n
+        |  FROM gg
+        |)
+        |SELECT s.source, s.n_chars, s.cnt,
+        |  g.gv AS norm_chars
+        |FROM sgc s JOIN ggc g
+        |  ON g.gcum - g.gcnt < (s.cum * g.n + s.m - 1) // s.m
+        | AND (s.cum * g.n + s.m - 1) // s.m <= g.gcum""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select("source", "n_chars")
+      val sg = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("source"))
+      val sgc = sg
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("m", sum(col("cnt")).over(wAll))
+      val gg = docs.groupBy(col("n_chars").as("gv"))
+        .agg(count(lit(1)).as("gcnt"))
+      val gwCum = Window.orderBy(col("gv"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val ggc = gg
+        .withColumn("gcum", sum(col("gcnt")).over(gwCum))
+        .crossJoin(broadcast(gg.agg(sum(col("gcnt")).as("n"))))
+      val idx = expr("(cum * n + m - 1) div m")
+      sgc.join(broadcast(ggc),
+          (col("gcum") - col("gcnt") < idx) && (idx <= col("gcum")))
+        .select(col("source"), col("n_chars"), col("cnt"),
+          col("gv").as("norm_chars"))
+    }.intendsNestedLoop(
+      "range probe against the broadcast DISTINCT-VALUE global CDF " +
+        "grid — value-range-bounded, never the corpus")
+      .intendsGlobalWindow(
+        "the global cumulative window runs over the DISTINCT-VALUE " +
+          "grid, value-range-bounded, never the corpus")
   )
 }
