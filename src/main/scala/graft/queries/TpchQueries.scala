@@ -1001,6 +1001,108 @@ object TpchQueries {
         .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
           coalesce(col("n_name"), lit("ALL")).as("nation_name"),
           col("revenue"), col("n_lines"))
+    },
+
+    // ---- Gini coefficient of supplier-revenue concentration per
+    //      nation (the Lorenz-curve inequality audit — "is this
+    //      nation's trade dominated by a few suppliers?"). Exact
+    //      integers end-to-end: revenue in whole currency units (cent
+    //      precision is noise at inequality granularity and buys 100x
+    //      headroom), the rank-form identity
+    //      G = (2*Σ(i*x_i) - (n+1)*Σx_i) * 1e6 div (n*Σx_i) with i the
+    //      ascending revenue rank (suppkey tie-break). Headroom: the
+    //      scaled numerator is bounded by n*Σx*1e6 < 2^63 — safe to
+    //      ~9e12 revenue-units per nation (≈ sf1 density ×400); lower
+    //      the 1e6 scale or rescale units beyond, the exactness scheme
+    //      is unchanged. Scale shape: one lineitem hash agg, a
+    //      broadcast supplier-dim join, a NATION-partitioned rank
+    //      window over the supplier aggregate (dim-sized, not
+    //      fact-sized), one moment agg per nation ----
+    QueryDef.sql(
+      "q_gini",
+      """WITH rev AS (
+        |  SELECT s.s_nationkey, l.l_suppkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice) AS BIGINT))
+        |      AS BIGINT) AS units
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY s.s_nationkey, l.l_suppkey
+        |), rk AS (
+        |  SELECT s_nationkey, units,
+        |    CAST(row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY units, l_suppkey) AS BIGINT) AS i
+        |  FROM rev
+        |)
+        |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(units) AS BIGINT) AS total_units,
+        |  (2 * CAST(sum(i * units) AS BIGINT)
+        |   - (count(*) + 1) * CAST(sum(units) AS BIGINT)) * 1000000
+        |    // (count(*) * CAST(sum(units) AS BIGINT)) AS gini_fp
+        |FROM rk GROUP BY s_nationkey
+        |HAVING CAST(sum(units) AS BIGINT) > 0""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice) AS BIGINT)")
+            .as("units0"))
+        .groupBy(col("l_suppkey")).agg(sum(col("units0")).as("units"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("units"), col("l_suppkey"))
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("units")).as("total_units"),
+          sum(col("i") * col("units")).as("sic"))
+        .filter(col("total_units") > 0)
+        .select(col("s_nationkey"), col("n_suppliers"), col("total_units"),
+          expr("(2 * sic - (n_suppliers + 1) * total_units) * 1000000 " +
+            "div (n_suppliers * total_units)").as("gini_fp"))
+    },
+
+    // ---- Herfindahl-Hirschman market-concentration index per nation:
+    //      the antitrust-screen companion to q_gini — HHI = Σ share_i²
+    //      with share_i the supplier's basis-point revenue share. Each
+    //      share quantizes FIRST (rev*1e4 div total — exact integer,
+    //      order-independent), then squares and sums, so both engines
+    //      agree bit-for-bit; HHI lands on the familiar 0..1e8 scale
+    //      (10000² = monopoly). Same scale shape as q_gini minus the
+    //      window: two hash aggs and a broadcast dim join ----
+    QueryDef.sql(
+      "q_hhi",
+      """WITH rev AS (
+        |  SELECT s.s_nationkey, l.l_suppkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY s.s_nationkey, l.l_suppkey
+        |), tot AS (
+        |  SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS total
+        |  FROM rev GROUP BY s_nationkey
+        |)
+        |SELECT r.s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(((r.cents * 10000) // t.total)
+        |            * ((r.cents * 10000) // t.total)) AS BIGINT) AS hhi
+        |FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+        |WHERE t.total > 0
+        |GROUP BY r.s_nationkey""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)")
+            .as("cents0"))
+        .groupBy(col("l_suppkey")).agg(sum(col("cents0")).as("cents"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+      val tot = rev.groupBy(col("s_nationkey").as("nk"))
+        .agg(sum(col("cents")).as("total"))
+      rev.join(tot, col("s_nationkey") === col("nk") && col("total") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("((cents * 10000) div total) * ((cents * 10000) div total)"))
+            .as("hhi"))
     }
   )
 }
