@@ -1034,6 +1034,55 @@ object TechQueries {
                  |     ELSE pv + ((nv - pv) * (t - pt)) div (nt - pt)
                  |END""".stripMargin).as("interp_fp"),
           col("v_fp").isNull.cast("long").as("is_gap"))
+    },
+
+    // ---- Longest up-tick streaks per symbol (gaps-and-islands): the
+    //      momentum-persistence diagnostic, and the canonical
+    //      consecutive-runs operator family (sessionization's
+    //      row-adjacency twin). Island id = rn − rank-among-up-rows —
+    //      constant along each maximal run of strict up-ticks
+    //      (value > prev; ties and the first row break runs). All
+    //      integer set algebra on TWO windows + one agg riding the
+    //      SAME symbol exchange; streak rows collapse to per-symbol
+    //      (max, count>=3) scalars ----
+    QueryDef.sql(
+      "q_streak",
+      """WITH t AS (
+        |  SELECT event_type AS symbol, ts, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |    CASE WHEN value > lag(value) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) THEN 1 ELSE 0 END AS up
+        |  FROM events
+        |), u AS (
+        |  SELECT symbol, rn,
+        |    rn - CAST(row_number() OVER (PARTITION BY symbol
+        |      ORDER BY rn) AS BIGINT) AS grp
+        |  FROM t WHERE up = 1
+        |), runs AS (
+        |  SELECT symbol, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM u GROUP BY symbol, grp
+        |)
+        |SELECT symbol, max(len) AS max_streak,
+        |  CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_streaks_ge3
+        |FROM runs GROUP BY symbol""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, d)
+        .select(col("event_type").as("symbol"), col("ts"), col("event_id"),
+          col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("up",
+          when(col("value") > lag(col("value"), 1).over(w), 1).otherwise(0))
+      val wu = Window.partitionBy(col("symbol")).orderBy(col("rn"))
+      val runs = t.filter(col("up") === 1)
+        .withColumn("grp", col("rn") - row_number().over(wu).cast("long"))
+        .groupBy(col("symbol"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy(col("symbol"))
+        .agg(max(col("len")).as("max_streak"),
+          sum(when(col("len") >= 3, 1L).otherwise(0L)).as("n_streaks_ge3"))
     }
   )
 }
