@@ -49,6 +49,15 @@ object Bfs {
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
     val e = materialize(e0.repartition(p, col("src")))
     e0.unpersist()
+    expand(e, seeds, maxHops)
+    } // withWidth
+  }
+
+  /** The level-synchronous expansion over an already-pinned edge frame
+    * `e` (src, dst) — shared by [[run]] and [[doubleSweep]].
+    */
+  private[ops] def expand(
+      e: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     var frontier = materialize(
       seeds.toDF("node").distinct().withColumn("hop", lit(0)))
     var visited = frontier
@@ -68,6 +77,45 @@ object Bfs {
       visited = grown
     }
     visited
+  }
+
+  /** Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS from
+    * the md5-min node, then BFS again from the farthest node found —
+    * the standard 2-pass estimator whose second eccentricity is a
+    * tight diameter lower bound in practice. One row:
+    * (start_node, end_node, diameter_lb), where end_node is the
+    * (hop DESC, node) argmax of the second sweep. Both argmaxes are
+    * TakeOrdered-shaped limits, the seed is a pure function of the
+    * data, and the pinned edge frame is shared by both sweeps — two
+    * frontier-sized passes total, no all-pairs work. On a disconnected
+    * graph the bound covers the seed's component (documented estimator
+    * semantics).
+    */
+  def doubleSweep(
+      edges: DataFrame, maxHops: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(maxHops >= 1)
+    val e0 = materialize(
+      edges.select(col(src).as("src"), col(dst).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
+    val e = materialize(e0.repartition(p, col("src")))
+    e0.unpersist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val s1 = nodes
+      .orderBy(md5(col("node")), col("node")).limit(1)
+    val sweep1 = expand(e, s1, maxHops)
+    val far1 = sweep1.orderBy(col("hop").desc, col("node")).limit(1)
+      .select(col("node"))
+    val sweep2 = expand(e, far1, maxHops)
+    sweep2.orderBy(col("hop").desc, col("node")).limit(1)
+      .select(col("node").as("end_node"), col("hop").as("diameter_lb"))
+      .crossJoin(broadcast(
+        s1.select(col("node").as("start_node"))))
+      .select(col("start_node"), col("end_node"),
+        col("diameter_lb").cast("long").as("diameter_lb"))
     } // withWidth
   }
 
@@ -76,23 +124,61 @@ object Bfs {
     * twin of [[run]]; kept adjacent so the two cannot drift. Ends
     * selecting (node, hop).
     */
-  def oracleSql(maxHops: Int): String = {
+  def oracleSql(maxHops: Int): String =
+    s"""be AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM graft_edges WHERE src <> dst
+       |),
+       |""".stripMargin +
+      expandCtes(maxHops, prefix = "", edges = "be",
+        seeds = "graft_bfs_seeds") +
+      s"\nSELECT node, hop FROM vis$maxHops"
+
+  /** The unrolled expansion CTE chain only (no edge CTE, no final
+    * SELECT), with every CTE name prefixed — so two sweeps can chain in
+    * one statement ([[doubleSweep]]'s oracle). Ends defining
+    * `<prefix>vis<maxHops>` (node, hop).
+    */
+  def expandCtes(
+      maxHops: Int, prefix: String, edges: String, seeds: String): String = {
     val head =
-      """be AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM graft_edges WHERE src <> dst
-        |), vis0 AS (SELECT DISTINCT node, 0 AS hop FROM graft_bfs_seeds)""".stripMargin
+      s"""${prefix}vis0 AS (SELECT DISTINCT node, 0 AS hop FROM $seeds)"""
     val steps = (1 to maxHops).map { t =>
-      s"""nxt$t AS MATERIALIZED (
-         |  SELECT DISTINCT be.dst AS node, $t AS hop
-         |  FROM vis${t - 1} f JOIN be ON be.src = f.node
+      s"""${prefix}nxt$t AS MATERIALIZED (
+         |  SELECT DISTINCT $edges.dst AS node, $t AS hop
+         |  FROM ${prefix}vis${t - 1} f JOIN $edges ON $edges.src = f.node
          |  WHERE f.hop = ${t - 1}
-         |    AND be.dst NOT IN (SELECT node FROM vis${t - 1})
-         |), vis$t AS MATERIALIZED (
-         |  SELECT node, hop FROM vis${t - 1}
-         |  UNION ALL SELECT node, hop FROM nxt$t
+         |    AND $edges.dst NOT IN (SELECT node FROM ${prefix}vis${t - 1})
+         |), ${prefix}vis$t AS MATERIALIZED (
+         |  SELECT node, hop FROM ${prefix}vis${t - 1}
+         |  UNION ALL SELECT node, hop FROM ${prefix}nxt$t
          |)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
-      s"\nSELECT node, hop FROM vis$maxHops"
+    (head +: steps).mkString(",\n")
   }
+
+  /** Oracle twin of [[doubleSweep]] over `graft_edges` (src, dst):
+    * md5-min seed, two chained unrolled expansions, argmaxes as
+    * (hop DESC, node) LIMIT 1 — kept adjacent so the two cannot drift.
+    * Ends selecting (start_node, end_node, diameter_lb).
+    */
+  def doubleSweepOracleSql(maxHops: Int): String =
+    s"""de AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM graft_edges WHERE src <> dst
+       |), dn AS (
+       |  SELECT src AS node FROM de UNION SELECT dst FROM de
+       |), ds1 AS (
+       |  SELECT node FROM dn ORDER BY md5(node), node LIMIT 1
+       |),
+       |""".stripMargin +
+      expandCtes(maxHops, prefix = "da", edges = "de", seeds = "ds1") +
+      s""",
+         |df1 AS (
+         |  SELECT node FROM davis$maxHops ORDER BY hop DESC, node LIMIT 1
+         |),
+         |""".stripMargin +
+      expandCtes(maxHops, prefix = "db", edges = "de", seeds = "df1") +
+      s"""
+         |SELECT (SELECT node FROM ds1) AS start_node, node AS end_node,
+         |  CAST(hop AS BIGINT) AS diameter_lb
+         |FROM dbvis$maxHops ORDER BY hop DESC, node LIMIT 1""".stripMargin
 }

@@ -1703,6 +1703,42 @@ object DataPrepQueries {
         "grid — value-range-bounded, never the corpus")
       .intendsGlobalWindow(
         "the global cumulative window runs over the DISTINCT-VALUE " +
-          "grid, value-range-bounded, never the corpus")
+          "grid, value-range-bounded, never the corpus"),
+
+    // ---- Flesch-Kincaid readability grade per doc, EXACT integers:
+    //      words from the whitespace split, syllables as vowel-group
+    //      counts ([aeiouy]+ — the standard heuristic; the simple
+    //      character class behaves identically in Java regex and RE2),
+    //      and the grade at 1e2 fp is pure integer algebra:
+    //      39*W + (1180*Y) div W - 1559 (the 0.39/11.8/15.59
+    //      coefficients are exact at the 1e2 scale). The synthetic
+    //      corpus has no sentence punctuation, so S degenerates to 1
+    //      (documented; the formula carries W/S as W — real corpora
+    //      slot their sentence splitter into the same shape). Row-local
+    //      expressions only: linear, no shuffle before the output ----
+    QueryDef.sql(
+      "q_readability",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  39 * CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    + (1180 * CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+        |       AS BIGINT))
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    - 1559 AS fk_grade_fp
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 1""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("n_syllables"))
+        .filter(col("n_words") >= 1)
+        .select(col("doc_id"), col("n_words"), col("n_syllables"),
+          expr("39 * n_words + (1180 * n_syllables) div n_words - 1559")
+            .as("fk_grade_fp"))
+    }
   )
 }

@@ -207,6 +207,31 @@ object RankQueries {
       Closeness.run(fwd.union(rev), seeds, maxHops = 4)
     },
 
+    // ---- Graph diameter lower bound by double-sweep BFS
+    //      (Magnien-Latapy-Habib — see ops.Bfs.doubleSweep): BFS from
+    //      the md5-min node, re-sweep from the farthest node found.
+    //      Two frontier-sized passes over the ONE pinned edge
+    //      partitioning; both argmaxes are TakeOrdered limits. The
+    //      "how many hops across the trade graph" structural audit
+    //      next to the centrality rows ----
+    QueryDef.sql(
+      "q_diameter",
+      s"WITH graft_edges AS (\n$edgesDuck\n),\n" +
+        Bfs.doubleSweepOracleSql(maxHops = 6)
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      Bfs.doubleSweep(fwd.union(rev), maxHops = 6)
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row start-seed frame"),
+
     // ---- BM25 top-5 per query (k1=1.2, b=0.75, Robertson-style
     //      idf = ln(1 + (N - df + 0.5)/(df + 0.5))). The query
     //      workload is derived from the corpus itself (top-30

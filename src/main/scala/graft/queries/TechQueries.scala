@@ -1083,6 +1083,72 @@ object TechQueries {
       runs.groupBy(col("symbol"))
         .agg(max(col("len")).as("max_streak"),
           sum(when(col("len") >= 3, 1L).otherwise(0L)).as("n_streaks_ge3"))
+    },
+
+    // ---- Sharpe ratio per symbol (risk-free rate 0): mean over std of
+    //      per-tick simple returns — THE risk-adjusted-performance
+    //      scalar next to q_max_drawdown. Returns are exact integers
+    //      r_fp = ((c - prev) * 1e6) div prev over cents, WINSORIZED
+    //      the standard way: sub-$1 prevs excluded (penny-tick ratio
+    //      blowups) and r clamped to +-100% — the synthetic feed jumps
+    //      orders of magnitude tick-to-tick, and unclamped r^2 sums
+    //      overflow int64 (found by the ANSI overflow gate, loudly).
+    //      Post-clamp headroom: n * 1e12 < 2^63 -> ~9e6 ticks/symbol.
+    //      The final mean/sqrt(var) runs in identical-textual-op-order
+    //      doubles, 1e4 fp. One symbol exchange: lag window + moment
+    //      groupBy ride it together ----
+    QueryDef.sql(
+      "q_sharpe",
+      """WITH c AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT symbol,
+        |    greatest(-1000000, least(1000000,
+        |      ((cents - pc) * 1000000) // pc)) AS r_fp
+        |  FROM (
+        |    SELECT symbol, cents,
+        |      lag(cents) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS pc
+        |    FROM c)
+        |  WHERE pc >= 100
+        |), m AS (
+        |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r_fp) AS BIGINT) AS s,
+        |    CAST(sum(r_fp * r_fp) AS BIGINT) AS s2
+        |  FROM r GROUP BY symbol
+        |)
+        |SELECT symbol, n,
+        |  CASE WHEN n >= 2 AND CAST(s2 AS DOUBLE) / n
+        |            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0e0
+        |  THEN CAST(floor(CAST(s AS DOUBLE) / n
+        |    / sqrt(CAST(s2 AS DOUBLE) / n
+        |           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |    * 1e4) AS BIGINT)
+        |  END AS sharpe_fp
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("event_id"))
+      val r = Tables.events(s, d)
+        .select(col("event_type").as("symbol"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("cents"))
+        .withColumn("pc", lag(col("cents"), 1).over(w))
+        .filter(col("pc") >= 100)
+        .select(col("symbol"),
+          expr("greatest(-1000000, least(1000000, " +
+            "((cents - pc) * 1000000) div pc))").as("r_fp"))
+      r.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"), sum(col("r_fp")).as("s"),
+          sum(col("r_fp") * col("r_fp")).as("s2"))
+        .select(col("symbol"), col("n"),
+          expr("""CASE WHEN n >= 2 AND CAST(s2 AS DOUBLE) / n
+                 |          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                 |          > 0e0
+                 |THEN CAST(floor(CAST(s AS DOUBLE) / n
+                 |  / sqrt(CAST(s2 AS DOUBLE) / n
+                 |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 |  * 1e4) AS BIGINT)
+                 |END""".stripMargin).as("sharpe_fp"))
     }
   )
 }
