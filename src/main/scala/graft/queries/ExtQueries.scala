@@ -827,6 +827,57 @@ object ExtQueries {
     }.intendsNestedLoop(
       "broadcast side is the single-row min/max stats frame"),
 
+    // ---- Hilbert-curve clustering key over the same (value, event_id)
+    //      plane: the locality-BETTER layout sibling of q_zorder —
+    //      adjacent curve positions are adjacent cells (unit steps, no
+    //      Morton quadrant jumps), so range scans along the sort key
+    //      touch tighter spatial blocks (HilbertSpec pins the
+    //      adjacency property). The 16-step xy2d walk expands from ONE
+    //      per-step arithmetic source (ops.Hilbert; XOR spelled
+    //      arithmetically — `^` is POWER in DuckDB) into Spark's
+    //      lateral-alias chain AND the oracle's chained CTEs — the CTE
+    //      boundaries are load-bearing there: DuckDB inlines lateral
+    //      aliases textually and the chained form explodes to a ~3^16
+    //      expression tree (measured, minutes of planning). Same
+    //      broadcast single-row stats normalization as q_zorder ----
+    QueryDef.sql(
+      "q_hilbert",
+      s"""WITH st AS (
+         |  SELECT min(value) AS xmn, max(value) AS xmx,
+         |         min(CAST(event_id AS DOUBLE)) AS ymn,
+         |         max(CAST(event_id AS DOUBLE)) AS ymx
+         |  FROM events
+         |), c AS (
+         |  SELECT event_id,
+         |    CASE WHEN xmx = xmn THEN 0
+         |         ELSE least(65535, CAST(floor((value - xmn) * 65536e0
+         |           / (xmx - xmn)) AS BIGINT)) END AS xc,
+         |    CASE WHEN ymx = ymn THEN 0
+         |         ELSE least(65535, CAST(floor((CAST(event_id AS DOUBLE) - ymn)
+         |           * 65536e0 / (ymx - ymn)) AS BIGINT)) END AS yc
+         |  FROM events, st
+         |),
+         |${graft.ops.Hilbert.stepCtes("c", Seq("event_id", "xc", "yc"))}
+         |SELECT event_id, xc, yc, hval FROM hfin""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.{Hilbert, ZOrder}
+      val ev = Tables.events(s, d)
+      val stats = ev.agg(
+        min(col("value").cast("double")).as("xmn"),
+        max(col("value").cast("double")).as("xmx"),
+        min(col("event_id").cast("double")).as("ymn"),
+        max(col("event_id").cast("double")).as("ymx"))
+      ev.select("event_id", "value")
+        .crossJoin(broadcast(stats))
+        .withColumn("xc", ZOrder.cell16(col("value"), col("xmn"), col("xmx")))
+        .withColumn("yc", ZOrder.cell16(col("event_id"), col("ymn"), col("ymx")))
+        .select(col("event_id"), col("xc"), col("yc"))
+        .selectExpr(Seq("event_id", "xc", "yc") ++
+          Hilbert.lateralColsSeq("xc", "yc") :+ "hd0 AS hval": _*)
+        .select("event_id", "xc", "yc", "hval")
+    }.intendsNestedLoop(
+      "broadcast side is the single-row min/max stats frame"),
+
     // ---- 3-dimensional z-order: 21-bit cells over (value, event_id,
     //      ts-seconds) interleaved into one 63-bit Morton key — the
     //      layout key for a table filtered on any of THREE dimensions
