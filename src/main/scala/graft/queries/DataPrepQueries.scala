@@ -986,6 +986,72 @@ object DataPrepQueries {
           expr("approx_percentile(value, 0.95D, 10000)").as("p95"))
     },
 
+    // ---- EXACT interpolated quantiles, DISTRIBUTED: the third leg of
+    //      the quantile trio — q_quantiles' numbers without its
+    //      buffer-every-value aggregation state (the scale hazard its
+    //      own doc note flags) and without q_quantiles_approx's error.
+    //      Shape: rank rows inside each group (partitioned window, one
+    //      group exchange), pick the two bracketing order statistics
+    //      per (group, p) via broadcast equi-joins against a
+    //      #groups×#ps pick frame, interpolate row-locally. h =
+    //      p*(n-1), v_lo + (v_hi - v_lo)*(h - floor(h)) in IDENTICAL
+    //      textual op order both engines (the interpolation convention
+    //      is stated by the oracle itself, not borrowed from
+    //      quantile_cont internals). Element picks, so memory is
+    //      O(1)/row at any group size ----
+    QueryDef.sql(
+      "q_quantiles_dist",
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events
+        |), p AS (
+        |  SELECT * FROM (VALUES ('p25', 25e-2), ('p50', 5e-1),
+        |                        ('p75', 75e-2), ('p95', 95e-2)) t(lbl, pv)
+        |), k AS (
+        |  SELECT DISTINCT r.event_type, r.n, p.lbl, p.pv,
+        |    CAST(floor(p.pv * (r.n - 1)) AS BIGINT) + 1 AS lo,
+        |    least(CAST(floor(p.pv * (r.n - 1)) AS BIGINT) + 2, r.n) AS hi,
+        |    p.pv * (r.n - 1) - floor(p.pv * (r.n - 1)) AS frac
+        |  FROM (SELECT DISTINCT event_type, n FROM r) r CROSS JOIN p
+        |)
+        |SELECT k.event_type, k.lbl, k.n,
+        |  vl.value + (vh.value - vl.value) * k.frac AS q
+        |FROM k
+        |JOIN r vl ON vl.event_type = k.event_type AND vl.rk = k.lo
+        |JOIN r vh ON vh.event_type = k.event_type AND vh.rk = k.hi""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val r = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val p = s.createDataFrame(Seq(
+        ("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)))
+        .toDF("lbl", "pv")
+      val k = r.select("event_type", "n").distinct()
+        .crossJoin(broadcast(p))
+        .select(col("event_type"), col("n"), col("lbl"), col("pv"),
+          (floor(col("pv") * (col("n") - 1)).cast("long") + 1).as("lo"),
+          least(floor(col("pv") * (col("n") - 1)).cast("long") + 2, col("n"))
+            .as("hi"),
+          (col("pv") * (col("n") - 1) - floor(col("pv") * (col("n") - 1)))
+            .as("frac"))
+      val vl = r.select(col("event_type").as("et_l"), col("rk").as("rk_l"),
+        col("value").as("v_lo"))
+      val vh = r.select(col("event_type").as("et_h"), col("rk").as("rk_h"),
+        col("value").as("v_hi"))
+      k.join(vl, col("event_type") === col("et_l") && col("lo") === col("rk_l"))
+        .join(vh, col("event_type") === col("et_h") && col("hi") === col("rk_h"))
+        .select(col("event_type"), col("lbl"), col("n"),
+          (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac")).as("q"))
+    }.intendsNestedLoop(
+      "broadcast side is the constant 4-row percentile frame"),
+
     // ---- M1: per-key min-max normalization ----
     QueryDef.sql(
       "q_minmax_norm",
