@@ -1103,6 +1103,45 @@ object TpchQueries {
         .agg(count(lit(1)).as("n_suppliers"),
           sum(expr("((cents * 10000) div total) * ((cents * 10000) div total)"))
             .as("hhi"))
+    },
+
+    // ---- Incremental JOIN-view maintenance (see ops.JoinIvm): the
+    //      per-(nation, priority) order-revenue view kept current as
+    //      BOTH relations arrive in interleaved delta batches (orders
+    //      in 3, customers in 2, one orders-only step) — the
+    //      counting-algorithm decomposition ΔA⋈(B∪ΔB) ∪ A⋈ΔB, history
+    //      never re-joined. The oracle states the full recompute, so
+    //      the hash-match proves the decomposition ----
+    QueryDef.sql(
+      "q_join_ivm",
+      """SELECT c_nationkey, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+        |    AS BIGINT) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey, o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.JoinIvm
+      val ords = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderpriority"),
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT)").as("cents"))
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"), col("c_nationkey"), col("c_custkey"))
+      def oStep(i: Int) =
+        ords.filter(pmod(col("o_orderkey"), lit(3)) === i).drop("o_orderkey")
+      def cStep(i: Int) = cust.filter(pmod(col("c_custkey"), lit(2)) === i)
+        .drop("c_custkey")
+      JoinIvm.maintain(
+        Seq(
+          (oStep(0), cStep(0)),
+          (oStep(1), cStep(1)),
+          (oStep(2), cStep(0).limit(0))),
+        key = "custkey",
+        viewKeys = Seq("c_nationkey", "o_orderpriority"),
+        value = col("cents"))
+        .select(col("c_nationkey"), col("o_orderpriority"), col("n"),
+          col("total"))
     }
   )
 }
