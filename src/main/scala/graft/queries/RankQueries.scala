@@ -425,6 +425,75 @@ object RankQueries {
         .limit(20)
     },
 
+    // ---- Local clustering coefficient per part: how CLIQUE-LIKE each
+    //      node's neighborhood is — cc(v) = 2*T_v / (deg_v*(deg_v-1)),
+    //      the standard small-world diagnostic completing the triangle
+    //      tier. Same support-pruned co-occurrence graph and
+    //      degree-ordered triangle enumeration as q_triangles
+    //      (ops.Triangles); degrees from one hash agg; the ratio is
+    //      pure integer fp (2*T*1e6 div (d*(d-1))). Zero-triangle
+    //      nodes keep cc = 0 via the left join ----
+    QueryDef.sql(
+      "q_clustering_coef",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), de AS (
+        |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |              THEN a ELSE b END AS src,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |              THEN b ELSE a END AS dst
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        |), tri AS (
+        |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+        |  FROM de w1 JOIN de w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+        |  WHERE EXISTS (SELECT 1 FROM de c
+        |                WHERE c.src = w1.dst AND c.dst = w2.dst)
+        |), tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY node
+        |)
+        |SELECT deg.node AS part, deg.dg,
+        |  COALESCE(tn.n_tri, 0) AS n_tri,
+        |  (2 * COALESCE(tn.n_tri, 0) * 1000000) // (deg.dg * (deg.dg - 1))
+        |    AS cc_fp
+        |FROM deg LEFT JOIN tn ON tn.node = deg.node
+        |WHERE deg.dg >= 2""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val tn = graft.ops.Triangles.perNode(e)
+        .select(col("node").as("tnode"), col("n_tri"))
+      deg.filter(col("dg") >= 2)
+        .join(tn, col("node") === col("tnode"), "left")
+        .select(col("node").as("part"), col("dg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("(2 * COALESCE(n_tri, 0) * 1000000) div (dg * (dg - 1))")
+            .as("cc_fp"))
+    },
+
     // ---- Frequent-pair mining with lift (association rules without the
     //      FP-tree: at 100 TB, candidate pairs from a per-basket
     //      self-join + one groupBy IS the scalable plan — baskets are
