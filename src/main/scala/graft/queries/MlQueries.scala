@@ -477,6 +477,62 @@ object MlQueries {
                  |  / det * 1e3) AS BIGINT)""".stripMargin))
         .filter(col("d2_fp") > 5500)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "d2_fp")
+    },
+
+    // ---- closed-form ridge regression (2 features + intercept) ----
+    //
+    // Multivariate linear model fit in ONE distributed pass: the 3x3
+    // normal-equation system (X'X + lambda*I_noint) b = X'y is assembled
+    // from nine exact fixed-point moments (one hash aggregation over one
+    // lineitem scan — the map-side-combining shape that survives any row
+    // count), then solved on the 1-row moment frame by Cramer's rule.
+    // lambda = 1e0 penalizes the two slope coefficients, not the
+    // intercept (standard ridge convention).
+    //
+    // Cross-engine exactness: BOTH engines execute the SAME SQL text, so
+    // the moment doubles are identical (fixed-point sums) and every
+    // subsequent +,-,*,/ is a correctly-rounded IEEE op applied in an
+    // identical expression tree. Features are pre-scaled (qs = qty/1e1,
+    // y = price/1e4) so each quantized term stays <= ~2.5e7/row; the
+    // [[Num]] 2^53 caller contract then holds through ~4e8 rows (sf10+).
+    QueryDef.sql("q_ridge", MlQueries.ridgeSql("lineitem")) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_ridge_li_v")
+      s.sql(MlQueries.ridgeSql("graft_ridge_li_v"))
     }
   )
+
+  /** Shared Spark/DuckDB SQL for q_ridge (see the QueryDef comment). */
+  def ridgeSql(lineitem: String): String =
+    s"""WITH feat AS (
+       |  SELECT l_quantity / 1e1 AS qs, l_discount AS dc,
+       |    l_extendedprice / 1e4 AS y
+       |  FROM $lineitem
+       |), m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    ${Num.dsumSql("qs")} AS s1, ${Num.dsumSql("dc")} AS s2,
+       |    ${Num.dsumSql("qs * qs")} AS s11,
+       |    ${Num.dsumSql("qs * dc")} AS s12,
+       |    ${Num.dsumSql("dc * dc")} AS s22,
+       |    ${Num.dsumSql("y")} AS sy,
+       |    ${Num.dsumSql("qs * y")} AS s1y,
+       |    ${Num.dsumSql("dc * y")} AS s2y
+       |  FROM feat
+       |), r AS (
+       |  SELECT n, s1, s2, s11 + 1e0 AS a11, s12, s22 + 1e0 AS a22,
+       |    sy, s1y, s2y
+       |  FROM m
+       |), dd AS (
+       |  SELECT n, s1, s2, a11, s12, a22, sy, s1y, s2y,
+       |    n * (a11 * a22 - s12 * s12) - s1 * (s1 * a22 - s12 * s2)
+       |      + s2 * (s1 * s12 - a11 * s2) AS det
+       |  FROM r
+       |)
+       |SELECT
+       |  (sy * (a11 * a22 - s12 * s12) - s1 * (s1y * a22 - s12 * s2y)
+       |    + s2 * (s1y * s12 - a11 * s2y)) / det AS beta0_scaled,
+       |  (n * (s1y * a22 - s12 * s2y) - sy * (s1 * a22 - s12 * s2)
+       |    + s2 * (s1 * s2y - s1y * s2)) / det AS beta_qty_scaled,
+       |  (n * (a11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+       |    + sy * (s1 * s12 - a11 * s2)) / det AS beta_disc_scaled
+       |FROM dd""".stripMargin
 }
