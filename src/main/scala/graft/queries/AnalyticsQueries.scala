@@ -446,6 +446,166 @@ object AnalyticsQueries {
                  |                   + 38416e-4 / (4e0 * n * n)))
                  |  / (1e0 + 38416e-4 / n) * 1e6) AS BIGINT)""".stripMargin)
             .as("wilson_fp"))
+    },
+
+    // ---- Kaplan-Meier survival curves ([[graft.ops.KaplanMeier]]):
+    //      per-cohort user-retention curves with right censoring — the
+    //      churn analytics workload. Subjects: one row per user, dur =
+    //      days from first to last activity, censored (churn = 0) when
+    //      the last activity falls in the final 3 observed days (the
+    //      user may still be alive); cohort = first event type (the
+    //      acquisition channel). The survival product folds over the
+    //      LIFE TABLE (one row per cohort × distinct duration — bounded
+    //      by the duration range, never by users); the per-user
+    //      reduction is the only corpus-sized stage. Oracle replays the
+    //      product recurrence as a recursive CTE (the q_holt pattern) ----
+    QueryDef.sql(
+      "q_kaplan_meier",
+      s"""WITH RECURSIVE fe AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), base AS (
+         |  SELECT user_id, date_trunc('day', min(ts)) AS first_day,
+         |         date_trunc('day', max(ts)) AS last_day
+         |  FROM events GROUP BY user_id
+         |), cut AS (
+         |  SELECT max(date_trunc('day', ts)) - INTERVAL 2 DAY AS cutoff
+         |  FROM events
+         |), graft_subjects AS (
+         |  SELECT fe.event_type AS cohort,
+         |    CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur,
+         |    CASE WHEN last_day < cutoff THEN 1 ELSE 0 END AS churn
+         |  FROM base JOIN fe ON fe.user_id = base.user_id AND fe.rn = 1
+         |  CROSS JOIN cut
+         |),
+         |${graft.ops.KaplanMeier.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val fe = e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("cohort"))
+      val base = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("first_day"),
+          date_trunc("day", max(col("ts"))).as("last_day"))
+      val cut = e.agg(
+        expr("date_trunc('day', max(ts)) - INTERVAL 2 DAY").as("cutoff"))
+      val subjects = base.join(fe, "user_id")
+        .crossJoin(broadcast(cut))
+        .select(col("cohort"),
+          datediff(col("last_day"), col("first_day")).cast("long").as("dur"),
+          when(col("last_day") < col("cutoff"), 1).otherwise(0).as("churn"))
+      graft.ops.KaplanMeier.curve(subjects)
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row censoring-cutoff frame"),
+
+    // ---- Viterbi sequence labeling ([[graft.ops.Viterbi]]): each
+    //      user's event sequence decoded under a 2-state integer
+    //      log-score HMM — q_markov ESTIMATES dynamics, this LABELS
+    //      sequences under known dynamics (intent segmentation).
+    //      Emission scores are md5-derived integer constants per
+    //      (event_type, state) computed as COLUMNS (the fold is pure
+    //      int64 adds/maxes); stay/switch = -1/-4. Oracle replays the
+    //      exact DP: forward recursive CTE up, backtrack CTE down, the
+    //      same tie rules. One shuffle on user_id; O(seq)/key DP state
+    //      (the documented exact-decoding bound) ----
+    QueryDef.sql(
+      "q_viterbi",
+      s"""WITH RECURSIVE graft_hmm_ev AS (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    -1 - (CAST(concat('0x', substr(md5(event_type || ':0'), 1, 15))
+         |          AS BIGINT) % 5) AS e0,
+         |    -1 - (CAST(concat('0x', substr(md5(event_type || ':1'), 1, 15))
+         |          AS BIGINT) % 5) AS e1
+         |  FROM events
+         |),
+         |${graft.ops.Viterbi.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.Viterbi.decode(
+        Tables.events(s, d).select(
+          col("user_id"), col("ts"), col("event_id"),
+          expr("-1L - (md5p60(concat(event_type, ':0')) % 5)").as("e0"),
+          expr("-1L - (md5p60(concat(event_type, ':1')) % 5)").as("e1")))
+    },
+
+    // ---- Multi-touch conversion attribution: every non-purchase event
+    //      is a touch on the journey toward the user's NEXT purchase
+    //      (journey = run between consecutive purchases, keyed by the
+    //      preceding-purchase count — one cumulative window). Per
+    //      channel: first-touch / last-touch credit counts (argmin /
+    //      argmax by (ts, event_id) via rn over the journey) and
+    //      linear credit Σ 1e6 div k — exact integers throughout.
+    //      Shape: all three windows and the journey groupBy ride ONE
+    //      user_id exchange; final channel rollup is #channels rows ----
+    QueryDef.sql(
+      "q_attribution",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS journey
+        |  FROM events
+        |), conv AS (
+        |  SELECT DISTINCT user_id, journey FROM seq
+        |  WHERE event_type = 'purchase'
+        |), touches AS (
+        |  SELECT s.user_id, s.journey, s.event_type,
+        |    row_number() OVER (PARTITION BY s.user_id, s.journey
+        |      ORDER BY s.ts, s.event_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY s.user_id, s.journey
+        |      ORDER BY s.ts DESC, s.event_id DESC) AS rn_last,
+        |    CAST(count(*) OVER (PARTITION BY s.user_id, s.journey)
+        |      AS BIGINT) AS k
+        |  FROM seq s JOIN conv c
+        |    ON c.user_id = s.user_id AND c.journey = s.journey
+        |  WHERE s.event_type <> 'purchase'
+        |)
+        |SELECT event_type AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_credits,
+        |  CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_credits,
+        |  CAST(sum(1000000 // k) AS BIGINT) AS linear_fp
+        |FROM touches GROUP BY event_type""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("journey",
+          coalesce(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).over(wSeq), lit(0L)))
+      val conv = seq.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("journey")).distinct()
+      val wJ = Window.partitionBy(col("user_id"), col("journey"))
+      val touches = seq.join(conv, Seq("user_id", "journey"), "left_semi")
+        .filter(col("event_type") =!= "purchase")
+        .withColumn("rn_first", row_number().over(
+          wJ.orderBy(col("ts"), col("event_id"))))
+        .withColumn("rn_last", row_number().over(
+          wJ.orderBy(col("ts").desc, col("event_id").desc)))
+        .withColumn("k", count(lit(1)).over(
+          wJ.orderBy(col("ts")).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      touches.groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("rn_first") === 1, 1L).otherwise(0L))
+            .as("first_credits"),
+          sum(when(col("rn_last") === 1, 1L).otherwise(0L))
+            .as("last_credits"),
+          sum(expr("1000000L div k")).as("linear_fp"))
     }
   )
 }

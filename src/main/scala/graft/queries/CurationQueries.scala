@@ -275,6 +275,53 @@ object CurationQueries {
       "broadcast sides are the 1-row level-3 escalation count and the " +
         "1-row released-population distribution"),
 
+    // ---- ε-differentially-private count release
+    //      ([[graft.ops.DpNoise]]): per-event-type counts perturbed by
+    //      the discrete (two-sided geometric) mechanism, ε = ln(10/9) —
+    //      the tier's fourth leg: k-anonymity/l-diversity/t-closeness
+    //      AUDIT a release, this one PERTURBS it with a calibrated
+    //      guarantee. The noise draw is exact int64 end-to-end (α-power
+    //      table on a 2^59 scale, integer CDF inversion of the 60-bit
+    //      md5 uniform), so both engines release identical counts; the
+    //      hash seed is the reproducibility trade documented on the op
+    //      (production swaps in a secret-keyed PRF). One hash agg, then
+    //      a broadcast range join against the ~760-row mechanism table ----
+    QueryDef.sql(
+      "q_dp_counts",
+      s"""WITH RECURSIVE graft_counts AS (
+         |  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type
+         |),
+         |${graft.ops.DpNoise.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.DpNoise.release(
+        Tables.events(s, d)
+          .groupBy(col("event_type").as("key"))
+          .agg(count(lit(1)).as("n")))
+    }.intendsNestedLoop(
+      "broadcast side is the constant ~760-row mechanism CDF table " +
+        "(data-independent metadata)"),
+
+    // ---- content-defined chunking ([[graft.ops.CdcChunk]]): the
+    //      rsync/LBFS dedup primitive — cut where the position-free
+    //      rolling hash of the trailing 16 chars ≡ 0 (mod 64), so
+    //      boundaries move WITH content and an insertion re-aligns
+    //      within one window (fixed-size blocks lose every later
+    //      block). Exact int64 polynomial hash mod 2^31−1 with
+    //      precomputed power/inverse-power metadata tables; chunk
+    //      fingerprints are position-rebased exact moments, so
+    //      identical chunk content fingerprints identically at any
+    //      offset; n_same = corpus-wide count of identical chunks (the
+    //      dedup signal). ONE doc_id exchange carries explode, both
+    //      window sums and the chunk reduction ----
+    QueryDef.sql(
+      "q_cdc_chunks",
+      s"""WITH RECURSIVE ${graft.ops.CdcChunk.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.CdcChunk.chunks(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+    },
+
     // ---- benchmark decontamination: flag training docs sharing 3-gram
     //      shingles with the eval split (doc_id % 50 = 0 stands in for a
     //      held-out benchmark). Eval hash set is BROADCAST — the corpus

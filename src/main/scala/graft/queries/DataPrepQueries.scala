@@ -416,6 +416,67 @@ object DataPrepQueries {
             (col("na") + col("nb") - coalesce(col("ni"), lit(0L)))).as("jaccard"))
     },
 
+    // ---- asymmetric shingle containment (quote/subset detection):
+    //      containment(A⊂B) = |A∩B| / |A| finds B quoting or embedding A
+    //      even when |B| >> |A| — the case symmetric Jaccard (and
+    //      MinHash, which estimates it) structurally misses. Candidates
+    //      come from the shingle INVERTED INDEX, not sampled pairs:
+    //      only docs sharing >= 1 surviving shingle ever pair. The
+    //      posting cap (shingles in > 20 docs dropped) bounds per-
+    //      shingle join fan-out at C(20,2) — boilerplate shingles carry
+    //      no identity signal, the standard IR mitigation, and the same
+    //      hub argument as q_link_pred. Both containments are exact fp
+    //      over the CAPPED shingle space (denominators from the same
+    //      filtered index the intersections come from) ----
+    QueryDef.sql(
+      "q_containment",
+      s"""WITH $shingleSql, sh AS (
+         |  SELECT DISTINCT doc_id, ${duckHash("shingle")} AS h FROM sh_raw
+         |), post AS (
+         |  SELECT h FROM sh GROUP BY h HAVING count(*) <= 20
+         |), shc AS (
+         |  SELECT sh.doc_id, sh.h FROM sh JOIN post USING (h)
+         |), cnt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shc
+         |  GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS ni
+         |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, ni,
+         |  (ni * 1000000) // ca.n AS cont_a_fp,
+         |  (ni * 1000000) // cb.n AS cont_b_fp
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE (ni * 1000000) // ca.n >= 500000
+         |   OR (ni * 1000000) // cb.n >= 500000""".stripMargin
+    ) { (s, d) =>
+      val sh = shingleDf(s, d)
+        .select(col("doc_id"), expr(sparkHash("shingle")).as("h"))
+        .distinct()
+      val post = sh.groupBy(col("h")).agg(count(lit(1)).as("npost"))
+        .filter(col("npost") <= 20).select(col("h"))
+      val shc = sh.join(post, Seq("h"), "left_semi")
+      val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = shc.select(col("doc_id").as("doc_a"), col("h"))
+        .join(shc.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ni"),
+          expr("(ni * 1000000L) div na").as("cont_a_fp"),
+          expr("(ni * 1000000L) div nb").as("cont_b_fp"))
+        .filter(col("cont_a_fp") >= 500000L || col("cont_b_fp") >= 500000L)
+    },
+
     // ---- text quality statistics ----
     QueryDef.sql(
       "q_text_stats",

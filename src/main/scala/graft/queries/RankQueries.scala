@@ -494,6 +494,66 @@ object RankQueries {
             .as("cc_fp"))
     },
 
+    // ---- Link prediction ([[graft.ops.LinkPred]]): score every
+    //      distance-2 (friend-of-friend) pair of the support-pruned part
+    //      co-occurrence graph by common neighbors, resource-allocation
+    //      index (Σ 1/deg(witness), exact fp) and Jaccard — the
+    //      recommend-next-edge workload. Candidates come from ONE wedge
+    //      self-join on the witness node (only pairs with ≥1 common
+    //      neighbor ever exist, never n² non-edges); witnesses above the
+    //      hub cap are excluded (their C(deg,2) wedge fan-out is the one
+    //      quadratic hazard, and their 1/deg signal is ≈0). Top-30 by
+    //      RA index ----
+    QueryDef.sql(
+      "q_link_pred",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), nb AS (
+        |  SELECT a AS z, b AS n FROM e
+        |  UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT z, CAST(count(*) AS BIGINT) AS dg FROM nb GROUP BY z
+        |), capped AS (
+        |  SELECT nb.z, nb.n, deg.dg FROM nb JOIN deg ON deg.z = nb.z
+        |  WHERE deg.dg <= 1000
+        |), cand AS (
+        |  SELECT x.n AS a, y.n AS b,
+        |    CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(1000000000000 // x.dg) AS BIGINT) AS ra_fp
+        |  FROM capped x JOIN capped y ON x.z = y.z AND x.n < y.n
+        |  GROUP BY 1, 2
+        |), open AS (
+        |  SELECT cand.* FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |                    WHERE e.a = cand.a AND e.b = cand.b)
+        |)
+        |SELECT open.a, open.b, cn, ra_fp,
+        |  (cn * 1000000) // (da.dg + db.dg - cn) AS jaccard_fp
+        |FROM open
+        |JOIN deg da ON da.z = open.a
+        |JOIN deg db ON db.z = open.b
+        |ORDER BY ra_fp DESC, a, b LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      graft.ops.LinkPred.scores(e, hubCap = 1000L)
+        .orderBy(col("ra_fp").desc, col("a"), col("b"))
+        .limit(30)
+    },
+
     // ---- Frequent-pair mining with lift (association rules without the
     //      FP-tree: at 100 TB, candidate pairs from a per-basket
     //      self-join + one groupBy IS the scalable plan — baskets are
