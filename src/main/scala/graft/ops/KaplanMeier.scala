@@ -39,20 +39,17 @@ object KaplanMeier {
   case class LifeRow(
       cohort: String, dur: Long, n_risk: Long, d: Long, c: Long)
 
-  /** Estimate per-cohort survival curves from a subject frame with
-    * columns (cohort: string, dur: long, churn: int 0/1 — 1 = observed
-    * event, 0 = right-censored at dur). Output: one row per (cohort,
-    * distinct dur): (cohort, dur, n_risk, d, c, surv_fp).
+  /** The life table of a subject frame (cohort: string, dur: long,
+    * churn: int 0/1): one row per (cohort, distinct dur) with deaths d,
+    * censored exits c and the risk set n_risk = cohort total minus
+    * everyone who exited before t — a cumulative window sum over the
+    * (tiny, duration-range-bounded) life table itself.
     */
-  def curve(subjects: DataFrame, scaleFp: Long = 1000000000000L): DataFrame = {
-    val spark = subjects.sparkSession
-    import spark.implicits._
+  def lifeTable(subjects: DataFrame): DataFrame = {
     val life = subjects
       .groupBy(col("cohort"), col("dur"))
       .agg(sum(col("churn")).cast("long").as("d"),
         sum(lit(1) - col("churn")).cast("long").as("c"))
-    // risk set at t = cohort total minus everyone who exited before t:
-    // a cumulative window sum over the life table (tiny), keyed like it
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cohort")).orderBy(col("dur"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -66,6 +63,17 @@ object KaplanMeier {
               org.apache.spark.sql.expressions.Window.unboundedFollowing))
           - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
       .select(col("cohort"), col("dur"), col("n_risk"), col("d"), col("c"))
+  }
+
+  /** Estimate per-cohort survival curves from a subject frame with
+    * columns (cohort: string, dur: long, churn: int 0/1 — 1 = observed
+    * event, 0 = right-censored at dur). Output: one row per (cohort,
+    * distinct dur): (cohort, dur, n_risk, d, c, surv_fp).
+    */
+  def curve(subjects: DataFrame, scaleFp: Long = 1000000000000L): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    lifeTable(subjects)
       .as[LifeRow]
       .groupByKey(_.cohort)
       .flatMapSortedGroups($"dur") { (_, it) =>
@@ -78,22 +86,57 @@ object KaplanMeier {
       .toDF("cohort", "dur", "n_risk", "d", "c", "surv_fp")
   }
 
+  /** Nelson-Aalen cumulative hazard over the same life table:
+    * H(t) = Σ_(s<=t) d_s/n_s, each increment quantized
+    * `floor(d * scale / n_risk)` BEFORE the (order-independent integer)
+    * cumulative sum. Unlike the KM product this is WINDOW-ONLY — no
+    * sequential recurrence anywhere — because hazard increments add
+    * where survival factors multiply. Output adds (haz_fp, cumhaz_fp).
+    */
+  def nelsonAalen(
+      subjects: DataFrame, scaleFp: Long = 1000000000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lifeTable(subjects)
+      .withColumn("haz_fp", expr(s"(d * $scaleFp) div n_risk"))
+      .withColumn("cumhaz_fp", sum(col("haz_fp")).over(w))
+      .select(col("cohort"), col("dur"), col("n_risk"), col("d"), col("c"),
+        col("haz_fp"), col("cumhaz_fp"))
+  }
+
+  /** The shared life-table CTE body (DuckDB) over a `graft_subjects`
+    * (cohort, dur, churn) relation.
+    */
+  private def lifeSql: String =
+    """life AS MATERIALIZED (
+      |  SELECT cohort, dur,
+      |    CAST(sum(churn) AS BIGINT) AS d,
+      |    CAST(sum(1 - churn) AS BIGINT) AS c,
+      |    row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn,
+      |    CAST(sum(count(*)) OVER (PARTITION BY cohort) AS BIGINT)
+      |      - CAST(COALESCE(sum(count(*)) OVER (PARTITION BY cohort
+      |          ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |          1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM graft_subjects GROUP BY cohort, dur
+      |)""".stripMargin
+
+  /** DuckDB twin of [[nelsonAalen]] — same life CTE, windowed sums. */
+  def naOracleSql(scaleFp: Long = 1000000000000L): String =
+    s"""$lifeSql
+       |SELECT cohort, dur, n_risk, d, c,
+       |  (d * $scaleFp) // n_risk AS haz_fp,
+       |  CAST(sum((d * $scaleFp) // n_risk) OVER (PARTITION BY cohort
+       |    ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cumhaz_fp
+       |FROM life""".stripMargin
+
   /** The identical life-table recurrence as a DuckDB recursive CTE over
     * a `graft_subjects` (cohort, dur, churn) relation — the oracle twin
     * of [[curve]].
     */
   def oracleSql(scaleFp: Long = 1000000000000L): String =
-    s"""life AS MATERIALIZED (
-       |  SELECT cohort, dur,
-       |    CAST(sum(churn) AS BIGINT) AS d,
-       |    CAST(sum(1 - churn) AS BIGINT) AS c,
-       |    row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn,
-       |    CAST(sum(count(*)) OVER (PARTITION BY cohort) AS BIGINT)
-       |      - CAST(COALESCE(sum(count(*)) OVER (PARTITION BY cohort
-       |          ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
-       |          1 PRECEDING), 0) AS BIGINT) AS n_risk
-       |  FROM graft_subjects GROUP BY cohort, dur
-       |), km(cohort, rn, dur, n_risk, d, c, surv_fp) AS (
+    s"""$lifeSql, km(cohort, rn, dur, n_risk, d, c, surv_fp) AS (
        |  SELECT cohort, rn, dur, n_risk, d, c,
        |    ($scaleFp * (n_risk - d)) // n_risk
        |  FROM life WHERE rn = 1

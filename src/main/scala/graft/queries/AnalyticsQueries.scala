@@ -21,6 +21,53 @@ object AnalyticsQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_id", "event_type", "ts", "user_id")
 
+  /** Shared survival-analysis subject derivation (q_kaplan_meier /
+    * q_nelson_aalen): one subject per user, dur = days from first to
+    * last activity, right-censored (churn = 0) when the last activity
+    * falls in the final 3 observed days, cohort = first event type.
+    */
+  private val survivalSubjectsDuck: String =
+    """fe AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), base AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS first_day,
+      |         date_trunc('day', max(ts)) AS last_day
+      |  FROM events GROUP BY user_id
+      |), cut AS (
+      |  SELECT max(date_trunc('day', ts)) - INTERVAL 2 DAY AS cutoff
+      |  FROM events
+      |), graft_subjects AS (
+      |  SELECT fe.event_type AS cohort,
+      |    CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur,
+      |    CASE WHEN last_day < cutoff THEN 1 ELSE 0 END AS churn
+      |  FROM base JOIN fe ON fe.user_id = base.user_id AND fe.rn = 1
+      |  CROSS JOIN cut
+      |)""".stripMargin
+
+  private def survivalSubjects(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val fe = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("cohort"))
+    val base = e.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("first_day"),
+        date_trunc("day", max(col("ts"))).as("last_day"))
+    val cut = e.agg(
+      expr("date_trunc('day', max(ts)) - INTERVAL 2 DAY").as("cutoff"))
+    base.join(fe, "user_id")
+      .crossJoin(broadcast(cut))
+      .select(col("cohort"),
+        datediff(col("last_day"), col("first_day")).cast("long").as("dur"),
+        when(col("last_day") < col("cutoff"), 1).otherwise(0).as("churn"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- Incremental rollup maintenance ([[graft.ops.Rollup]]): the
@@ -461,46 +508,25 @@ object AnalyticsQueries {
     //      product recurrence as a recursive CTE (the q_holt pattern) ----
     QueryDef.sql(
       "q_kaplan_meier",
-      s"""WITH RECURSIVE fe AS (
-         |  SELECT user_id, event_type,
-         |    row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS rn
-         |  FROM events
-         |), base AS (
-         |  SELECT user_id, date_trunc('day', min(ts)) AS first_day,
-         |         date_trunc('day', max(ts)) AS last_day
-         |  FROM events GROUP BY user_id
-         |), cut AS (
-         |  SELECT max(date_trunc('day', ts)) - INTERVAL 2 DAY AS cutoff
-         |  FROM events
-         |), graft_subjects AS (
-         |  SELECT fe.event_type AS cohort,
-         |    CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur,
-         |    CASE WHEN last_day < cutoff THEN 1 ELSE 0 END AS churn
-         |  FROM base JOIN fe ON fe.user_id = base.user_id AND fe.rn = 1
-         |  CROSS JOIN cut
-         |),
+      s"""WITH RECURSIVE $survivalSubjectsDuck,
          |${graft.ops.KaplanMeier.oracleSql()}""".stripMargin
     ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val fe = e.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type").as("cohort"))
-      val base = e.groupBy(col("user_id"))
-        .agg(date_trunc("day", min(col("ts"))).as("first_day"),
-          date_trunc("day", max(col("ts"))).as("last_day"))
-      val cut = e.agg(
-        expr("date_trunc('day', max(ts)) - INTERVAL 2 DAY").as("cutoff"))
-      val subjects = base.join(fe, "user_id")
-        .crossJoin(broadcast(cut))
-        .select(col("cohort"),
-          datediff(col("last_day"), col("first_day")).cast("long").as("dur"),
-          when(col("last_day") < col("cutoff"), 1).otherwise(0).as("churn"))
-      graft.ops.KaplanMeier.curve(subjects)
+      graft.ops.KaplanMeier.curve(survivalSubjects(s, d))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row censoring-cutoff frame"),
+
+    // ---- Nelson-Aalen cumulative hazard (the survival tier's additive
+    //      twin — [[graft.ops.KaplanMeier.nelsonAalen]]): H(t) =
+    //      Σ d_s/n_s over the SAME life table as q_kaplan_meier, each
+    //      increment quantized BEFORE the order-independent integer
+    //      cumulative sum. Window-only — hazard increments add where
+    //      survival factors multiply, so no recursion anywhere ----
+    QueryDef.sql(
+      "q_nelson_aalen",
+      s"""WITH $survivalSubjectsDuck,
+         |${graft.ops.KaplanMeier.naOracleSql()}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.KaplanMeier.nelsonAalen(survivalSubjects(s, d))
     }.intendsNestedLoop(
       "broadcast side is the 1-row censoring-cutoff frame"),
 
@@ -606,6 +632,32 @@ object AnalyticsQueries {
           sum(when(col("rn_last") === 1, 1L).otherwise(0L))
             .as("last_credits"),
           sum(expr("1000000L div k")).as("linear_fp"))
-    }
+    },
+
+    // ---- Kruskal-Wallis rank test ([[graft.ops.Kruskal]]): do the
+    //      event types share a value distribution? The k-sample
+    //      rank-ANOVA completing the testing tier (q_ab_test two-
+    //      proportion z, q_ks_drift two-sample KS). Doubled tie-average
+    //      ranks off the cents-quantized DISTINCT-VALUE grid; exact
+    //      int64 T; final H and tie correction as identical-op-order
+    //      double chains quantized at the end ----
+    QueryDef.sql(
+      "q_kruskal",
+      s"""WITH graft_obs AS (
+         |  SELECT event_type AS grp,
+         |    CAST(floor(value * 1e2) AS BIGINT) AS v
+         |  FROM events
+         |),
+         |${graft.ops.Kruskal.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.Kruskal.hTest(
+        Tables.events(s, d).select(
+          col("event_type").as("grp"),
+          floor(col("value") * lit(1e2)).cast("long").as("v")))
+    }.intendsGlobalWindow(
+      "the rank-CDF window runs on the cents-quantized distinct-value " +
+        "grid — value-range-bounded, never the events table")
+      .intendsNestedLoop(
+        "broadcast sides are the 1-row total and tie frames")
   )
 }

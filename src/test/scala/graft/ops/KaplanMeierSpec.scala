@@ -65,6 +65,17 @@ class KaplanMeierSpec extends AnyFunSuite with Matchers {
     got shouldBe serial(subs)
   }
 
+  test("Nelson-Aalen cumulative hazard on the same hand-computed table") {
+    val subs = Seq(
+      ("A", 1L, 1), ("A", 1L, 1), ("A", 2L, 0), ("A", 3L, 1), ("A", 3L, 0))
+    val got = KaplanMeier.nelsonAalen(subs.toDF("cohort", "dur", "churn"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    got shouldBe Set(
+      ("A", 1L, 5L, 2L, 0L, 400000000000L, 400000000000L), // 2/5
+      ("A", 2L, 3L, 0L, 1L, 0L, 400000000000L),            // censor: +0
+      ("A", 3L, 2L, 1L, 1L, 500000000000L, 900000000000L)) // +1/2
+  }
+
   test("no censoring: curve ends at the empirical survivor fraction (divisible steps)") {
     // 8 subjects, deaths at t=1 (4), t=2 (2), t=3 (1): every step divides
     // exactly, so the floor chain telescopes to the true fraction
