@@ -207,6 +207,48 @@ object RankQueries {
       Closeness.run(fwd.union(rev), seeds, maxHops = 4)
     },
 
+    // ---- Sampled depth-limited STRESS centrality (see ops.Stress):
+    //      exact shortest-path COUNTS through each node from 4
+    //      md5-sampled seeds on the support-pruned part co-occurrence
+    //      graph — the betweenness-family brokerage axis completing
+    //      the centrality tier (PageRank/HITS/closeness). Counting
+    //      (Shimbel's stress) instead of 1/σ-weighted betweenness
+    //      keeps the whole forward+backward Brandes pass int64-exact.
+    //      2·maxHops frontier-sized grouped joins on ONE pinned edge
+    //      partitioning; k seeds bound the blow-up at a constant ----
+    QueryDef.sql(
+      "q_stress",
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |), graft_sedges AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+         |  WHERE x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |), graft_stress_seeds AS (
+         |  SELECT node FROM (
+         |    SELECT a AS node FROM graft_sedges
+         |    UNION SELECT b FROM graft_sedges)
+         |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 4
+         |),
+         |${graft.ops.Stress.oracleSql(maxHops = 4)}""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      val seeds = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node"))).distinct()
+        .orderBy(md5(col("node").cast("string")), col("node")).limit(4)
+      graft.ops.Stress.run(e, seeds, maxHops = 4)
+    },
+
     // ---- Graph diameter lower bound by double-sweep BFS
     //      (Magnien-Latapy-Habib — see ops.Bfs.doubleSweep): BFS from
     //      the md5-min node, re-sweep from the farthest node found.
