@@ -21,13 +21,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: everything after the one grouped count runs on the
   * DISTINCT-VALUE GRID (cents-quantized, value-range-bounded — the
   * q_quantile_norm convention): the rank window and CDF never touch
-  * corpus-sized frames. Int64 headroom (the q_ols_trend convention):
-  * |d_j| <= n_j·N must stay < 3.04e9 (d² < 2^63) — fine to N ≈ 10⁶
-  * with balanced groups; coarsen the value quantization or subsample
-  * beyond that. The tie term and both final ratios run in doubles
-  * (identical op order), so they carry no integer headroom of their
-  * own; T -> double conversion rounds identically on both engines
-  * above 2^53.
+  * corpus-sized frames. Headroom (the q_ols_trend convention): d_j and
+  * the rank sums are exact int64 (|d_j| <= n_j·N < 2^63 up to corpus
+  * sizes); d_j² goes through a DOUBLE square — identical op order on
+  * both engines — because the int64 square would overflow on skewed
+  * corpus-sized groups; the square is exact while |d_j| < 2^26·…
+  * (n_j·N < 2^53, i.e. N ≈ 3e7 balanced) and identically-rounded
+  * beyond. The tie term and both final ratios are double chains too.
   */
 object Kruskal {
 
@@ -58,8 +58,13 @@ object Kruskal {
     // identical on both engines, quantized at the very end
     grp.crossJoin(broadcast(tot))
       .select(col("nj"), col("n"), col("n_groups"),
-        expr("(r2j - nj * (n + 1)) * (r2j - nj * (n + 1)) div (4 * nj)")
-          .as("tj"))
+        // d² through a double (identical op order): d = r2j − nj(N+1)
+        // is exact int64 (|d| <= nj·N < 2^53 to exactness), but d² can
+        // pass 2^63 on skewed corpus-sized groups — the double square
+        // is deterministic on both engines, the int64 square is a crash
+        expr("""CAST(floor((1e0 * (r2j - nj * (n + 1)))
+               |  * (r2j - nj * (n + 1)) / (4e0 * nj)) AS BIGINT)"""
+          .stripMargin).as("tj"))
       .groupBy(col("n"), col("n_groups"))
       .agg(sum(col("tj")).as("t_stat"))
       .crossJoin(broadcast(ties))
@@ -100,7 +105,8 @@ object Kruskal {
       |  SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tsum FROM grid
       |), tsum_t AS (
       |  SELECT n, n_groups,
-      |    CAST(sum((r2j - nj * (n + 1)) * (r2j - nj * (n + 1)) // (4 * nj))
+      |    CAST(sum(CAST(floor((1e0 * (r2j - nj * (n + 1)))
+      |      * (r2j - nj * (n + 1)) / (4e0 * nj)) AS BIGINT))
       |      AS BIGINT) AS t_stat
       |  FROM grp CROSS JOIN tot GROUP BY n, n_groups
       |)

@@ -658,6 +658,39 @@ object AnalyticsQueries {
       "the rank-CDF window runs on the cents-quantized distinct-value " +
         "grid — value-range-bounded, never the events table")
       .intendsNestedLoop(
-        "broadcast sides are the 1-row total and tie frames")
+        "broadcast sides are the 1-row total and tie frames"),
+
+    // ---- Exponentially time-decayed popularity ([[graft.ops.Decay]]):
+    //      recency-weighted per-type activity score Σ v·α^days_ago,
+    //      α = 97/100, in exact integer fp via the broadcast α-power
+    //      table (the DpNoise mechanism-metadata pattern) — the
+    //      trending-ranking signal. One broadcast equi-join on the day
+    //      offset + one hash agg; per-row quantize then sum keeps it
+    //      order-independent ----
+    QueryDef.sql(
+      "q_decay_pop",
+      s"""WITH RECURSIVE cut AS (
+         |  SELECT max(date_trunc('day', ts)) AS mx FROM events
+         |), graft_decay_obs AS (
+         |  SELECT event_type AS key,
+         |    CAST(date_diff('day', date_trunc('day', ts), mx) AS BIGINT)
+         |      AS days_ago,
+         |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS v
+         |  FROM events CROSS JOIN cut
+         |),
+         |${graft.ops.Decay.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      val cut = Tables.events(s, d)
+        .agg(date_trunc("day", max(col("ts"))).as("mx"))
+      val obs = Tables.events(s, d)
+        .crossJoin(broadcast(cut))
+        .select(col("event_type").as("key"),
+          datediff(col("mx"), date_trunc("day", col("ts")))
+            .cast("long").as("days_ago"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("v"))
+      graft.ops.Decay.decayedSum(obs)
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row max-day frame and the day-range-" +
+        "sized α-power table")
   )
 }

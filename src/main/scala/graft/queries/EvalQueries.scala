@@ -478,6 +478,67 @@ object EvalQueries {
         "windowed frame is the per-bucket aggregate of the quantized " +
           "score: <= 2e4+1 rows at any corpus size"),
 
+    // ---- Precision-recall threshold sweep of the SAME scorer (shared
+    //      CTEs with q_auc): one row per distinct quantized score s =
+    //      the operating point "predict positive when score >= s" —
+    //      cumulative (pos, neg) prefix sums down the bucket grid give
+    //      precision / recall / F1 at EVERY threshold in one pass, the
+    //      table a deployment picks its cutoff from (q_auc summarizes
+    //      ranking quality; this exposes the actual operating points).
+    //      Pure integer prefix algebra on the <= 2e4+1-row bucket
+    //      frame; F1 composes the two already-quantized fps (identical
+    //      on both engines), zero-positive prefixes NULL-guarded ----
+    QueryDef.sql(
+      "q_pr_curve",
+      s"""WITH $scorerCtes, bkt AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS ng
+         |  FROM sc GROUP BY s
+         |), pre AS (
+         |  SELECT s,
+         |    CAST(sum(p) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_p,
+         |    CAST(sum(ng) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_n,
+         |    CAST(sum(p) OVER () AS BIGINT) AS p_tot
+         |  FROM bkt
+         |)
+         |SELECT s, cum_p, cum_n,
+         |  (cum_p * 1000000) // (cum_p + cum_n) AS precision_fp,
+         |  (cum_p * 1000000) // p_tot AS recall_fp,
+         |  (2 * ((cum_p * 1000000) // (cum_p + cum_n))
+         |     * ((cum_p * 1000000) // p_tot))
+         |    // nullif((cum_p * 1000000) // (cum_p + cum_n)
+         |            + (cum_p * 1000000) // p_tot, 0) AS f1_fp
+         |FROM pre""".stripMargin
+    ) { (s, d) =>
+      val sc = scored(s, d)
+      val bkt = sc.groupBy(col("s"))
+        .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("ng"))
+      val wCum = Window.orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bkt
+        .withColumn("cum_p", sum(col("p")).over(wCum))
+        .withColumn("cum_n", sum(col("ng")).over(wCum))
+        .withColumn("p_tot", sum(col("p")).over(wAll))
+        .select(col("s"), col("cum_p"), col("cum_n"),
+          expr("(cum_p * 1000000L) div (cum_p + cum_n)").as("precision_fp"),
+          expr("(cum_p * 1000000L) div p_tot").as("recall_fp"),
+          expr("""(2 * ((cum_p * 1000000L) div (cum_p + cum_n))
+                 |   * ((cum_p * 1000000L) div p_tot))
+                 |  div nullif((cum_p * 1000000L) div (cum_p + cum_n)
+                 |          + (cum_p * 1000000L) div p_tot, 0)"""
+            .stripMargin).as("f1_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row class-0 centroid frame")
+      .intendsGlobalWindow(
+        "windowed frame is the per-bucket aggregate of the quantized " +
+          "score: <= 2e4+1 rows at any corpus size"),
+
     // ---- Calibration / reliability table of the SAME scorer (shared
     //      CTEs with q_auc — ranking quality and probability quality
     //      are different failure modes): the quantized score maps

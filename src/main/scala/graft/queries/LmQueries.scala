@@ -32,6 +32,23 @@ object LmQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- PPMI spectral word embedding ([[graft.ops.PpmiEmbed]]):
+    //      windowed (±2) co-occurrence counts → positive-PMI weighting
+    //      → dominant spectral direction by fixed-point power iteration
+    //      — the count-based word-vector construction (Levy & Goldberg:
+    //      PPMI-SVD ≈ implicit word2vec), trained entirely on-engine.
+    //      Corpus-sized work = one pair explode + one hash agg;
+    //      iteration runs on the top-150 vocab (M ≤ 150² metadata) ----
+    QueryDef.sql(
+      "q_ppmi_embed",
+      s"WITH ${graft.ops.PpmiEmbed.oracleSql()}"
+    ) { (s, d) =>
+      graft.ops.PpmiEmbed.run(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+    }.intendsNestedLoop(
+      "broadcast sides are the top-150 vocab, the 1-row pair total and " +
+        "the 1-row per-round max — all index metadata"),
+
     // ---- bigram LM with add-one smoothing, trained on the corpus,
     //      scoring every doc: nll_fp = sum over bigram occurrences of
     //      floor(-ln((c2+1)/(c1+V)) * 1e6); avg_nll = nll_fp/n_bg.
