@@ -1552,6 +1552,66 @@ object DataPrepQueries {
           col("valid_to"), col("valid_to").isNull.as("is_current"))
     },
 
+    // ---- Bitemporal reconstruction (the second time axis q_scd2_history
+    //      lacks): "as KNOWN at transaction cutoff Tc, what value was
+    //      VALID at time Vp" — transaction time = the ledger's append
+    //      order (event_id), valid time = ts. A 3×3 grid of (tx %, valid
+    //      %) probe points is a 9-row constant frame; the reconstruction
+    //      is ONE corpus pass × 9 (constant fan-out, documented) with a
+    //      partial-aggregable max(struct(ts, event_id, value)) argmax —
+    //      no window over the corpus, no per-probe rescan. Late-arriving
+    //      rows (high event_id, low ts) surface only at later Tc — the
+    //      audit/backfill semantics that motivate bitemporal stores ----
+    QueryDef.sql(
+      "q_bitemporal",
+      """WITH bounds AS (
+        |  SELECT max(event_id) AS mid,
+        |    epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+        |  FROM events
+        |), probes AS (
+        |  SELECT tx_pct, valid_pct,
+        |    (mid * tx_pct) // 100 AS tx_cut,
+        |    t0 + ((t1 - t0) * valid_pct) // 100 AS v_cut
+        |  FROM (VALUES (50), (75), (100)) tx(tx_pct)
+        |  CROSS JOIN (VALUES (25), (50), (75)) vl(valid_pct)
+        |  CROSS JOIN bounds
+        |), hits AS (
+        |  SELECT user_id, tx_pct, valid_pct, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, tx_pct, valid_pct
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events CROSS JOIN probes
+        |  WHERE event_id <= tx_cut AND epoch_us(ts) <= v_cut
+        |)
+        |SELECT user_id, tx_pct, valid_pct, value AS value_at,
+        |  event_id AS asof_event_id
+        |FROM hits WHERE rn = 1""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val bounds = ev.agg(max(col("event_id")).as("mid"),
+        expr("unix_micros(min(ts))").as("t0"),
+        expr("unix_micros(max(ts))").as("t1"))
+      val grid = Seq(50, 75, 100)
+        .flatMap(t => Seq(25, 50, 75).map(v => (t, v)))
+        .toDF("tx_pct", "valid_pct")
+      val probes = grid.crossJoin(broadcast(bounds))
+        .select(col("tx_pct"), col("valid_pct"),
+          expr("(mid * tx_pct) div 100").as("tx_cut"),
+          expr("t0 + ((t1 - t0) * valid_pct) div 100").as("v_cut"))
+      ev.crossJoin(broadcast(probes))
+        .filter(col("event_id") <= col("tx_cut") &&
+          expr("unix_micros(ts)") <= col("v_cut"))
+        .groupBy(col("user_id"), col("tx_pct"), col("valid_pct"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .as("top"))
+        .select(col("user_id"), col("tx_pct"), col("valid_pct"),
+          col("top.value").as("value_at"),
+          col("top.event_id").as("asof_event_id"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row bounds frame and the constant " +
+        "9-row probe grid"),
+
     // ---- corpus bigram vocabulary: top-20 by frequency — the n-gram
     //      counting pass behind vocab/tokenizer construction. Global
     //      top-k is TakeOrdered (distributed partial top-k per
