@@ -89,15 +89,18 @@ object PpmiEmbed {
   }
 
   /** The identical pipeline + unrolled power rounds as DuckDB CTEs over
-    * a `documents` (text) relation — kept adjacent so the two cannot
-    * drift. Ends selecting (word, n_cooc, sal_fp).
+    * a `(text)` relation (default the `documents` table; the graph-
+    * embedding composition passes a walk-sentence CTE) — kept adjacent
+    * so the two cannot drift. Ends selecting (word, n_cooc, sal_fp).
     */
-  def oracleSql(topV: Int = 150, iters: Int = 6): String = {
+  def oracleSql(
+      topV: Int = 150, iters: Int = 6,
+      srcTable: String = "documents"): String = {
     val head =
       s"""pt AS (
          |  SELECT string_split(text, ' ') AS toks,
          |    len(string_split(text, ' ')) AS n
-         |  FROM documents
+         |  FROM $srcTable
          |), ppr AS (
          |  SELECT unnest(list_transform(range(1, n),
          |    i -> concat(toks[i], ' ', toks[i + 1]))) AS pr
@@ -114,7 +117,7 @@ object PpmiEmbed {
          |  SELECT wa, wb FROM ppd UNION ALL SELECT wb, wa FROM ppd
          |), pvocab AS (
          |  SELECT w FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM $srcTable)
          |  GROUP BY w ORDER BY count(*) DESC, w LIMIT $topV
          |), pcab AS (
          |  SELECT wa, wb, CAST(count(*) AS BIGINT) AS c

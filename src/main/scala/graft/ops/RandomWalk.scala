@@ -105,4 +105,17 @@ object RandomWalk {
       .mkString("\nUNION ALL\n")
     (head +: stepCtes).mkString(",\n") + "\n" + sel
   }
+
+  /** [[oracleSql]]'s CTE chain with the walk union wrapped as a named
+    * CTE `resultName` (walk_id, step, node) — so downstream operators
+    * (e.g. the [[PpmiEmbed]] graph-embedding composition) can chain
+    * onto the walks inside one statement.
+    */
+  def oracleCtes(steps: Int, resultName: String): String = {
+    val full = oracleSql(steps)
+    val splitAt = full.lastIndexOf("\nSELECT walk_id, 0 AS step")
+    val ctes = full.substring(0, splitAt)
+    val sel = full.substring(splitAt + 1)
+    s"$ctes,\n$resultName AS (\n$sel\n)"
+  }
 }

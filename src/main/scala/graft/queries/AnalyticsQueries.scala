@@ -691,6 +691,54 @@ object AnalyticsQueries {
       graft.ops.Decay.decayedSum(obs)
     }.intendsNestedLoop(
       "broadcast sides are the 1-row max-day frame and the day-range-" +
-        "sized α-power table")
+        "sized α-power table"),
+
+    // ---- Audience overlap matrix: Jaccard + Simpson (overlap
+    //      coefficient) between every pair of event-type user bases —
+    //      the segment-overlap table behind campaign planning. One
+    //      DISTINCT (type, user) pass, one user_id self-equi-join
+    //      (fan-out bounded by types-per-user, ≤ #types), #types²
+    //      output rows. Simpson = ni/min(|A|,|B|) catches the
+    //      subset-audience case Jaccard dilutes (same asymmetry
+    //      argument as q_containment, at the set level) ----
+    QueryDef.sql(
+      "q_audience_overlap",
+      """WITH au AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), sz AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM au GROUP BY event_type
+        |), ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS ni
+        |  FROM au a JOIN au b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, ni,
+        |  (ni * 1000000) // (sa.n + sb.n - ni) AS jaccard_fp,
+        |  (ni * 1000000) // least(sa.n, sb.n) AS simpson_fp
+        |FROM ov
+        |JOIN sz sa ON sa.event_type = type_a
+        |JOIN sz sb ON sb.event_type = type_b""".stripMargin
+    ) { (s, d) =>
+      val au = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sz = au.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ov = au.select(col("event_type").as("type_a"), col("user_id"))
+        .join(au.select(col("event_type").as("type_b"), col("user_id")),
+          "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("ni"))
+      ov
+        .join(sz.select(col("event_type").as("type_a"), col("n").as("na")),
+          Seq("type_a"))
+        .join(sz.select(col("event_type").as("type_b"), col("n").as("nb")),
+          Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("ni"),
+          expr("(ni * 1000000L) div (na + nb - ni)").as("jaccard_fp"),
+          expr("(ni * 1000000L) div least(na, nb)").as("simpson_fp"))
+    }
   )
 }

@@ -574,6 +574,44 @@ object EvalQueries {
     }.intendsNestedLoop(
       "broadcast side is the 1-row class-0 centroid frame"),
 
+    // ---- Expected / maximum calibration error: the ONE-ROW summary of
+    //      q_calibration's reliability table (Naeini et al.'s ECE, the
+    //      headline number every calibration paper reports):
+    //      ECE = Σ_b n_b·|avg_p − frac_pos| / N, MCE = max_b |·| —
+    //      pure integer algebra over the ≤ 21 per-bin fps, so the
+    //      metric is exact given the binning. Shares every CTE with
+    //      q_calibration (same scorer, same bins) ----
+    QueryDef.sql(
+      "q_ece",
+      s"""WITH $scorerCtes, pb AS (
+         |  SELECT s // 1000 AS bin, (s + 10000) * 50 AS p_fp, y FROM sc
+         |), cal AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    abs(CAST(sum(p_fp) AS BIGINT) // count(*)
+         |      - (CAST(sum(y) AS BIGINT) * 1000000) // count(*)) AS gap
+         |  FROM pb GROUP BY bin
+         |)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_scored,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(n * gap) AS BIGINT) // CAST(sum(n) AS BIGINT)
+         |    AS ece_fp,
+         |  max(gap) AS mce_fp
+         |FROM cal""".stripMargin
+    ) { (s, d) =>
+      scored(s, d)
+        .select(expr("s div 1000").as("bin"),
+          ((col("s") + 10000L) * 50L).as("p_fp"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          abs(expr("sum(p_fp) div count(1)") -
+            expr("(sum(y) * 1000000L) div count(1)")).as("gap"))
+        .agg(sum(col("n")).as("n_scored"),
+          count(lit(1)).as("n_bins"),
+          expr("sum(n * gap) div sum(n)").as("ece_fp"),
+          max(col("gap")).as("mce_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row class-0 centroid frame"),
+
     // ---- Isotonic calibration (PAV) of the SAME scorer via the exact
     //      minimax identity (Robertson, Wright & Dykstra 1988):
     //      iso(i) = max_{j<=i} min_{k>=i} wavg(y over bins j..k) —

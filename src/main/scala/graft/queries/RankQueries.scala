@@ -596,6 +596,55 @@ object RankQueries {
         .limit(30)
     },
 
+    // ---- DeepWalk-style graph embedding (composition of
+    //      [[graft.ops.RandomWalk]] + [[graft.ops.PpmiEmbed]] — the
+    //      published equivalence: DeepWalk/node2vec factorize a PPMI
+    //      matrix of walk co-occurrences, Qiu et al. 2018 "NetMF"):
+    //      deterministic hash-seeded walks from 500 md5-min nodes of
+    //      the trade graph become sentences, and the PPMI spectral
+    //      pipeline embeds the 150 most-walked nodes. Every stage is
+    //      the already-gated machinery; the composition is what's new
+    //      — walk corpus generation and embedding training never leave
+    //      the engine ----
+    QueryDef.sql(
+      "q_graph_embed",
+      s"""WITH graft_edges AS (\n$edgesDuck\n),
+         |graft_walk_seeds AS (
+         |  SELECT node FROM (
+         |    SELECT src AS node FROM graft_edges
+         |    UNION SELECT dst FROM graft_edges)
+         |  ORDER BY md5(node), node LIMIT 500
+         |),
+         |${graft.ops.RandomWalk.oracleCtes(8, "gwalks")},
+         |gw_docs AS (
+         |  SELECT walk_id, string_agg(node, ' ' ORDER BY step) AS text
+         |  FROM gwalks GROUP BY walk_id
+         |),
+         |${graft.ops.PpmiEmbed.oracleSql(srcTable = "gw_docs")}""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val edges = fwd.union(rev)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.orderBy(md5(col("node")), col("node")).limit(500)
+      val walks = graft.ops.RandomWalk.run(edges, seeds, steps = 8)
+      val docs = walks.groupBy(col("walk_id"))
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(step, node))), x -> x.node), ' ')")
+          .as("text"))
+      graft.ops.PpmiEmbed.run(docs)
+    }.intendsNestedLoop(
+      "broadcast sides are the top-150 walk vocab, the 1-row pair " +
+        "total and the 1-row per-round max — all index metadata"),
+
     // ---- Frequent-pair mining with lift (association rules without the
     //      FP-tree: at 100 TB, candidate pairs from a per-basket
     //      self-join + one groupBy IS the scalable plan — baskets are
