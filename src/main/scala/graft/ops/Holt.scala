@@ -80,6 +80,14 @@ object Holt {
     * sourced inside each step).
     */
   def oracleSql: String =
+    oracleCtes + "\nSELECT event_id, p AS p_fp, l AS l_fp, b AS b_fp,\n" +
+      "  l + b AS forecast_fp\nFROM holt"
+
+  /** The CTE chain only (ends defining `holt` (symbol, rn, event_id,
+    * p, l, b)) — so downstream oracles (forecast evaluation) can chain
+    * onto the recurrence in one statement.
+    */
+  def oracleCtes: String =
     """ev AS MATERIALIZED (
       |  SELECT symbol, event_id,
       |    row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id) AS rn,
@@ -97,8 +105,5 @@ object Holt {
       |          THEN -((-((lnew - holt.l) + 9 * holt.b)) // 10)
       |          ELSE ((lnew - holt.l) + 9 * holt.b) // 10 END)
       |  FROM holt JOIN ev ON ev.symbol = holt.symbol AND ev.rn = holt.rn + 1
-      |)
-      |SELECT event_id, p AS p_fp, l AS l_fp, b AS b_fp,
-      |  l + b AS forecast_fp
-      |FROM holt""".stripMargin
+      |)""".stripMargin
 }

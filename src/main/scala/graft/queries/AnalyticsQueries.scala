@@ -191,6 +191,98 @@ object AnalyticsQueries {
             .otherwise(0).as("funnel_stage"))
     },
 
+    // ---- Time-to-convert between funnel steps: per step pair, the
+    //      count, exact mean and (minute-grid) median of the gap
+    //      between a user's ordered view→click→purchase times — the
+    //      "how long does conversion take" companion to q_funnel's
+    //      "how many convert". Durations quantize to a minute grid so
+    //      the median is a bounded-grid CDF pick (the q_histogram
+    //      convention), never a corpus sort; all windows partition by
+    //      step pair over grid rows ----
+    QueryDef.sql(
+      "q_funnel_time",
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |  GROUP BY e.user_id
+        |), d AS (
+        |  SELECT 'view_to_click' AS step_pair,
+        |    epoch_us(s2.t_click) - epoch_us(s1.t_view) AS dus
+        |  FROM s2 JOIN s1 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |    epoch_us(s3.t_purchase) - epoch_us(s2.t_click)
+        |  FROM s3 JOIN s2 USING (user_id)
+        |), g AS (
+        |  SELECT step_pair, dus // 60000000 AS dmin,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(dus) AS BIGINT) AS sdus
+        |  FROM d GROUP BY 1, 2
+        |), c AS (
+        |  SELECT step_pair, dmin,
+        |    CAST(sum(cnt) OVER (PARTITION BY step_pair ORDER BY dmin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY step_pair) AS BIGINT) AS n,
+        |    CAST(sum(sdus) OVER (PARTITION BY step_pair) AS BIGINT)
+        |      AS tot_us
+        |  FROM g
+        |), p AS (
+        |  SELECT step_pair, min(dmin) AS p50_min
+        |  FROM c WHERE cum >= (n + 1) // 2 GROUP BY step_pair
+        |), t AS (
+        |  SELECT step_pair, max(n) AS n, max(tot_us) AS tot
+        |  FROM c GROUP BY step_pair
+        |)
+        |SELECT t.step_pair, n, tot // n AS avg_us, p50_min
+        |FROM t JOIN p ON p.step_pair = t.step_pair""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d)
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      val dPairs = s2.join(s1, "user_id")
+        .select(lit("view_to_click").as("step_pair"),
+          (expr("unix_micros(t_click)") - expr("unix_micros(t_view)"))
+            .as("dus"))
+        .union(s3.join(s2, "user_id")
+          .select(lit("click_to_purchase").as("step_pair"),
+            (expr("unix_micros(t_purchase)") - expr("unix_micros(t_click)"))
+              .as("dus")))
+      val g = dPairs
+        .groupBy(col("step_pair"), expr("dus div 60000000").as("dmin"))
+        .agg(count(lit(1)).as("cnt"), sum(col("dus")).as("sdus"))
+      val wCum = Window.partitionBy(col("step_pair")).orderBy(col("dmin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("step_pair"))
+      val c = g
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("tot_us", sum(col("sdus")).over(wAll))
+      val p = c.filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("step_pair")).agg(min(col("dmin")).as("p50_min"))
+      val t = c.groupBy(col("step_pair"))
+        .agg(max(col("n")).as("n"), max(col("tot_us")).as("tot"))
+      t.join(p, "step_pair")
+        .select(col("step_pair"), col("n"),
+          expr("tot div n").as("avg_us"), col("p50_min"))
+    },
+
     // ---- Cohort retention: users grouped by first-activity day, distinct
     //      actives counted at each day offset 0..7 — two hash aggs and an
     //      equi-join, integer-exact ----

@@ -45,9 +45,10 @@ object LmQueries {
     ) { (s, d) =>
       graft.ops.PpmiEmbed.run(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
-    }.intendsNestedLoop(
-      "broadcast sides are the top-150 vocab, the 1-row pair total and " +
-        "the 1-row per-round max — all index metadata"),
+      // no plan-intent declaration: the iteration frames are
+      // IvfIndex.materialize local relations (metadata-bounded), so no
+      // nested-loop join survives into the final plan
+    },
 
     // ---- bigram LM with add-one smoothing, trained on the corpus,
     //      scoring every doc: nll_fp = sum over bigram occurrences of

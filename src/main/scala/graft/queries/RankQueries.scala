@@ -641,9 +641,10 @@ object RankQueries {
           "collect_list(struct(step, node))), x -> x.node), ' ')")
           .as("text"))
       graft.ops.PpmiEmbed.run(docs)
-    }.intendsNestedLoop(
-      "broadcast sides are the top-150 walk vocab, the 1-row pair " +
-        "total and the 1-row per-round max — all index metadata"),
+      // no plan-intent declaration: the PPMI iteration frames are
+      // IvfIndex.materialize local relations (metadata-bounded), so no
+      // nested-loop join survives into the final plan
+    },
 
     // ---- Frequent-pair mining with lift (association rules without the
     //      FP-tree: at 100 TB, candidate pairs from a per-basket

@@ -476,6 +476,58 @@ object TechQueries {
           col("event_id"), col("value")))
     },
 
+    // ---- Forecast evaluation of the Holt smoother: per-symbol MASE
+    //      (mean absolute error scaled by the naive last-value
+    //      forecast's — the scale-free standard since Hyndman &
+    //      Koehler 2006; < 1e6 fp means "beats naive") and sMAPE.
+    //      MASE is a pure integer ratio of two exact |error| sums;
+    //      sMAPE quantizes each row's bounded ratio before the exact
+    //      mean. Chains the q_holt recurrence CTEs (Holt.oracleCtes)
+    //      and evaluates the ONE-STEP-AHEAD forecast (lag of l+b) —
+    //      no lookahead leak ----
+    QueryDef.sql(
+      "q_forecast_eval",
+      s"""WITH RECURSIVE graft_series AS (
+         |  SELECT event_type AS symbol, ts, event_id, value FROM events
+         |),
+         |${graft.ops.Holt.oracleCtes},
+         |fe AS (
+         |  SELECT symbol, p,
+         |    lag(l + b) OVER (PARTITION BY symbol ORDER BY rn) AS f_prev,
+         |    lag(p) OVER (PARTITION BY symbol ORDER BY rn) AS p_prev
+         |  FROM holt
+         |)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |  (CAST(sum(abs(p - f_prev)) AS BIGINT) * 1000000)
+         |    // nullif(CAST(sum(abs(p - p_prev)) AS BIGINT), 0) AS mase_fp,
+         |  CAST(sum((2000000 * abs(p - f_prev))
+         |    // nullif(abs(p) + abs(f_prev), 0)) AS BIGINT)
+         |    // count(*) AS smape_fp
+         |FROM fe WHERE f_prev IS NOT NULL
+         |GROUP BY symbol""".stripMargin
+    ) { (s, d) =>
+      val sm = graft.ops.Holt.smooth(
+        Tables.events(s, d).select(
+          col("event_type").as("symbol"), col("ts"),
+          col("event_id"), col("value")))
+      val ev2 = Tables.events(s, d)
+        .select(col("event_id"), col("event_type").as("symbol"),
+          col("ts"))
+      val w = Window.partitionBy(col("symbol"))
+        .orderBy(col("ts"), col("event_id"))
+      sm.join(ev2, "event_id")
+        .withColumn("f_prev", lag(col("forecast_fp"), 1).over(w))
+        .withColumn("p_prev", lag(col("p_fp"), 1).over(w))
+        .filter(col("f_prev").isNotNull)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"),
+          expr("(sum(abs(p_fp - f_prev)) * 1000000L) div " +
+            "nullif(sum(abs(p_fp - p_prev)), 0)").as("mase_fp"),
+          expr("sum((2000000L * abs(p_fp - f_prev)) div " +
+            "nullif(abs(p_fp) + abs(f_prev), 0)) div count(1)")
+            .as("smape_fp"))
+    },
+
     // ---- Rolling order statistics (robust smoothing): exact median /
     //      min / max over a trailing 7-row frame per symbol. The frame is
     //      always exactly 7 rows (warm-up rows filtered AFTER the window
