@@ -215,6 +215,177 @@ object AssocQueries {
           "(abs(ca * nbt - cb * nat) * 1000000) div greatest(nat * nbt, 1L)"))
           .as("ks_fp"))
         .orderBy(col("event_type"))
-    }
+    },
+
+    // ---- Population stability index (PSI): the production ML-
+    //      monitoring drift metric next to q_ks_drift's KS statistic —
+    //      decile bins learned from the BASELINE half (even event ids,
+    //      the KS split convention), both halves binned, PSI =
+    //      Σ (pc − pb)·ln(pc/pb) with +1-smoothed 1e9-fp fractions
+    //      (the 1e9 scale keeps the smoothed floor ≥ 1 to corpus
+    //      sizes; the ln chain is the single identical-op-order
+    //      double). Decile edges are exact baseline order statistics
+    //      off the cents-quantized grid CDF; bin assignment is a
+    //      9-row broadcast non-equi join. Per-bin rows + the PSI
+    //      total over the ≤10-row bin frame ----
+    QueryDef.sql(
+      "q_psi",
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 1e2) AS BIGINT) AS v,
+        |    event_id % 2 AS side
+        |  FROM events
+        |), grid AS (
+        |  SELECT v,
+        |    CAST(count(*) FILTER (side = 0) AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (side = 1) AS BIGINT) AS nb
+        |  FROM ev GROUP BY v
+        |), cum AS (
+        |  SELECT v, na, nb,
+        |    CAST(sum(na) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(na) OVER () AS BIGINT) AS nat
+        |  FROM grid
+        |), edges AS (
+        |  SELECT k, min(v) AS edge
+        |  FROM cum CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7),
+        |    (8), (9)) ks(k)
+        |  WHERE ca * 10 >= k * nat
+        |  GROUP BY k
+        |), binned AS (
+        |  SELECT g.v, g.na, g.nb, CAST(count(e.edge) AS BIGINT) AS bin
+        |  FROM grid g LEFT JOIN edges e ON e.edge < g.v
+        |  GROUP BY g.v, g.na, g.nb
+        |), bc AS (
+        |  SELECT bin, CAST(sum(na) AS BIGINT) AS n_base,
+        |    CAST(sum(nb) AS BIGINT) AS n_cur
+        |  FROM binned GROUP BY bin
+        |), tot AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc
+        |  FROM bc
+        |), p AS (
+        |  SELECT bin, n_base, n_cur,
+        |    ((n_base + 1) * 1000000000) // (tb + 10) AS pb_fp,
+        |    ((n_cur + 1) * 1000000000) // (tc + 10) AS pc_fp
+        |  FROM bc CROSS JOIN tot
+        |)
+        |SELECT bin, n_base, n_cur, pb_fp, pc_fp,
+        |  CAST(floor((pc_fp - pb_fp) * ln((1e0 * pc_fp) / pb_fp) / 1e3)
+        |    AS BIGINT) AS term_fp,
+        |  CAST(sum(CAST(floor((pc_fp - pb_fp)
+        |    * ln((1e0 * pc_fp) / pb_fp) / 1e3) AS BIGINT)) OVER ()
+        |    AS BIGINT) AS psi_fp
+        |FROM p""".stripMargin
+    ) { (s, d) =>
+      val ev2 = Tables.events(s, d)
+        .select(expr("CAST(floor(value * 1e2) AS BIGINT)").as("v"),
+          pmod(col("event_id"), lit(2)).as("side"))
+      val grid = ev2.groupBy(col("v"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = grid
+        .withColumn("ca", sum(col("na")).over(wCum))
+        .withColumn("nat", sum(col("na")).over(wAll))
+      val ks = { import s.implicits._; (1 to 9).toDF("k") }
+      val edges = cum.crossJoin(broadcast(ks))
+        .filter(col("ca") * 10 >= col("k") * col("nat"))
+        .groupBy(col("k")).agg(min(col("v")).as("edge"))
+      val binned = grid.join(broadcast(edges), col("edge") < col("v"), "left")
+        .groupBy(col("v"), col("na"), col("nb"))
+        .agg(count(col("edge")).as("bin"))
+      val bc = binned.groupBy(col("bin"))
+        .agg(sum(col("na")).as("n_base"), sum(col("nb")).as("n_cur"))
+      val tot = bc.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+      val p = bc.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          expr("((n_base + 1) * 1000000000L) div (tb + 10)").as("pb_fp"),
+          expr("((n_cur + 1) * 1000000000L) div (tc + 10)").as("pc_fp"))
+      p.withColumn("term_fp",
+          expr("CAST(floor((pc_fp - pb_fp) * ln((1e0 * pc_fp) / pb_fp) " +
+            "/ 1e3) AS BIGINT)"))
+        .withColumn("psi_fp",
+          sum(col("term_fp")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+    }.intendsGlobalWindow(
+      "windows run on the cents-quantized distinct-value grid and the " +
+        "<= 10-row bin frame — value-range-bounded, never the corpus")
+      .intendsNestedLoop(
+        "broadcast sides are the 9-row decile-edge frame, the constant " +
+          "k frame and the 1-row totals"),
+
+    // ---- Categorical association: chi-square + Cramér's V between
+    //      event type and day-of-week — the effect-size companion the
+    //      testing tier lacked (q_kruskal compares DISTRIBUTIONS of a
+    //      numeric; this measures association strength of two
+    //      categoricals, V ∈ [0,1] comparable across tables). Per-cell
+    //      (O·N − R·C)²/(N·R·C) through the single identical-op-order
+    //      double chain (int64 products exact under 2^53), quantized
+    //      per cell then summed exactly; V = sqrt off the already-
+    //      quantized chi². Contingency cells ≤ types × 7 — metadata ----
+    QueryDef.sql(
+      "q_cramers_v",
+      """WITH o AS (
+        |  SELECT event_type, dayofweek(ts) AS dow,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+        |  FROM o GROUP BY event_type
+        |), c AS (
+        |  SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY dow
+        |), n AS (
+        |  SELECT CAST(sum(obs) AS BIGINT) AS nt,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS nc
+        |  FROM o
+        |), cells AS (
+        |  SELECT CAST(floor((1e0 * obs * nt - 1e0 * rt * ct)
+        |      * (1e0 * obs * nt - 1e0 * rt * ct)
+        |      / (1e0 * rt * ct * nt) * 1e4) AS BIGINT) AS cell_fp,
+        |    nt, nr, nc
+        |  FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+        |)
+        |SELECT nt AS n, nr AS n_rows, nc AS n_cols,
+        |  (nr - 1) * (nc - 1) AS dof,
+        |  CAST(sum(cell_fp) AS BIGINT) AS chi2_fp,
+        |  CAST(floor(sqrt((1e0 * CAST(sum(cell_fp) AS BIGINT))
+        |    / (1e4 * nt * least(nr - 1, nc - 1))) * 1e6) AS BIGINT)
+        |    AS cramers_v_fp
+        |FROM cells GROUP BY nt, nr, nc""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (dayofweek(col("ts")) - 1).as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      val r = o.groupBy(col("event_type")).agg(sum(col("obs")).as("rt"))
+      val c = o.groupBy(col("dow").as("cdow")).agg(sum(col("obs")).as("ct"))
+      val n = o.agg(sum(col("obs")).as("nt"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("dow")).as("nc"))
+      o.join(r, "event_type")
+        .join(c, col("cdow") === col("dow"))
+        .crossJoin(broadcast(n))
+        .select(
+          expr("""CAST(floor((1e0 * obs * nt - 1e0 * rt * ct)
+                 |  * (1e0 * obs * nt - 1e0 * rt * ct)
+                 |  / (1e0 * rt * ct * nt) * 1e4) AS BIGINT)"""
+            .stripMargin).as("cell_fp"),
+          col("nt"), col("nr"), col("nc"))
+        .groupBy(col("nt"), col("nr"), col("nc"))
+        .agg(sum(col("cell_fp")).as("chi2_fp"))
+        .select(col("nt").as("n"), col("nr").as("n_rows"),
+          col("nc").as("n_cols"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          col("chi2_fp"),
+          expr("""CAST(floor(sqrt((1e0 * chi2_fp)
+                 |  / (1e4 * nt * least(nr - 1, nc - 1))) * 1e6) AS BIGINT)"""
+            .stripMargin).as("cramers_v_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row contingency-totals frame")
   )
 }
