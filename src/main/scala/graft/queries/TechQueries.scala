@@ -858,6 +858,61 @@ object TechQueries {
           col("slope_fp").as("med_slope_fp"))
     },
 
+    // ---- Mann-Kendall trend statistic (banded): S = Σ sign(y2 − y1)
+    //      and Kendall's tau = S/n_pairs over the SAME banded pair
+    //      generator as q_theilsen (x2 − x1 <= 48) — the nonparametric
+    //      trend TEST beside the Theil-Sen slope ESTIMATE (the two are
+    //      the standard pairing: MK says "is there a trend", Theil-Sen
+    //      says "how steep"). Banding keeps per-group work O(g·48);
+    //      the banded variance formula differs from classic MK, so the
+    //      output reports the exact S and tau rather than a z built on
+    //      the wrong null — integer-exact end to end, and unlike the
+    //      median pick this is ONE partial-aggregable hash agg (no
+    //      window at all) ----
+    QueryDef.sql(
+      "q_mann_kendall",
+      """WITH r AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS x,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS y
+        |  FROM events
+        |), p AS (
+        |  SELECT a.symbol, a.day,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+        |      AS sg
+        |  FROM r a JOIN r b
+        |    ON a.symbol = b.symbol AND a.day = b.day
+        |   AND a.x < b.x AND b.x - a.x <= 48
+        |)
+        |SELECT symbol, day, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(sg) AS BIGINT) AS s_stat,
+        |  (CAST(sum(sg) AS BIGINT) * 1000000) // count(*) AS tau_fp
+        |FROM p GROUP BY symbol, day""".stripMargin
+    ) { (s, d) =>
+      val wr = Window.partitionBy(col("symbol"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val r = Tables.events(s, d)
+        .select(col("event_type").as("symbol"),
+          col("ts").cast("date").as("day"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("y"))
+        .withColumn("x", row_number().over(wr).cast("long"))
+        .select("symbol", "day", "x", "y")
+      val a = r.select(col("symbol"), col("day"),
+        col("x").as("x1"), col("y").as("y1"))
+      val b = r.select(col("symbol").as("symbol_b"), col("day").as("day_b"),
+        col("x").as("x2"), col("y").as("y2"))
+      a.join(b,
+          col("symbol") === col("symbol_b") && col("day") === col("day_b") &&
+            col("x1") < col("x2") && col("x2") - col("x1") <= 48)
+        .select(col("symbol"), col("day"),
+          when(col("y2") > col("y1"), 1L)
+            .when(col("y2") < col("y1"), -1L).otherwise(0L).as("sg"))
+        .groupBy(col("symbol"), col("day"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("sg")).as("s_stat"),
+          expr("(sum(sg) * 1000000L) div count(1)").as("tau_fp"))
+    },
+
     // ---- Benford first-digit audit over lineitem extended prices: the
     //      classic fabricated-numbers screen (a data-quality tier row
     //      next to q_expectations/q_outliers_mad). Observed per-digit
