@@ -47,7 +47,13 @@ object Plans {
     "q_conformal", // per-type aggs, rank window PARTITIONED by type
     "q_t_closeness", // shrinking cascade aggs + broadcast 1-row global
     "q_scc", // log n doubling joins, epilogue checkpointed in-width
-    "q_isotonic" // <=21-row bin frame: bounded minimax joins only
+    "q_isotonic", // <=21-row bin frame: bounded minimax joins only
+    "q_cdc_chunks", // ONE doc_id exchange: explode + 2 window sums + chunk agg
+    "q_kaplan_meier", // corpus-sized subject agg, life-table-sized fold
+    "q_link_pred", // capped wedge self-join, ReusedExchange both probes
+    "q_stress", // frontier-sized grouped joins, pinned edge partitioning
+    "q_psi", // grid windows + 9-row broadcast bin assignment
+    "q_graph_embed" // walk argmin rounds, then metadata-only PPMI iteration
   )
 
   def main(args: Array[String]): Unit = {
