@@ -1117,6 +1117,49 @@ object ExtQueries {
           coalesce(col("rep"), col("p_name")).as("entity_id"),
           (coalesce(col("rep"), col("p_name")) === col("p_name"))
             .as("is_canonical"))
+    },
+
+    // ---- Exact weighted median (lower) of line price per supplier,
+    //      weight = quantity: the volume-weighted "typical deal size"
+    //      that plain median misstates when big orders dominate.
+    //      Semantics: wmedian = min v with 2·cumw(v) >= totw, where
+    //      cumw uses a RANGE frame (ties share their full tie-group
+    //      weight, so the pick is order-independent under duplicates).
+    //      Weights quantized floor(q·1e2) — integer-exact cumulative
+    //      sums cross-engine. ONE l_suppkey exchange carries both
+    //      window sums and the final groupBy; group count = #suppliers,
+    //      in-group sort is the per-key window sort that scales with
+    //      rows/supplier, not corpus size. ----
+    QueryDef.sql(
+      "q_weighted_median",
+      """WITH w AS (
+        |  SELECT l_suppkey, l_extendedprice AS v,
+        |    CAST(floor(l_quantity * 1e2) AS BIGINT) AS wt
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT l_suppkey, v, wt,
+        |    CAST(sum(wt) OVER (PARTITION BY l_suppkey ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cw,
+        |    CAST(sum(wt) OVER (PARTITION BY l_suppkey) AS BIGINT) AS tot
+        |  FROM w
+        |)
+        |SELECT l_suppkey, min(v) AS wmedian, CAST(max(tot) AS BIGINT) AS total_wt
+        |FROM c WHERE 2 * cw >= tot
+        |GROUP BY l_suppkey""".stripMargin
+    ) { (s, d) =>
+      val byKey = Window.partitionBy(col("l_suppkey"))
+      val cum = byKey.orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice").as("v"),
+          expr("CAST(floor(l_quantity * 1e2) AS BIGINT)").as("wt"))
+        .withColumn("cw", sum(col("wt")).over(cum))
+        .withColumn("tot", sum(col("wt")).over(byKey))
+        .filter(lit(2) * col("cw") >= col("tot"))
+        .groupBy(col("l_suppkey"))
+        .agg(min(col("v")).as("wmedian"),
+          max(col("tot")).cast("long").as("total_wt"))
     }
   )
 }

@@ -498,6 +498,77 @@ object MlQueries {
     QueryDef.sql("q_ridge", MlQueries.ridgeSql("lineitem")) { (s, d) =>
       Tables.lineitem(s, d).createOrReplaceTempView("graft_ridge_li_v")
       s.sql(MlQueries.ridgeSql("graft_ridge_li_v"))
+    },
+
+    // ---- ECOD outlier scores over the embedding corpus (Li et al.
+    //      2022, "ECOD: unsupervised outlier detection using empirical
+    //      cumulative distribution functions" — the parameter-free
+    //      baseline modern curation pipelines reach for before anything
+    //      learned): per dimension, the left/right empirical tail
+    //      probability of each value; score = sum over dims of
+    //      -ln(tail), aggregated both ways, final score the larger of
+    //      the two (the paper adds a skewness-picked "auto" variant;
+    //      the max of the two one-sided sums is its bound and keeps the
+    //      arithmetic exact). Tails are RANGE-frame counts so ties share
+    //      their ECDF mass — order-independent; -ln quantized to 1e6
+    //      (the q_dist_drift/q_lm_score convention).
+    //      Scale shape: ONE posexplode pass, ONE exchange on dim (both
+    //      tail counts + n ride the same window partitioning), then a
+    //      vec_id hash agg. Per-dim window sort is n·log n rows per
+    //      reducer with d reducers; at extreme n swap the exact rank
+    //      for the q_quantiles_dist bucket-ECDF (same downstream
+    //      algebra) — documented, not needed at bench scales. ----
+    QueryDef.sql(
+      "q_ecod",
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS v, pos FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |      unnest(range(1, len(embedding) + 1)) AS pos
+        |    FROM embeddings)
+        |), r AS (
+        |  SELECT vec_id,
+        |    CAST(count(*) OVER (PARTITION BY pos ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cle,
+        |    CAST(count(*) OVER (PARTITION BY pos ORDER BY v DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cge,
+        |    CAST(count(*) OVER (PARTITION BY pos) AS BIGINT) AS n
+        |  FROM ex
+        |), t AS (
+        |  SELECT vec_id,
+        |    CAST(floor(-ln(cle * 1e0 / n) * 1e6) AS BIGINT) AS tl,
+        |    CAST(floor(-ln(cge * 1e0 / n) * 1e6) AS BIGINT) AS tr
+        |  FROM r
+        |), o AS (
+        |  SELECT vec_id, CAST(sum(tl) AS BIGINT) AS o_left_fp,
+        |    CAST(sum(tr) AS BIGINT) AS o_right_fp
+        |  FROM t GROUP BY vec_id
+        |)
+        |SELECT vec_id, o_left_fp, o_right_fp,
+        |  greatest(o_left_fp, o_right_fp) AS o_fp
+        |FROM o""".stripMargin
+    ) { (s, d) =>
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"), col("x").cast("double").as("v"))
+      val byDim = Window.partitionBy(col("pos"))
+      val asc = byDim.orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val desc = byDim.orderBy(col("v").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ex
+        .withColumn("cle", count(lit(1)).over(asc))
+        .withColumn("cge", count(lit(1)).over(desc))
+        .withColumn("n", count(lit(1)).over(byDim))
+        .select(col("vec_id"),
+          expr("CAST(floor(-ln(cle * 1e0 / n) * 1e6) AS BIGINT)").as("tl"),
+          expr("CAST(floor(-ln(cge * 1e0 / n) * 1e6) AS BIGINT)").as("tr"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("tl")).cast("long").as("o_left_fp"),
+          sum(col("tr")).cast("long").as("o_right_fp"))
+        .select(col("vec_id"), col("o_left_fp"), col("o_right_fp"),
+          greatest(col("o_left_fp"), col("o_right_fp")).as("o_fp"))
     }
   )
 

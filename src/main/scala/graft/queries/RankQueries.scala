@@ -1114,6 +1114,35 @@ object RankQueries {
       val nodes = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("v"))
       Scc.run(s, nodes, (k, n) => (k * k + lit(1L)) % lit(n))
+    },
+
+    // ---- Rank-1 ALS matrix factorization over the customer x part
+    //      purchase matrix (see ops.AlsRank1): the collaborative-
+    //      filtering training primitive next to q_item_cf's neighbor
+    //      model — alternating closed-form updates as grouped sums,
+    //      exact integer fixed point, max-normalized per half-step.
+    //      Ratings r = floor(quantity) summed per (customer, part);
+    //      headroom D*Rmax*S^2 < 2^63 holds with D*Rmax ~ 2e5 here
+    //      (TPC-H degree is scale-invariant: ~40 lines/customer).
+    //      Scale shape: rating matrix pinned by item AND by user key,
+    //      each half-step one equi join + grouped sum + lazy 1-row max
+    //      broadcast — the ops.Hits loop pattern ----
+    QueryDef.sql(
+      "q_als_rank1",
+      s"""WITH graft_ratings AS (
+         |  SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+         |    CAST(floor(l.l_quantity) AS BIGINT) AS r
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |),
+         |${graft.ops.AlsRank1.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val ratings = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("r"))
+      graft.ops.AlsRank1.run(ratings)
     }
   )
 }
