@@ -653,6 +653,34 @@ object AnalyticsQueries {
           expr("-1L - (md5p60(concat(event_type, ':1')) % 5)").as("e1")))
     },
 
+    // ---- Forward-algorithm filtering posteriors for the same 2-state
+    //      HMM family (see ops.HmmForward): where q_viterbi commits to
+    //      ONE most-likely path, this reports P(state 1 | obs so far)
+    //      per row — exact fixed-point sum-product, O(1)/key state (the
+    //      Holt fold shape, streamable), ONE user_id shuffle. Emission
+    //      weights are the md5-derived per-type integers (the q_viterbi
+    //      convention), transitions pStay = 0.8 ----
+    QueryDef.sql(
+      "q_hmm_forward",
+      s"""WITH RECURSIVE graft_hmm_ev AS (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    1 + (CAST(concat('0x', substr(md5(event_type || ':0'), 1, 15))
+         |         AS BIGINT) % 9) AS we0,
+         |    1 + (CAST(concat('0x', substr(md5(event_type || ':1'), 1, 15))
+         |         AS BIGINT) % 9) AS we1
+         |  FROM events
+         |),
+         |${graft.ops.HmmForward.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.HmmForward.filter(
+        Tables.events(s, d).select(
+          col("user_id"), col("ts"), col("event_id"),
+          expr("1L + (md5p60(concat(event_type, ':0')) % 9)").as("we0"),
+          expr("1L + (md5p60(concat(event_type, ':1')) % 9)").as("we1")))
+    },
+
     // ---- Multi-touch conversion attribution: every non-purchase event
     //      is a touch on the journey toward the user's NEXT purchase
     //      (journey = run between consecutive purchases, keyed by the
