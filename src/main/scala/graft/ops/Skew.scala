@@ -73,4 +73,62 @@ object Skew {
           a.merge(col(s"__p_${a.alias}")).as(a.alias)
         }: _*)
   }
+
+  /** Hot-key replicated equi join — the salting fix for JOIN skew when
+    * the dim's hot rows are too many to broadcast outright (AQE's
+    * skew-join split only fires on sort-merge partitions it can see at
+    * runtime; this shapes the plan so no hot partition ever exists).
+    *
+    * Hot keys (fact-side frequency ≥ `hotThreshold`) are detected with
+    * one map-side-combining count — itself skew-safe, since partial
+    * aggregation collapses a hot key inside each task before the
+    * shuffle — and the resulting key list is tiny by construction
+    * (≤ |fact| / hotThreshold keys), so it broadcasts into both split
+    * predicates. Fact rows of a hot key get a deterministic salt in
+    * [0, salts); dim rows of a hot key are replicated once per salt
+    * (explode over a `salts`-element sequence — multiplicity preserved,
+    * so a dim key with d rows still matches each fact row d times).
+    * Cold rows on both sides carry salt 0 and join exactly as before.
+    * ONE uniform equi join on (key, salt) — a hot key's fan-in spreads
+    * over `salts` reducers instead of stalling one.
+    *
+    * The salt hashes the whole fact row PLUS the input partition id
+    * (the [[saltedAgg]] retry-safety rule: no rand(), stable under task
+    * retries; identical copies spread across as many salts as they span
+    * input partitions).
+    *
+    * Result: inner join, fact columns then dim columns (the join key
+    * once, from the fact side). Column names must be disjoint apart
+    * from the key.
+    */
+  def skewJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      hotThreshold: Long,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0 && hotThreshold > 0)
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(col(key).as("__hot_key"))
+    val fSalted = fact
+      .join(broadcast(hot), fact(key) === col("__hot_key"), "left")
+      .withColumn("__salt",
+        when(col("__hot_key").isNull, lit(0)).otherwise(
+          pmod(hash((fact.columns.map(fact(_)) :+ spark_partition_id()): _*),
+            lit(salts))))
+      .drop("__hot_key")
+    val dSalted = dim
+      .join(broadcast(hot), dim(key) === col("__hot_key"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot_key").isNull, array(lit(0)))
+          .otherwise(expr(s"sequence(0, ${salts - 1})"))))
+      .drop("__hot_key")
+      .withColumnRenamed(key, "__dim_key")
+    fSalted
+      .join(dSalted,
+        fSalted(key) === dSalted("__dim_key") &&
+          fSalted("__salt") === dSalted("__salt"))
+      .drop("__salt").drop("__dim_key")
+  }
 }

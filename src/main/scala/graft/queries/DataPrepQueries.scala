@@ -673,6 +673,31 @@ object DataPrepQueries {
           "n_chars" -> graft.ops.Skew.maxAgg("max_chars")))
     },
 
+    // ---- hot-key replicated JOIN == the plain join answer
+    //      (ops.Skew.skewJoin): fact rows of hot keys salt across 8
+    //      reducers, dim hot rows replicate once per salt — ONE uniform
+    //      (key, salt) equi join, no hot partition. Gate compares the
+    //      aggregated join output against DuckDB's plain join ----
+    QueryDef.sql(
+      "q_skew_join",
+      """SELECT c.c_mktsegment, e.event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(e.value * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_fp
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val fact = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.ops.Skew.skewJoin(fact, dim, "user_id", hotThreshold = 60, salts = 8)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 1e6) AS BIGINT)")).cast("long")
+            .as("sum_v_fp"))
+    },
+
     // ---- deterministic shuffle ordering: hash-sharded training order.
     //      Rank is PER SHARD (dataloaders consume shards independently),
     //      so there is no global single-partition sort; identical on

@@ -89,4 +89,38 @@ class SkewSpec extends AnyFunSuite with Matchers {
     got.head.getAs[Double]("sum_v") shouldBe 10000.0
     got.head.getAs[Long]("count") shouldBe 10000L
   }
+
+  private lazy val dim = {
+    val s = spark
+    import s.implicits._
+    // HOT and half the cold keys have dim rows; cold_1 has TWO dim rows
+    // (the join must preserve that multiplicity through replication);
+    // dim-only keys must not appear (inner join)
+    (Seq(("HOT", "seg_hot"), ("cold_1", "seg_a"), ("cold_1", "seg_b")) ++
+      (2 to 25).map(k => (s"cold_$k", s"seg_$k")) ++
+      Seq(("dim_only", "seg_x"))).toDF("key", "seg")
+  }
+
+  private def asBag(rows: Array[org.apache.spark.sql.Row]): Map[Seq[Any], Int] =
+    rows.map(_.toSeq).groupBy(identity).map { case (k, v) => k -> v.length }
+
+  test("skew join equals the plain join, multiplicities included") {
+    val expected = skewed.join(dim, "key")
+      .select("key", "n", "v", "seg").collect()
+    val got = Skew.skewJoin(skewed, dim, "key", hotThreshold = 1000, salts = 8)
+      .select("key", "n", "v", "seg").collect()
+    asBag(got) shouldBe asBag(expected)
+    // sanity: the fixture exercises BOTH branches
+    got.count(_.getString(0) == "HOT") shouldBe 10000
+    got.count(_.getString(0) == "cold_1") shouldBe 20 // 10 rows x 2 dim rows
+  }
+
+  test("skew join is exact when every key is hot, and when none is") {
+    val plain = asBag(skewed.join(dim, "key")
+      .select("key", "n", "v", "seg").collect())
+    for (thr <- Seq(1L, Long.MaxValue)) {
+      asBag(Skew.skewJoin(skewed, dim, "key", hotThreshold = thr, salts = 4)
+        .select("key", "n", "v", "seg").collect()) shouldBe plain
+    }
+  }
 }
