@@ -352,6 +352,86 @@ object AnalyticsQueries {
           expr("(cnt * 1000000) div t").as("prob_fp"))
     },
 
+    // ---- k-step absorption probability over the q_markov chain: for
+    //      each event type, P(reach 'purchase' within 6 transitions)
+    //      with 'purchase' absorbing — the hitting-time / conversion-
+    //      horizon analysis on top of the transition matrix. ONE
+    //      corpus-sized window+agg builds the #types² matrix; the 6
+    //      backward-iteration rounds are metadata-only broadcast joins
+    //      (the matrix is index metadata at any corpus size). Exact
+    //      fixed point: per-round Σ p·h then ONE div — terms ≤ S² and
+    //      ≤ #types of them, headroom #types·S² < 2^63 (~9e3 types) ----
+    QueryDef.sql(
+      "q_hitting_time",
+      {
+        val S = 1000000L
+        val rounds = 6
+        val sb = new StringBuilder
+        sb.append(
+          s"""WITH seq AS (
+             |  SELECT user_id, event_type AS src,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS dst
+             |  FROM events
+             |), tr AS (
+             |  SELECT src, dst, count(*) AS cnt FROM seq
+             |  WHERE dst IS NOT NULL GROUP BY src, dst
+             |), tot AS (
+             |  SELECT src, CAST(sum(cnt) AS BIGINT) AS t FROM tr GROUP BY src
+             |), pm AS (
+             |  SELECT tr.src, tr.dst, (tr.cnt * $S) // tot.t AS p_fp
+             |  FROM tr JOIN tot ON tot.src = tr.src
+             |), st AS (
+             |  SELECT DISTINCT src AS s FROM tr
+             |  UNION SELECT DISTINCT dst FROM tr
+             |), h0 AS (
+             |  SELECT s, CASE WHEN s = 'purchase'
+             |    THEN CAST($S AS BIGINT) ELSE CAST(0 AS BIGINT) END AS h
+             |  FROM st
+             |)""".stripMargin)
+        for (i <- 1 to rounds) sb.append(
+          s""",
+             |h$i AS (
+             |  SELECT st.s, CASE WHEN st.s = 'purchase' THEN $S
+             |    ELSE COALESCE(x.v, 0) END AS h
+             |  FROM st LEFT JOIN (
+             |    SELECT pm.src AS s,
+             |      CAST(sum(pm.p_fp * h.h) AS BIGINT) // $S AS v
+             |    FROM pm JOIN h${i - 1} h ON h.s = pm.dst
+             |    GROUP BY pm.src) x USING (s)
+             |)""".stripMargin)
+        sb.append(s"\nSELECT s AS event_type, h AS p_reach_fp FROM h$rounds")
+        sb.toString
+      }
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val S = 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = ev(s, d)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tr.groupBy(col("src").as("tsrc")).agg(sum(col("cnt")).as("t"))
+      val pm = tr.join(tot, col("tsrc") === col("src"))
+        .select(col("src"), col("dst"), expr(s"(cnt * ${S}L) div t").as("p_fp"))
+      val st = tr.select(col("src").as("s"))
+        .union(tr.select(col("dst"))).distinct()
+      def absorb(h: org.apache.spark.sql.Column) =
+        when(col("s") === "purchase", lit(S)).otherwise(h)
+      var h = st.select(col("s"), absorb(lit(0L)).as("h"))
+      for (_ <- 1 to 6) {
+        val step = pm.join(broadcast(h), h("s") === pm("dst"))
+          .groupBy(pm("src").as("s"))
+          .agg(sum(expr("p_fp * h")).as("sv"))
+          .select(col("s"), expr(s"sv div ${S}L").as("v"))
+        h = st.join(broadcast(step), Seq("s"), "left")
+          .select(col("s"), absorb(coalesce(col("v"), lit(0L))).as("h"))
+      }
+      h.select(col("s").as("event_type"), col("h").as("p_reach_fp"))
+    },
+
     // ---- Top event 3-paths per user sequence (the path-mining
     //      generalization of q_markov's transitions — the Sankey /
     //      user-journey query): two leads over the SAME (user_id)
