@@ -161,6 +161,100 @@ object SamplingQueries {
           count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
         .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
           (col("n_novel").cast("double") / col("n_ngrams")).as("novelty"))
+    },
+
+    // ---- Poisson-bootstrap standard errors (Chamandy et al. 2012, the
+    //      published bootstrap-at-scale method: each row's replicate
+    //      weight is an INDEPENDENT Poisson(1) draw, so no coordinated
+    //      resample pass exists — any partition can weight its rows
+    //      alone). Deterministic twin: the draw is the integer inverse
+    //      CDF of Poisson(1) at the 60-bit md5 uniform of
+    //      (event_id:replicate) — the q_dp_counts mechanism pattern, no
+    //      rand(). B = 32 replicates; per (group, replicate) the
+    //      weighted mean in exact integers; SE over replicates from
+    //      1e3-scaled means so B·Σm² stays far inside int64 at any
+    //      value magnitude ≤ ~5e5. The ×32 explode collapses in the
+    //      map-side partial agg — the shuffle carries #groups × 32
+    //      rows, never corpus × 32 ----
+    QueryDef.sql(
+      "q_bootstrap_se",
+      s"""WITH base AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS vq
+         |  FROM events
+         |), rep AS (
+         |  SELECT event_type, vq, b,
+         |    CAST(concat('0x', substr(md5(
+         |      CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+         |      1, 15)) AS BIGINT) AS u
+         |  FROM base CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+         |), wts AS (
+         |  SELECT event_type, b, vq, $poissonCase AS w FROM rep
+         |), g AS (
+         |  SELECT event_type, b, CAST(sum(w * vq) AS BIGINT) AS sb,
+         |    CAST(sum(w) AS BIGINT) AS nb
+         |  FROM wts GROUP BY event_type, b
+         |), m AS (
+         |  SELECT event_type, b, sb // nb AS mean_fp,
+         |    sb // (nb * 1000) AS m3
+         |  FROM g WHERE nb > 0
+         |), agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS nb_reps,
+         |    CAST(sum(m3) AS BIGINT) AS s1,
+         |    CAST(sum(m3 * m3) AS BIGINT) AS s2,
+         |    min(mean_fp) AS mn_fp, max(mean_fp) AS mx_fp
+         |  FROM m GROUP BY event_type
+         |)
+         |SELECT event_type, nb_reps AS n_reps,
+         |  CAST(floor(sqrt(CAST(nb_reps * s2 - s1 * s1 AS DOUBLE)
+         |    / (nb_reps * (nb_reps - 1)))) AS BIGINT) AS se_fp3,
+         |  mn_fp, mx_fp
+         |FROM agg""".stripMargin
+    ) { (s, d) =>
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(floor(value * 1e6) AS BIGINT)").as("vq"))
+      val rep = base
+        .select(col("event_type"), col("vq"),
+          explode(expr("sequence(0, 31)")).as("b"),
+          col("event_id"))
+        .withColumn("u", expr(
+          "md5p60(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING)))"))
+        .withColumn("w", expr(poissonCase))
+      val g = rep.groupBy(col("event_type"), col("b"))
+        .agg(sum(expr("w * vq")).as("sb"), sum(col("w")).as("nb"))
+        .filter(col("nb") > 0)
+        .select(col("event_type"),
+          expr("sb div nb").as("mean_fp"),
+          expr("sb div (nb * 1000L)").as("m3"))
+      g.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nb_reps"),
+          sum(col("m3")).as("s1"), sum(expr("m3 * m3")).as("s2"),
+          min(col("mean_fp")).as("mn_fp"), max(col("mean_fp")).as("mx_fp"))
+        .select(col("event_type"), col("nb_reps").as("n_reps"),
+          expr("CAST(floor(sqrt(CAST(nb_reps * s2 - s1 * s1 AS DOUBLE)" +
+            " / (nb_reps * (nb_reps - 1)))) AS BIGINT)").as("se_fp3"),
+          col("mn_fp"), col("mx_fp"))
     }
   )
+
+  /** Poisson(1) inverse-CDF as a SQL CASE over a 60-bit uniform column
+    * `u` — thresholds floor(cdf_k · 2^60) precomputed HERE and embedded
+    * as identical literals in both engines' texts (so cross-engine
+    * exactness never depends on either engine's exp/factorial). Tail
+    * capped at 8: P(Poisson(1) > 8) < 1e-6, and the cap only reweights
+    * one-in-a-million rows by the same rule on both sides.
+    */
+  private lazy val poissonCase: String = {
+    val scale = math.pow(2.0, 60)
+    val e1 = math.exp(-1.0)
+    var cdf = 0.0
+    var fact = 1.0
+    val whens = (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cdf += e1 / fact
+      s"WHEN u < ${math.floor(cdf * scale).toLong} THEN $k"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 8 END"
+  }
 }
