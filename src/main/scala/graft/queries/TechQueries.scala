@@ -457,6 +457,71 @@ object TechQueries {
             .as("intercept_fp"))
     },
 
+    // ---- Additive seasonal decomposition (STL-lite): v = trend +
+    //      seasonal + residual per symbol series — trend is the exact
+    //      centered 7-row moving average (full windows only), the
+    //      seasonal index is the day-of-week mean of the detrended
+    //      series, the residual is what's left. All integer cents;
+    //      divisions use the sign·abs-div form (defense in depth
+    //      against either engine changing negative-operand division
+    //      convention — the Holt/PcaPower rule). Scale shape: ONE
+    //      symbol exchange carries the centered window; the seasonal
+    //      index is a (symbol × 7)-row broadcast join back ----
+    QueryDef.sql(
+      "q_seasonal_decomp",
+      """WITH s0 AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS v,
+        |    dayofweek(ts) AS dow
+        |  FROM events
+        |), tr AS (
+        |  SELECT symbol, event_id, v, dow,
+        |    CAST(sum(v) OVER w AS BIGINT) AS s7,
+        |    CAST(count(*) OVER w AS BIGINT) AS c7
+        |  FROM s0
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), dt AS (
+        |  SELECT symbol, event_id, dow, v, s7 // 7 AS trend_fp,
+        |    v - (s7 // 7) AS d
+        |  FROM tr WHERE c7 = 7
+        |), si AS (
+        |  SELECT symbol, dow,
+        |    CASE WHEN CAST(sum(d) AS BIGINT) < 0
+        |      THEN -((-CAST(sum(d) AS BIGINT)) // count(*))
+        |      ELSE CAST(sum(d) AS BIGINT) // count(*) END AS seas_fp
+        |  FROM dt GROUP BY symbol, dow
+        |)
+        |SELECT d.symbol, d.event_id, d.v AS v_fp, d.trend_fp,
+        |  si.seas_fp, d.d - si.seas_fp AS resid_fp
+        |FROM dt d JOIN si ON si.symbol = d.symbol AND si.dow = d.dow""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 3)
+      val s0 = Tables.events(s, d).select(
+        col("event_type").as("symbol"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("v"),
+        (dayofweek(col("ts")) - 1).as("dow"))
+      val dt = s0
+        .withColumn("s7", sum(col("v")).over(w))
+        .withColumn("c7", count(lit(1)).over(w))
+        .filter(col("c7") === 7)
+        .select(col("symbol"), col("event_id"), col("dow"), col("v"),
+          expr("s7 div 7").as("trend_fp"),
+          expr("v - (s7 div 7)").as("d"))
+      val si = dt.groupBy(col("symbol").as("si_symbol"), col("dow").as("si_dow"))
+        .agg(sum(col("d")).as("sd"), count(lit(1)).as("cn"))
+        .select(col("si_symbol"), col("si_dow"),
+          expr("CASE WHEN sd < 0 THEN -((-sd) div cn) ELSE sd div cn END")
+            .as("seas_fp"))
+      dt.join(broadcast(si),
+          dt("symbol") === col("si_symbol") && dt("dow") === col("si_dow"))
+        .select(col("symbol"), col("event_id"), col("v").as("v_fp"),
+          col("trend_fp"), col("seas_fp"),
+          (col("d") - col("seas_fp")).as("resid_fp"))
+    },
+
     // ---- Holt linear-trend smoothing (see ops.Holt): level + trend +
     //      one-step forecast per symbol in exact integer cents — the
     //      closed-form classical counterpart to the reference's LSTM
