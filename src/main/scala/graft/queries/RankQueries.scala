@@ -1143,6 +1143,29 @@ object RankQueries {
         .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
           expr("CAST(floor(l_quantity) AS BIGINT)").as("r"))
       graft.ops.AlsRank1.run(ratings)
+    },
+
+    // ---- Locally-dominant greedy matching over the trade graph (see
+    //      ops.Matching): the graph-coarsening primitive — pairs nodes
+    //      along md5-weighted edges, 6 deterministic rounds (= the
+    //      greedy-by-weight prefix on both engines). Per round: one
+    //      partial-aggregable incidence argmin + two dominance equi
+    //      joins + two anti joins, rounds checkpointed ----
+    QueryDef.sql(
+      "q_matching",
+      s"WITH graft_edges AS (\n$edgesDuck\n),\n" +
+        graft.ops.Matching.oracleSql()
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      graft.ops.Matching.run(fwd.union(rev))
     }
   )
 }
