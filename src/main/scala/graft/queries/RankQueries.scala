@@ -1166,6 +1166,51 @@ object RankQueries {
         concat(lit("C"), col("o_custkey")).as("src"),
         concat(lit("S"), col("l_suppkey")).as("dst"))
       graft.ops.Matching.run(fwd.union(rev))
+    },
+
+    // ---- Earliest-arrival TEMPORAL reachability (see ops.TemporalReach):
+    //      time-respecting paths over the trade graph with edges dated
+    //      by order day — the propagation analysis static q_bfs_hops
+    //      gets wrong (backwards-in-time edge sequences are not paths).
+    //      Same pinned-edge relaxation loop as q_sssp plus the fused
+    //      day >= arrival filter; 4 rounds, exact integer days ----
+    QueryDef.sql(
+      "q_temporal_reach",
+      s"""WITH graft_edges AS (
+         |  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         |         'C' || CAST(o_custkey AS VARCHAR) AS dst,
+         |         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  UNION ALL
+         |  SELECT 'C' || CAST(o_custkey AS VARCHAR),
+         |         'S' || CAST(l_suppkey AS VARCHAR),
+         |         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderkey % 2 = 0
+         |), graft_reach_seeds AS (
+         |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+         |  FROM supplier WHERE s_nationkey < 5
+         |),
+         |${graft.ops.TemporalReach.oracleSql(rounds = 4)}""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          // NTZ parquet timestamp; session TZ is UTC, so the cast is
+          // value-preserving and matches DuckDB's epoch_us
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L")
+            .as("day"))
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val fwd = j.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"), col("day"))
+      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
+        concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"), col("day"))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 5)
+        .select(concat(lit("S"), col("s_suppkey")).as("node"))
+      graft.ops.TemporalReach.run(fwd.union(rev), seeds, rounds = 4)
     }
   )
 }
