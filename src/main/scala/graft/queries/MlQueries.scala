@@ -569,6 +569,23 @@ object MlQueries {
           sum(col("tr")).cast("long").as("o_right_fp"))
         .select(col("vec_id"), col("o_left_fp"), col("o_right_fp"),
           greatest(col("o_left_fp"), col("o_right_fp")).as("o_fp"))
+    },
+
+    // ---- Greedy k-center selection (see ops.KCenter): 6 maximally
+    //      diverse corpus points by farthest-point traversal — the
+    //      annotation-budget / coreset-seeding pick. Per round ONE
+    //      corpus pass against the broadcast 1-row newest pick + a
+    //      TakeOrdered(1) argmin; the running max-similarity
+    //      telescopes, so earlier picks are never rescanned ----
+    QueryDef.sql(
+      "q_kcenter",
+      s"WITH ${graft.ops.KCenter.oracleSql(k = 6)}"
+    ) { (s, d) =>
+      graft.ops.KCenter.select(
+        Tables.embeddings(s, d).select("vec_id", "embedding"), k = 6)
+      // per-round broadcast nested-loops against 1-row pick frames run
+      // EAGERLY inside the round checkpoints; the returned plan is a
+      // union of materialized 1-row frames, so no intent declaration
     }
   )
 

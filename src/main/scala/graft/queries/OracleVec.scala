@@ -6,7 +6,7 @@ package graft.queries
   * or plane family cannot drift between the four queries that embed them
   * (q_knn_brute, q_knn_lsh, q_knn_ivf, q_dedup_embedding).
   */
-private[queries] object OracleVec {
+private[graft] object OracleVec {
 
   /** Left-fold dot product over two list columns (index order, double).
     * NULL on length mismatch, mirroring VecDot's null semantics exactly —
