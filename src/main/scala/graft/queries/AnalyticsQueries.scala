@@ -939,6 +939,64 @@ object AnalyticsQueries {
         .select(col("type_a"), col("type_b"), col("ni"),
           expr("(ni * 1000000L) div (na + nb - ni)").as("jaccard_fp"),
           expr("(ni * 1000000L) div least(na, nb)").as("simpson_fp"))
+    },
+
+    // ---- Interval union (gaps-and-islands on time ranges): each event
+    //      opens a 30-minute activity interval; overlapping or touching
+    //      intervals merge into islands — per user the island count,
+    //      total covered time, longest stretch. Island flag = start >
+    //      running max of PRIOR ends (general form: correct even for
+    //      variable-width intervals where ends are not monotone);
+    //      island id = cumulative flag sum. Exact integer microseconds;
+    //      both windows and both hash aggs ride ONE user_id exchange ----
+    QueryDef.sql(
+      "q_interval_merge",
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events
+        |), fl AS (
+        |  SELECT user_id, event_id, s, e,
+        |    CASE WHEN s > COALESCE(CAST(max(e) OVER (PARTITION BY user_id
+        |        ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS BIGINT), -1)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM iv
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM fl
+        |), g AS (
+        |  SELECT user_id, island, min(s) AS st, max(e) AS en
+        |  FROM isl GROUP BY user_id, island
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(en - st) AS BIGINT) AS covered_us,
+        |  CAST(max(en - st) AS BIGINT) AS longest_us
+        |FROM g GROUP BY user_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("s"),
+        expr("unix_micros(ts) + 1800000000L").as("e"))
+      val fl = iv.withColumn("ni",
+        when(col("s") > coalesce(
+          max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), lit(1)).otherwise(lit(0)))
+      val isl = fl.withColumn("island",
+        sum(col("ni")).over(ord.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      isl.groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("st"), max(col("e")).as("en"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("en") - col("st")).cast("long").as("covered_us"),
+          max(col("en") - col("st")).cast("long").as("longest_us"))
     }
   )
 }
