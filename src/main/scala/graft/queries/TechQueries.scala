@@ -457,6 +457,71 @@ object TechQueries {
             .as("intercept_fp"))
     },
 
+    // ---- Wald-Wolfowitz runs test per symbol: is the up/down tick
+    //      sequence random? R = number of sign runs over nonzero
+    //      deltas, n1/n2 = up/down counts — exact integers off two
+    //      windows on ONE symbol exchange; z from the closed-form
+    //      run-count moments via a single identical-op-order double
+    //      chain (2n1n2(2n1n2−n) would overflow int64 at corpus n, so
+    //      the moments are double by construction, same text both
+    //      engines). Degenerate-σ groups (2n1n2 ≤ n) are filtered with
+    //      an exact integer predicate ----
+    QueryDef.sql(
+      "q_runs_test",
+      """WITH d AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |    value - lag(value) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS dv
+        |  FROM events
+        |), sgn AS (
+        |  SELECT symbol, ts, event_id,
+        |    CASE WHEN dv > 0 THEN 1 ELSE -1 END AS sg
+        |  FROM d WHERE dv IS NOT NULL AND dv <> 0
+        |), rr AS (
+        |  SELECT symbol, sg,
+        |    CASE WHEN lag(sg) OVER (PARTITION BY symbol
+        |        ORDER BY ts, event_id) IS DISTINCT FROM sg
+        |      THEN 1 ELSE 0 END AS nr
+        |  FROM sgn
+        |), agg AS (
+        |  SELECT symbol, CAST(sum(nr) AS BIGINT) AS r,
+        |    CAST(count(*) FILTER (WHERE sg = 1) AS BIGINT) AS n1,
+        |    CAST(count(*) FILTER (WHERE sg = -1) AS BIGINT) AS n2
+        |  FROM rr GROUP BY symbol
+        |)
+        |SELECT symbol, r, n1, n2,
+        |  (CAST(r AS DOUBLE) - (2e0 * n1 * n2 / (n1 + n2) + 1e0))
+        |    / sqrt(2e0 * n1 * n2 * (2e0 * n1 * n2 - n1 - n2)
+        |      / ((1e0 * (n1 + n2)) * (n1 + n2) * (n1 + n2 - 1e0))) AS z
+        |FROM agg
+        |WHERE n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bySym = Window.partitionBy(col("symbol"))
+        .orderBy(col("ts"), col("event_id"))
+      val sgn = Tables.events(s, d)
+        .select(col("event_type").as("symbol"), col("ts"), col("event_id"),
+          col("value"))
+        .withColumn("dv", col("value") - lag(col("value"), 1).over(bySym))
+        .filter(col("dv").isNotNull && col("dv") =!= 0d)
+        .withColumn("sg", when(col("dv") > 0d, lit(1)).otherwise(lit(-1)))
+      val agg = sgn
+        .withColumn("nr",
+          when(not(lag(col("sg"), 1).over(bySym) <=> col("sg")), lit(1))
+            .otherwise(lit(0)))
+        .groupBy(col("symbol"))
+        .agg(sum(col("nr")).cast("long").as("r"),
+          count(when(col("sg") === 1, 1)).as("n1"),
+          count(when(col("sg") === -1, 1)).as("n2"))
+      agg.filter(col("n1") > 0 && col("n2") > 0 &&
+          lit(2) * col("n1") * col("n2") > col("n1") + col("n2"))
+        .select(col("symbol"), col("r"), col("n1"), col("n2"),
+          expr("""(CAST(r AS DOUBLE) - (2e0 * n1 * n2 / (n1 + n2) + 1e0))
+                 |  / sqrt(2e0 * n1 * n2 * (2e0 * n1 * n2 - n1 - n2)
+                 |    / ((1e0 * (n1 + n2)) * (n1 + n2) * (n1 + n2 - 1e0)))
+                 |""".stripMargin).as("z"))
+    },
+
     // ---- Additive seasonal decomposition (STL-lite): v = trend +
     //      seasonal + residual per symbol series — trend is the exact
     //      centered 7-row moving average (full windows only), the
