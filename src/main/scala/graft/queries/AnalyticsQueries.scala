@@ -941,6 +941,86 @@ object AnalyticsQueries {
           expr("(ni * 1000000L) div least(na, nb)").as("simpson_fp"))
     },
 
+    // ---- CUPED variance reduction (Deng et al. 2013, the production
+    //      experimentation standard): per user, covariate X = spend in
+    //      the first 3 observed days, outcome Y = spend after; adjusted
+    //      outcome Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled. One
+    //      user hash agg (conditional sums against the broadcast 1-row
+    //      cutoff), 1-row exact-integer moment frame, θ and the
+    //      per-user adjustment as identical-op-order double chains,
+    //      per-user quantize before the variant means (order-
+    //      independent). Headroom: n·max(x)² < 2^63 documented —
+    //      pre-scale cents for larger per-user spend ----
+    QueryDef.sql(
+      "q_cuped",
+      """WITH cut AS (
+        |  SELECT min(date_trunc('day', ts)) + INTERVAL 2 DAY AS cutoff
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(sum(CASE WHEN date_trunc('day', ts) <= cutoff
+        |      THEN CAST(floor(value * 1e2) AS BIGINT) END), 0) AS BIGINT)
+        |      AS x,
+        |    CAST(COALESCE(sum(CASE WHEN date_trunc('day', ts) > cutoff
+        |      THEN CAST(floor(value * 1e2) AS BIGINT) END), 0) AS BIGINT)
+        |      AS y
+        |  FROM events CROSS JOIN cut
+        |  GROUP BY user_id
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM u
+        |), th AS (
+        |  SELECT n, sx,
+        |    (1e0 * n * sxy - 1e0 * sx * sy)
+        |      / (1e0 * n * sxx - 1e0 * sx * sx) AS theta
+        |  FROM m WHERE (1e0 * n * sxx - 1e0 * sx * sx) <> 0e0
+        |), adj AS (
+        |  SELECT user_id % 2 AS variant, y,
+        |    CAST(floor(CAST(y AS DOUBLE)
+        |      - theta * (x - (1e0 * sx / n))) AS BIGINT) AS ya_fp,
+        |    CAST(floor(theta * 1e6) AS BIGINT) AS theta_fp
+        |  FROM u CROSS JOIN th
+        |)
+        |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(y) AS BIGINT) // count(*) AS mean_raw_fp,
+        |  CAST(sum(ya_fp) AS BIGINT) // count(*) AS mean_adj_fp,
+        |  max(theta_fp) AS theta_fp
+        |FROM adj GROUP BY variant""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "ts", "value")
+      val cut = ev.agg(
+        expr("min(date_trunc('DAY', ts)) + INTERVAL 2 DAY").as("cutoff"))
+      val u = ev.crossJoin(broadcast(cut))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(date_trunc("DAY", col("ts")) <= col("cutoff"),
+            expr("CAST(floor(value * 1e2) AS BIGINT)"))), lit(0L)).as("x"),
+          coalesce(sum(when(date_trunc("DAY", col("ts")) > col("cutoff"),
+            expr("CAST(floor(value * 1e2) AS BIGINT)"))), lit(0L)).as("y"))
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      val th = m
+        .filter(expr("(1e0 * n * sxx - 1e0 * sx * sx) <> 0e0"))
+        .select(col("n"), col("sx"),
+          expr("(1e0 * n * sxy - 1e0 * sx * sy)" +
+            " / (1e0 * n * sxx - 1e0 * sx * sx)").as("theta"))
+      u.crossJoin(broadcast(th))
+        .select(pmod(col("user_id"), lit(2)).as("variant"), col("y"),
+          expr("CAST(floor(CAST(y AS DOUBLE)" +
+            " - theta * (x - (1e0 * sx / n))) AS BIGINT)").as("ya_fp"),
+          expr("CAST(floor(theta * 1e6) AS BIGINT)").as("theta_fp"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("CAST(sum(y) AS BIGINT) div count(1)").as("mean_raw_fp"),
+          expr("CAST(sum(ya_fp) AS BIGINT) div count(1)").as("mean_adj_fp"),
+          max(col("theta_fp")).as("theta_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row cutoff and 1-row theta frames"),
+
     // ---- Interval union (gaps-and-islands on time ranges): each event
     //      opens a 30-minute activity interval; overlapping or touching
     //      intervals merge into islands — per user the island count,
