@@ -1077,6 +1077,104 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_islands"),
           sum(col("en") - col("st")).cast("long").as("covered_us"),
           max(col("en") - col("st")).cast("long").as("longest_us"))
+    },
+
+    // ---- Mann-Whitney U test per event type: the TWO-sample rank test
+    //      completing the tier between q_ab_test (two-proportion z) and
+    //      q_kruskal (k-sample rank ANOVA) — does the user_id%2 variant
+    //      split shift the value distribution? Kruskal's doubled
+    //      tie-average ranks off the per-type cents grid keep every
+    //      rank sum exact int64; 2·U1 = Σr2(sample 0) − n1(n1+1) is
+    //      exact; z uses the tie-corrected variance of 2U1,
+    //      (n1·n2/3)((N+1) − tsum/(N(N−1))), as ONE identical-op-order
+    //      double chain; rank-biserial effect r = 2U1/(n1n2) − 1
+    //      likewise. Degenerate groups (one-distinct-value grid or an
+    //      empty sample) are excluded by EXACT integer predicates —
+    //      nv ≥ 2 is precisely "tie variance > 0" (tsum = N³−N iff one
+    //      grid row), no double-comparison filter. Shape: one (et, v,
+    //      sample) hash agg, then everything runs on the value-range-
+    //      bounded grid; the rank window partitions by et. Headroom
+    //      (q_ols_trend convention): n1·n2 and Σcnt·r2 ≤ 2n_j·N stay
+    //      int64 through N ≈ 1e9 per type; beyond, pre-bucket values ----
+    QueryDef.sql(
+      "q_mann_whitney",
+      """WITH obs AS (
+        |  SELECT event_type AS et, user_id % 2 AS sample,
+        |    CAST(floor(value * 1e2) AS BIGINT) AS v
+        |  FROM events
+        |), g AS (
+        |  SELECT et, v, sample, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM obs GROUP BY et, v, sample
+        |), grid AS (
+        |  SELECT et, v, CAST(sum(cnt) AS BIGINT) AS cv
+        |  FROM g GROUP BY et, v
+        |), rk AS (
+        |  SELECT et, v, cv,
+        |    2 * CAST(sum(cv) OVER (PARTITION BY et ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - cv + 1 AS r2
+        |  FROM grid
+        |), s AS (
+        |  SELECT et,
+        |    CAST(sum(CASE WHEN sample = 0 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN sample = 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN sample = 0 THEN cnt * r2 ELSE 0 END)
+        |      AS BIGINT) AS r2s1
+        |  FROM g JOIN rk USING (et, v) GROUP BY et
+        |), t AS (
+        |  SELECT et, CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tsum,
+        |    CAST(count(*) AS BIGINT) AS nv
+        |  FROM grid GROUP BY et
+        |)
+        |SELECT et, n1, n2,
+        |  r2s1 - n1 * (n1 + 1) AS u2,
+        |  CAST(floor((1e0 * (r2s1 - n1 * (n1 + 1)) - 1e0 * n1 * n2)
+        |    / sqrt((1e0 * n1 * n2 / 3e0)
+        |      * ((n1 + n2 + 1e0)
+        |        - tsum / (1e0 * (n1 + n2) * (n1 + n2 - 1)))) * 1e6)
+        |    AS BIGINT) AS z_fp,
+        |  CAST(floor((1e0 * (r2s1 - n1 * (n1 + 1)) / (n1 * n2) - 1e0)
+        |    * 1e6) AS BIGINT) AS rb_fp
+        |FROM s JOIN t USING (et)
+        |WHERE n1 > 0 AND n2 > 0 AND nv >= 2""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val obs = Tables.events(s, d).select(
+        col("event_type").as("et"),
+        pmod(col("user_id"), lit(2)).as("sample"),
+        floor(col("value") * lit(1e2)).cast("long").as("v"))
+      val g = obs.groupBy(col("et"), col("v"), col("sample"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = g.groupBy(col("et"), col("v")).agg(sum(col("cnt")).as("cv"))
+      val wCum = Window.partitionBy(col("et")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val rk = grid
+        .withColumn("cc", sum(col("cv")).over(wCum))
+        .select(col("et"), col("v"),
+          (lit(2) * col("cc") - col("cv") + 1).as("r2"))
+      val sS = g.join(rk, Seq("et", "v"))
+        .groupBy(col("et"))
+        .agg(
+          sum(when(col("sample") === 0, col("cnt")).otherwise(0L)).as("n1"),
+          sum(when(col("sample") === 1, col("cnt")).otherwise(0L)).as("n2"),
+          sum(when(col("sample") === 0, col("cnt") * col("r2"))
+            .otherwise(0L)).as("r2s1"))
+      val t = grid.groupBy(col("et")).agg(
+        sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"),
+        count(lit(1)).as("nv"))
+      sS.join(t, "et")
+        .filter(col("n1") > 0 && col("n2") > 0 && col("nv") >= 2)
+        .select(col("et"), col("n1"), col("n2"),
+          (col("r2s1") - col("n1") * (col("n1") + 1)).as("u2"),
+          expr("""CAST(floor((1e0 * (r2s1 - n1 * (n1 + 1)) - 1e0 * n1 * n2)
+                 |  / sqrt((1e0 * n1 * n2 / 3e0)
+                 |    * ((n1 + n2 + 1e0)
+                 |      - tsum / (1e0 * (n1 + n2) * (n1 + n2 - 1)))) * 1e6)
+                 |  AS BIGINT)""".stripMargin).as("z_fp"),
+          expr("""CAST(floor((1e0 * (r2s1 - n1 * (n1 + 1)) / (n1 * n2)
+                 |  - 1e0) * 1e6) AS BIGINT)""".stripMargin).as("rb_fp"))
     }
   )
 }
