@@ -1391,6 +1391,115 @@ object TechQueries {
                  |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
                  |  * 1e4) AS BIGINT)
                  |END""".stripMargin).as("sharpe_fp"))
-    }
+    },
+
+    // ---- Spearman rank correlation of the view/click hourly series:
+    //      the monotone-association companion to q_pair_corr's Pearson
+    //      (robust to the feed's order-of-magnitude value jumps that
+    //      dominate a product-moment estimate). Same hourly-last
+    //      pairing; each side ranked by Kruskal's doubled tie-average
+    //      ranks off its own distinct-value grid (rank windows are
+    //      value-range-bounded, never the joined series); ρ = Pearson
+    //      of the doubled ranks — the doubling cancels — in the exact
+    //      int64 moment form, ONE double chain at the end. Positive-
+    //      variance guards are exact integer predicates. Headroom:
+    //      r2 ≤ 2n so n·Σab ≤ 4n⁴ — int64 through n ≈ 3.8e4 joined
+    //      buckets (4+ years hourly); re-bucket daily beyond ----
+    QueryDef.sql(
+      "q_spearman",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, value
+        |  FROM (
+        |    SELECT event_type, ts, value,
+        |      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1
+        |), joined AS (
+        |  SELECT a.hour_ts,
+        |    CAST(floor(a.value * 1e3) AS BIGINT) AS xa,
+        |    CAST(floor(b.value * 1e3) AS BIGINT) AS xb
+        |  FROM hourly a JOIN hourly b ON a.hour_ts = b.hour_ts
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |), ga AS (
+        |  SELECT xa AS v, CAST(count(*) AS BIGINT) AS cv
+        |  FROM joined GROUP BY xa
+        |), rka AS (
+        |  SELECT v, 2 * CAST(sum(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - cv + 1 AS r2
+        |  FROM ga
+        |), gb AS (
+        |  SELECT xb AS v, CAST(count(*) AS BIGINT) AS cv
+        |  FROM joined GROUP BY xb
+        |), rkb AS (
+        |  SELECT v, 2 * CAST(sum(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - cv + 1 AS r2
+        |  FROM gb
+        |), rnk AS (
+        |  SELECT ra.r2 AS a, rb.r2 AS b
+        |  FROM joined j
+        |  JOIN rka ra ON j.xa = ra.v
+        |  JOIN rkb rb ON j.xb = rb.v
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(a * a) AS BIGINT) AS saa,
+        |    CAST(sum(b * b) AS BIGINT) AS sbb,
+        |    CAST(sum(a * b) AS BIGINT) AS sab
+        |  FROM rnk
+        |)
+        |SELECT n,
+        |  CAST(floor((1e0 * n * sab - 1e0 * sa * sb)
+        |    / (sqrt(1e0 * n * saa - 1e0 * sa * sa)
+        |       * sqrt(1e0 * n * sbb - 1e0 * sb * sb)) * 1e6) AS BIGINT)
+        |    AS rho_fp
+        |FROM m
+        |WHERE n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0""".stripMargin
+    ) { (s, d) =>
+      val wHour = Window
+        .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .withColumn("rn", row_number().over(wHour))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_ts"), col("value"))
+      val a = hourly.filter(col("event_type") === "view")
+        .select(col("hour_ts"),
+          floor(col("value") * lit(1e3)).cast("long").as("xa"))
+      val b = hourly.filter(col("event_type") === "click")
+        .select(col("hour_ts").as("hb"),
+          floor(col("value") * lit(1e3)).cast("long").as("xb"))
+      val joined = a.join(b, col("hour_ts") === col("hb"))
+        .select(col("xa"), col("xb"))
+      def rankGrid(src: DataFrame, c: String): DataFrame = {
+        val wCum = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        src.groupBy(col(c).as("v")).agg(count(lit(1)).as("cv"))
+          .withColumn("cc", sum(col("cv")).over(wCum))
+          .select(col("v"), (lit(2) * col("cc") - col("cv") + 1).as("r2"))
+      }
+      val rnk = joined
+        .join(rankGrid(joined, "xa").withColumnRenamed("r2", "a"),
+          col("xa") === col("v")).drop("v")
+        .join(rankGrid(joined, "xb").withColumnRenamed("r2", "b"),
+          col("xb") === col("v")).drop("v")
+      rnk.agg(count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("a") * col("b")).as("sab"))
+        .filter(col("n") * col("saa") - col("sa") * col("sa") > 0 &&
+          col("n") * col("sbb") - col("sb") * col("sb") > 0)
+        .select(col("n"),
+          expr("""CAST(floor((1e0 * n * sab - 1e0 * sa * sb)
+                 |  / (sqrt(1e0 * n * saa - 1e0 * sa * sa)
+                 |     * sqrt(1e0 * n * sbb - 1e0 * sb * sb)) * 1e6)
+                 |  AS BIGINT)""".stripMargin).as("rho_fp"))
+    }.intendsGlobalWindow(
+      "the rank windows run on each side's distinct-value grid — " +
+        "value-range-bounded, never the joined series")
   )
 }
