@@ -745,6 +745,39 @@ object CurationQueries {
       val inc = ev.filter(col("event_id") >= cut)
         .select("event_id", "user_id", "event_type", "ts", "value")
       graft.ops.BloomDedup.newRows(hist, inc, Seq("user_id", "event_type"))
+    },
+
+    // ---- HyperLogLog distinct-user estimate per event type
+    //      ([[graft.ops.Hll]]): the cardinality sketch beside
+    //      q_countmin's frequency sketch — deterministic md5-prefix
+    //      hashing makes the register array itself oracle-checkable
+    //      (the upgrade q_approx_distinct, Spark's native sketch,
+    //      cannot have). Output pins (exact, estimate, zeros) side by
+    //      side so the gate also witnesses the error envelope;
+    //      HllSpec pins the ±3σ bound and the element-wise-max merge
+    //      algebra ----
+    QueryDef.sql(
+      "q_hll",
+      s"""WITH graft_hll_obs AS (
+         |  SELECT event_type AS key,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM events
+         |), ${graft.ops.Hll.oracleSql}, ex AS (
+         |  SELECT event_type AS key,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT key, exact_n, zeros, hll_fp
+         |FROM graft_hll_est JOIN ex USING (key)""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val obs = ev.select(col("event_type").as("key"),
+        expr("md5p60(CAST(user_id AS STRING))").as("h"))
+      val ex = ev.groupBy(col("event_type").as("key"))
+        .agg(countDistinct(col("user_id")).as("exact_n"))
+      graft.ops.Hll.estimate(obs).join(ex, "key")
+        .select(col("key"), col("exact_n"), col("zeros"), col("hll_fp"))
     }
   )
 }
