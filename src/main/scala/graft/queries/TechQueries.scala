@@ -606,6 +606,27 @@ object TechQueries {
           col("event_id"), col("value")))
     },
 
+    // ---- Scalar Kalman filter with the full time-varying gain (see
+    //      ops.Kalman): the state-space smoother between ewm_avg (a
+    //      gain-converged Kalman) and q_holt (level+trend, fixed
+    //      gains) — posterior variance anneals R → P∞, so early rows
+    //      track near 1:1 and the gain schedule is part of the output.
+    //      Exact int64 recurrence, oracle = recursive CTE; streaming
+    //      twin streaming.KalmanStream is bit-exact on in-order
+    //      replay ----
+    QueryDef.sql(
+      "q_kalman",
+      s"""WITH RECURSIVE graft_series AS (
+         |  SELECT event_type AS symbol, ts, event_id, value FROM events
+         |),
+         |${graft.ops.Kalman.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.Kalman.filter(
+        Tables.events(s, d).select(
+          col("event_type").as("symbol"), col("ts"),
+          col("event_id"), col("value")))
+    },
+
     // ---- Forecast evaluation of the Holt smoother: per-symbol MASE
     //      (mean absolute error scaled by the naive last-value
     //      forecast's — the scale-free standard since Hyndman &
