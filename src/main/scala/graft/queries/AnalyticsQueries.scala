@@ -702,6 +702,78 @@ object AnalyticsQueries {
     }.intendsNestedLoop(
       "broadcast side is the 1-row censoring-cutoff frame"),
 
+    // ---- Log-rank (Mantel-Cox) two-group test ([[graft.ops.Logrank]]):
+    //      do engagement-first users (first event click/view, group 'a')
+    //      convert to purchase at a different rate than the rest? The
+    //      inferential member of the survival tier — KM estimates curves,
+    //      this tests their difference over the POOLED life table.
+    //      Subjects: one per user, event = first purchase within a 48h
+    //      horizon of the user's first event, right-censored at
+    //      min(last activity, horizon) otherwise. Durations are hour
+    //      buckets via epoch-floor math (`unix_seconds div 3600`) —
+    //      DuckDB's date_diff counts boundary crossings, so both sides
+    //      spell the same explicit floor-division instead. Window-only
+    //      (hazards add), exact int64 contributions, final chi2 = one
+    //      identical-op-order double chain ----
+    QueryDef.sql(
+      "q_logrank",
+      s"""WITH fe AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), hb AS (
+         |  SELECT user_id,
+         |    min(epoch_us(ts) // 1000000 // 3600) AS f_hb,
+         |    max(epoch_us(ts) // 1000000 // 3600) AS l_hb
+         |  FROM events GROUP BY user_id
+         |), pur AS (
+         |  SELECT user_id, min(epoch_us(ts) // 1000000 // 3600) AS p_hb
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+         |), graft_two AS (
+         |  SELECT
+         |    CASE WHEN fe.event_type IN ('click', 'view')
+         |      THEN 'a' ELSE 'b' END AS grp,
+         |    CASE WHEN p_hb IS NOT NULL AND p_hb - f_hb <= 48
+         |      THEN p_hb - f_hb
+         |      ELSE least(l_hb - f_hb, 48) END AS dur,
+         |    CASE WHEN p_hb IS NOT NULL AND p_hb - f_hb <= 48
+         |      THEN 1 ELSE 0 END AS churn
+         |  FROM hb JOIN fe ON fe.user_id = hb.user_id AND fe.rn = 1
+         |  LEFT JOIN pur ON pur.user_id = hb.user_id
+         |),
+         |${graft.ops.Logrank.oracleSql("a")}""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"),
+          expr("unix_seconds(ts) div 3600").as("hbk"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val fe = e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          when(col("event_type").isin("click", "view"), "a")
+            .otherwise("b").as("grp"))
+      val hb = e.groupBy(col("user_id"))
+        .agg(min(col("hbk")).as("f_hb"), max(col("hbk")).as("l_hb"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("hbk")).as("p_hb"))
+      val subjects = hb.join(fe, "user_id")
+        .join(pur, Seq("user_id"), "left")
+        .select(col("grp"),
+          when(col("p_hb").isNotNull && col("p_hb") - col("f_hb") <= 48,
+            col("p_hb") - col("f_hb"))
+            .otherwise(least(col("l_hb") - col("f_hb"), lit(48L)))
+            .as("dur"),
+          when(col("p_hb").isNotNull && col("p_hb") - col("f_hb") <= 48, 1)
+            .otherwise(0).as("churn"))
+      graft.ops.Logrank.test(subjects, grpA = "a")
+    }.intendsGlobalWindow(
+      "windows run over the pooled two-group life table — bounded by " +
+        "the 49-bucket horizon, never by subjects"),
+
     // ---- Viterbi sequence labeling ([[graft.ops.Viterbi]]): each
     //      user's event sequence decoded under a 2-state integer
     //      log-score HMM — q_markov ESTIMATES dynamics, this LABELS
