@@ -637,6 +637,67 @@ object ExtQueries {
         .withColumnRenamed("id_b", "doc_b")
     },
 
+    // ---- interval x interval OVERLAP join (both sides are intervals —
+    //      the harder sibling of q_range_join's point-in-interval):
+    //      per-order open fulfillment windows [orderdate, min(last ship,
+    //      orderdate + 90d)], pairs of the SAME customer whose windows
+    //      overlap -> per-customer concurrency stats. Scale path: uniform
+    //      32-day bins — each window explodes to its <=4 covered bins,
+    //      candidates meet on the EQUI key (custkey, bin), and each
+    //      true pair is counted exactly once by the standard
+    //      first-shared-bin rule (bin == max of the two start bins: if
+    //      the bin ranges intersect at all, that is their first shared
+    //      cell). Cost is linear + true-output-sized — never the naive
+    //      per-customer quadratic nested loop the oracle states ----
+    QueryDef.sql(
+      "q_overlap_join",
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS s,
+        |    least(greatest(CAST(max(l_shipdate) AS DATE),
+        |                   CAST(o_orderdate AS DATE)),
+        |          CAST(o_orderdate AS DATE) + 90) AS e
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT a.o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(date_diff('day', greatest(a.s, b.s),
+        |                     least(a.e, b.e)) + 1) AS BIGINT)
+        |    AS overlap_days
+        |FROM w a JOIN w b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |  AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1""".stripMargin
+    ) { (s, d) =>
+      val w = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("s"))
+        .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"), col("s"))
+        .agg(least(greatest(max(col("sd")), col("s")),
+          date_add(col("s"), 90)).as("e"))
+        .withColumn("sbin", expr("unix_date(s) div 32"))
+        .withColumn("ebin", expr("unix_date(e) div 32"))
+      val frag = w.withColumn("bin",
+        explode(expr("sequence(sbin, ebin)")))
+      val a = frag.select(col("o_custkey"), col("bin"),
+        col("o_orderkey").as("ka"), col("s").as("sa"), col("e").as("ea"),
+        col("sbin").as("ba"))
+      val b = frag.select(col("o_custkey"), col("bin"),
+        col("o_orderkey").as("kb"), col("s").as("sb"), col("e").as("eb"),
+        col("sbin").as("bb"))
+      a.join(b, Seq("o_custkey", "bin"))
+        .filter(col("ka") < col("kb")
+          && col("bin") === greatest(col("ba"), col("bb"))
+          && col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(datediff(least(col("ea"), col("eb")),
+            greatest(col("sa"), col("sb"))).cast("long") + 1L)
+            .as("overlap_days"))
+    },
+
     // ---- range join WITHOUT an equi key (interval containment), made
     //      scale-safe by grid bucketing: every high-value event opens a
     //      30-minute alert window; all events inside any window join to
