@@ -702,6 +702,30 @@ object AnalyticsQueries {
     }.intendsNestedLoop(
       "broadcast side is the 1-row censoring-cutoff frame"),
 
+    // ---- View→click pairing within one hour per user — the batch
+    //      anchor of the watermarked stream-stream join twin
+    //      ([[graft.streaming.ClickViewJoin]]; parity pinned by
+    //      ClickViewJoinSpec). ONE user_id equi join with the time-range
+    //      residual inside it; at scale both sides shuffle once on
+    //      user_id (no interval binning needed — the equi key already
+    //      co-locates candidates) ----
+    QueryDef.sql(
+      "q_click_view_join",
+      """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND v.ts <= c.ts AND c.ts < v.ts + INTERVAL 1 HOUR""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      graft.streaming.ClickViewJoin.pairs(
+        graft.streaming.ClickViewJoin.views(e),
+        graft.streaming.ClickViewJoin.clicks(e))
+    },
+
     // ---- Log-rank (Mantel-Cox) two-group test ([[graft.ops.Logrank]]):
     //      do engagement-first users (first event click/view, group 'a')
     //      convert to purchase at a different rate than the rest? The
