@@ -606,6 +606,33 @@ object TechQueries {
           col("event_id"), col("value")))
     },
 
+    // ---- Holt-Winters additive seasonal smoothing (see ops.HoltWinters):
+    //      level + trend + 24-slot hourly seasonal indices per event
+    //      type, over the hourly cents-sum series — the seasonal member
+    //      of the forecasting tier (q_holt = level+trend, q_kalman =
+    //      time-varying gain). Exact int64; oracle replays the
+    //      recurrence as a recursive CTE carrying the seasonal state as
+    //      a LIST column updated by slice surgery ----
+    QueryDef.sql(
+      "q_holt_winters",
+      s"""WITH RECURSIVE graft_hours AS (
+         |  SELECT event_type AS symbol,
+         |    epoch_us(ts) // 1000000 // 3600 AS hb,
+         |    CAST(sum(CAST(floor(value * 1e2 + 5e-1) AS BIGINT))
+         |      AS BIGINT) AS p
+         |  FROM events GROUP BY 1, 2
+         |),
+         |${graft.ops.HoltWinters.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.HoltWinters.smooth(
+        Tables.events(s, d)
+          .select(col("event_type").as("symbol"),
+            expr("unix_seconds(ts) div 3600").as("hb"),
+            expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("c"))
+          .groupBy(col("symbol"), col("hb"))
+          .agg(sum(col("c")).as("p")))
+    },
+
     // ---- Scalar Kalman filter with the full time-varying gain (see
     //      ops.Kalman): the state-space smoother between ewm_avg (a
     //      gain-converged Kalman) and q_holt (level+trend, fixed
