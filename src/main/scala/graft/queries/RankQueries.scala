@@ -746,6 +746,40 @@ object RankQueries {
         .limit(20)
     },
 
+    // ---- 3-truss of the part co-occurrence graph (see ops.KTruss):
+    //      iterative support-< k−2 peeling — every surviving edge sits
+    //      in a triangle of survivors, one notch stricter than q_kcore's
+    //      degree gate. Fixed 6 peel rounds (fixpoint on this graph at
+    //      the gate scales; the sf1 synthetic co-purchase graph has no
+    //      triangles at all — the q_stress/q_containment vacuity note).
+    //      Spark counts supports by degree-ordered triangle
+    //      enumeration + explode; the oracle by symmetric-closure
+    //      common-neighbor joins — two independent algorithms ----
+    QueryDef.sql(
+      "q_ktruss",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), graft_und_edges AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |""".stripMargin + graft.ops.KTruss.oracleSql(k = 3)
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      graft.ops.KTruss.trussEdges(e, k = 3)
+    },
+
     // ---- 2-core of the part co-occurrence graph (see ops.KCore):
     //      iterative degree-< k peeling — the hard graph-quality gate
     //      (chains and pendants peel away, dense neighborhoods stay).
