@@ -432,6 +432,132 @@ object AnalyticsQueries {
       h.select(col("s").as("event_type"), col("h").as("p_reach_fp"))
     },
 
+    // ---- Markov removal-effect attribution (Anderl et al.'s data-
+    //      driven alternative to q_attribution's rule-based credits):
+    //      per channel, how much does 6-step start→purchase conversion
+    //      drop when every transition INTO the channel is diverted to
+    //      non-conversion (no renormalization — the standard removal
+    //      semantics)? Reuses the q_hitting_time fixed-point machinery
+    //      (S=1e6 fp, per-round Σ p·h then ONE div) on the same
+    //      #types²-bounded matrix plus a synthetic start state fed by
+    //      each user's first event; 5 tiny chains (baseline + one per
+    //      channel), all broadcast metadata. removal_fp =
+    //      S − (p_removed·S) div p_base, exact integers ----
+    QueryDef.sql(
+      "q_removal_effect",
+      {
+        val S = 1000000L
+        val rounds = 6
+        val channels = Seq("click", "view", "error", "signup")
+        val sb = new StringBuilder
+        sb.append(
+          s"""WITH seq AS (
+             |  SELECT user_id, event_type AS src,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS dst
+             |  FROM events
+             |), fe AS (
+             |  SELECT 'graft_start' AS src, event_type AS dst FROM (
+             |    SELECT event_type, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn FROM events)
+             |  WHERE rn = 1
+             |), tr AS (
+             |  SELECT src, dst, count(*) AS cnt FROM (
+             |    SELECT src, dst FROM seq WHERE dst IS NOT NULL
+             |    UNION ALL SELECT src, dst FROM fe)
+             |  GROUP BY src, dst
+             |), tot AS (
+             |  SELECT src, CAST(sum(cnt) AS BIGINT) AS t FROM tr GROUP BY src
+             |), pm AS (
+             |  SELECT tr.src, tr.dst, (tr.cnt * $S) // tot.t AS p_fp
+             |  FROM tr JOIN tot ON tot.src = tr.src
+             |), st AS (
+             |  SELECT DISTINCT src AS s FROM tr
+             |  UNION SELECT DISTINCT dst FROM tr
+             |)""".stripMargin)
+        // one fixed-point chain per variant: '' = baseline, else the
+        // removed channel (its inbound transitions divert to null)
+        ("" +: channels).foreach { c =>
+          val tag = if (c.isEmpty) "base" else s"rm_$c"
+          val pmPred = if (c.isEmpty) "" else s" WHERE dst <> '$c'"
+          sb.append(
+            s""",
+               |pm_$tag AS (SELECT * FROM pm$pmPred),
+               |h${tag}_0 AS (
+               |  SELECT s, CASE WHEN s = 'purchase'
+               |    THEN CAST($S AS BIGINT) ELSE CAST(0 AS BIGINT) END AS h
+               |  FROM st
+               |)""".stripMargin)
+          for (i <- 1 to rounds) sb.append(
+            s""",
+               |h${tag}_$i AS (
+               |  SELECT st.s, CASE WHEN st.s = 'purchase' THEN $S
+               |    ELSE COALESCE(x.v, 0) END AS h
+               |  FROM st LEFT JOIN (
+               |    SELECT p.src AS s,
+               |      CAST(sum(p.p_fp * h.h) AS BIGINT) // $S AS v
+               |    FROM pm_$tag p JOIN h${tag}_${i - 1} h ON h.s = p.dst
+               |    GROUP BY p.src) x USING (s)
+               |)""".stripMargin)
+        }
+        sb.append(
+          channels.map { c =>
+            s"""
+               |SELECT '$c' AS channel, b.h AS p_base_fp, r.h AS p_removed_fp,
+               |  CASE WHEN b.h > 0 THEN $S - (r.h * $S) // b.h
+               |       ELSE CAST(0 AS BIGINT) END AS removal_fp
+               |FROM h${"base"}_$rounds b JOIN hrm_${c}_$rounds r
+               |  ON b.s = 'graft_start' AND r.s = 'graft_start'""".stripMargin
+          }.mkString("\nUNION ALL"))
+        sb.toString
+      }
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val S = 1000000L
+      val channels = Seq("click", "view", "error", "signup")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = ev(s, d)
+      val seq = e
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .select(col("src"), col("dst"))
+      val fe = e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(lit("graft_start").as("src"), col("event_type").as("dst"))
+      val tr = seq.unionAll(fe)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val tot = tr.groupBy(col("src").as("tsrc")).agg(sum(col("cnt")).as("t"))
+      val pm = tr.join(tot, col("tsrc") === col("src"))
+        .select(col("src"), col("dst"), expr(s"(cnt * ${S}L) div t").as("p_fp"))
+      val st = tr.select(col("src").as("s"))
+        .union(tr.select(col("dst"))).distinct()
+      def absorb(h: org.apache.spark.sql.Column) =
+        when(col("s") === "purchase", lit(S)).otherwise(h)
+      def reach(pmv: DataFrame): DataFrame = {
+        var h = st.select(col("s"), absorb(lit(0L)).as("h"))
+        for (_ <- 1 to 6) {
+          val step = pmv.join(broadcast(h), h("s") === pmv("dst"))
+            .groupBy(pmv("src").as("s"))
+            .agg(sum(expr("p_fp * h")).as("sv"))
+            .select(col("s"), expr(s"sv div ${S}L").as("v"))
+          h = st.join(broadcast(step), Seq("s"), "left")
+            .select(col("s"), absorb(coalesce(col("v"), lit(0L))).as("h"))
+        }
+        h.filter(col("s") === "graft_start")
+      }
+      val base = reach(pm).select(col("h").as("p_base_fp"))
+      channels.map { c =>
+        reach(pm.filter(col("dst") =!= c))
+          .select(lit(c).as("channel"), col("h").as("p_removed_fp"))
+          .crossJoin(broadcast(base))
+          .select(col("channel"), col("p_base_fp"), col("p_removed_fp"),
+            when(col("p_base_fp") > 0,
+              lit(S) - expr(s"(p_removed_fp * ${S}L) div p_base_fp"))
+              .otherwise(0L).as("removal_fp"))
+      }.reduce(_ unionAll _)
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row baseline-conversion frame"),
+
     // ---- Top event 3-paths per user sequence (the path-mining
     //      generalization of q_markov's transitions — the Sankey /
     //      user-journey query): two leads over the SAME (user_id)
