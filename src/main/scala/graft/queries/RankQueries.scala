@@ -780,6 +780,37 @@ object RankQueries {
       graft.ops.KTruss.trussEdges(e, k = 3)
     },
 
+    // ---- Maximal independent set by deterministic Luby rounds (see
+    //      ops.Mis): conflict-free exemplar selection over the part
+    //      co-occurrence graph — md5 priorities replace Luby's random
+    //      ones so the O(log n) symmetry-breaking rounds are exact and
+    //      unrollable; fixed 8 rounds (fixpoint by round 4 at the gate
+    //      scales, asserted live-set-empty in MisSpec fixtures) ----
+    QueryDef.sql(
+      "q_mis",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), graft_und_edges AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |""".stripMargin + graft.ops.Mis.oracleSql()
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      graft.ops.Mis.select(e)
+    },
+
     // ---- 2-core of the part co-occurrence graph (see ops.KCore):
     //      iterative degree-< k peeling — the hard graph-quality gate
     //      (chains and pendants peel away, dense neighborhoods stay).
