@@ -780,6 +780,40 @@ object RankQueries {
       graft.ops.KTruss.trussEdges(e, k = 3)
     },
 
+    // ---- Minimum spanning forest by Boruvka rounds (see ops.Mst):
+    //      the distributed MST (each component picks its cheapest
+    //      incident edge independently; components at least halve per
+    //      round) over the part co-occurrence graph, distance =
+    //      1e6 div support (more co-purchases = closer). The (w, a, b)
+    //      strict total order makes the forest UNIQUE, so the oracle
+    //      can run serial KRUSKAL instead (recursive CTE threading a
+    //      dense label list) — two independent algorithms ----
+    QueryDef.sql(
+      "q_mst",
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), graft_w_edges AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    1000000 // count(*) AS w
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |""".stripMargin + graft.ops.Mst.oracleSql
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"), expr("1000000L div sup").as("w"))
+      graft.ops.Mst.forest(e)
+    },
+
     // ---- Maximal independent set by deterministic Luby rounds (see
     //      ops.Mis): conflict-free exemplar selection over the part
     //      co-occurrence graph — md5 priorities replace Luby's random
