@@ -97,6 +97,14 @@ object Mst {
     * by node rank, merged with list_transform per accepted edge.
     */
   def oracleSql: String =
+    oracleCtes + "\nSELECT a, b, w FROM kr WHERE sel"
+
+  /** The CTE chain only (ends defining `kr` (rn, labels, sel, a, b, w),
+    * plus `mn` (node, i) and `mw` (a, b, w, rn, ia, ib)) — so downstream
+    * oracles (single-link clustering) can read Kruskal's label state at
+    * any edge-rank prefix in one statement.
+    */
+  def oracleCtes: String =
     """mn AS MATERIALIZED (
       |  SELECT node, row_number() OVER (ORDER BY node) AS i
       |  FROM (SELECT DISTINCT least(a, b) AS node FROM graft_w_edges
@@ -123,6 +131,5 @@ object Mst {
       |      ELSE kr.labels END,
       |    kr.labels[e.ia] <> kr.labels[e.ib], e.a, e.b, e.w
       |  FROM kr JOIN mw e ON e.rn = kr.rn + 1
-      |)
-      |SELECT a, b, w FROM kr WHERE sel""".stripMargin
+      |)""".stripMargin
 }

@@ -814,6 +814,73 @@ object RankQueries {
       graft.ops.Mst.forest(e)
     },
 
+    // ---- Single-linkage clustering levels off ONE spanning forest
+    //      (see ops.Mst): clusters at distance threshold t are the
+    //      connected components of the edges with w <= t, and the
+    //      single-link property says the MSF preserves exactly that
+    //      connectivity — so one Boruvka forest answers EVERY
+    //      threshold (the scale win: the dendrogram's levels come from
+    //      filtering n−c forest edges, never re-clustering the corpus
+    //      graph). Three support levels; per level one CC over the
+    //      filtered FOREST + singleton fill. Oracle reads Kruskal's
+    //      label state at the matching edge-rank prefix — per-level
+    //      cluster-size profiles agree regardless of label identity ----
+    QueryDef.sql(
+      "q_single_link",
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), graft_w_edges AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    1000000 // count(*) AS w
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |""".stripMargin + graft.ops.Mst.oracleCtes +
+        Seq(250000L, 333333L, 500000L).map { t =>
+          s"""
+             |SELECT $t AS t, CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_multi,
+             |  CAST(max(c) AS BIGINT) AS max_size
+             |FROM (
+             |  SELECT lbl, count(*) AS c FROM (
+             |    SELECT unnest(labels) AS lbl FROM kr
+             |    WHERE rn = (SELECT COALESCE(max(rn), 0) FROM mw
+             |                WHERE w <= $t)
+             |  ) GROUP BY lbl)""".stripMargin
+        }.mkString("\nUNION ALL")
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"), expr("1000000L div sup").as("w"))
+      val nodes =
+        e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
+      // already checkpointed by Mst.forest — the three levels reuse it
+      val forest = graft.ops.Mst.forest(e)
+      Seq(250000L, 333333L, 500000L).map { t =>
+        val cc = graft.ops.ConnectedComponents.run(
+          forest.filter(col("w") <= t)
+            .select(col("a").as("src"), col("b").as("dst")))
+        nodes
+          .join(cc.select(col("id").as("node"), col("rep")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
+          .groupBy(col("rep")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_multi"),
+            max(col("c")).as("max_size"))
+          .select(lit(t).as("t"), col("n_clusters"), col("n_multi"),
+            col("max_size"))
+      }.reduce(_ unionAll _)
+    },
+
     // ---- Maximal independent set by deterministic Luby rounds (see
     //      ops.Mis): conflict-free exemplar selection over the part
     //      co-occurrence graph — md5 priorities replace Luby's random
