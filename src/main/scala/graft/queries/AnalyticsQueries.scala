@@ -432,6 +432,86 @@ object AnalyticsQueries {
       h.select(col("s").as("event_type"), col("h").as("p_reach_fp"))
     },
 
+    // ---- Cohen's kappa inter-rater agreement per event type — the
+    //      chance-corrected agreement statistic completing the eval
+    //      tier next to q_eval_confusion/q_calibration: rater A flags
+    //      values above their TYPE average, rater B above the GLOBAL
+    //      average (two cheap deterministic raters; the operator is the
+    //      kappa algebra). Integer-exact: thresholds are `sum div n`
+    //      cents, cell counts exact, po/pe on S=1e6 fp with the
+    //      2·n²·S < 2^63 headroom bound (n ≤ 2e6 per type; shrink S
+    //      beyond), kappa = ((po−pe)·S) div (S−pe) guarded at pe=S
+    //      (negative kappa flows through — both engines' int division
+    //      truncates toward zero, the verified round-4 invariant) ----
+    QueryDef.sql(
+      "q_kappa",
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS v
+        |  FROM events
+        |), ta AS (
+        |  SELECT event_type,
+        |    CAST(sum(v) AS BIGINT) // count(*) AS thr_t FROM c GROUP BY 1
+        |), tg AS (
+        |  SELECT CAST(sum(v) AS BIGINT) // count(*) AS thr_g FROM c
+        |), cells AS (
+        |  SELECT c.event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v > thr_t AND v > thr_g THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN v <= thr_t AND v <= thr_g THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN v > thr_t AND v <= thr_g THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN v <= thr_t AND v > thr_g THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        |  FROM c JOIN ta ON ta.event_type = c.event_type CROSS JOIN tg
+        |  GROUP BY c.event_type
+        |)
+        |SELECT event_type, n, n11, n00, n10, n01,
+        |  ((n11 + n00) * 1000000) // n AS po_fp,
+        |  (((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+        |    * 1000000) // (n * n) AS pe_fp,
+        |  CASE WHEN (((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+        |              * 1000000) // (n * n) = 1000000
+        |       THEN CAST(0 AS BIGINT)
+        |       ELSE ((((n11 + n00) * 1000000) // n
+        |              - (((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+        |                 * 1000000) // (n * n)) * 1000000)
+        |            // (1000000
+        |               - (((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+        |                  * 1000000) // (n * n)) END AS kappa_fp
+        |FROM cells""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("v"))
+      val ta = c.groupBy(col("event_type").as("tet"))
+        .agg(expr("CAST(sum(v) AS BIGINT) div count(*)").as("thr_t"))
+      val tg = c.agg(
+        expr("CAST(sum(v) AS BIGINT) div count(*)").as("thr_g"))
+      val cells = c
+        .join(ta, col("tet") === col("event_type"))
+        .crossJoin(broadcast(tg))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") > col("thr_t") && col("v") > col("thr_g"), 1L)
+            .otherwise(0L)).as("n11"),
+          sum(when(col("v") <= col("thr_t") && col("v") <= col("thr_g"), 1L)
+            .otherwise(0L)).as("n00"),
+          sum(when(col("v") > col("thr_t") && col("v") <= col("thr_g"), 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(col("v") <= col("thr_t") && col("v") > col("thr_g"), 1L)
+            .otherwise(0L)).as("n01"))
+      val S = 1000000L
+      cells
+        .withColumn("po_fp", expr(s"((n11 + n00) * $S) div n"))
+        .withColumn("pe_fp", expr(
+          s"(((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * $S)" +
+            s" div (n * n)"))
+        .withColumn("kappa_fp",
+          when(col("pe_fp") === S, 0L)
+            .otherwise(expr(s"((po_fp - pe_fp) * $S) div ($S - pe_fp)")))
+        .select(col("event_type"), col("n"), col("n11"), col("n00"),
+          col("n10"), col("n01"), col("po_fp"), col("pe_fp"),
+          col("kappa_fp"))
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row global-threshold frame"),
+
     // ---- Markov removal-effect attribution (Anderl et al.'s data-
     //      driven alternative to q_attribution's rule-based credits):
     //      per channel, how much does 6-step start→purchase conversion
