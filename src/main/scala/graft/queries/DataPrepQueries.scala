@@ -21,6 +21,62 @@ import graft.model.Tables
   */
 object DataPrepQueries {
 
+  /** Zipf rank-frequency fit over the document token table: OLS slope
+    * of ln f vs ln r on the top-200 ranks (ranked by count desc, token
+    * — the deterministic tie-break). Per-rank logs are 1e6-quantized
+    * BEFORE the exact integer moment sums (the klContrib convention);
+    * only the final slope ratio is a double chain (identical op order
+    * both engines). Headroom: k·Σxy and Σx·Σy stay ≤ ~4e18 at k=200
+    * with yq ≤ ln(1e9 tokens)·1e6 — documented, ANSI-loud beyond.
+    * A corpus obeying Zipf's law lands near slope_fp = −1e6 — the
+    * data-card language-health number.
+    */
+  private[queries] val zipfQuery: QueryDef = QueryDef.sql(
+    "q_zipf",
+    """WITH tf AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok
+      |), rk AS (
+      |  SELECT CAST(floor(ln(row_number() OVER (ORDER BY f DESC, tok)
+      |      * 1e0) * 1e6) AS BIGINT) AS xq,
+      |    CAST(floor(ln(f * 1e0) * 1e6) AS BIGINT) AS yq
+      |  FROM tf ORDER BY f DESC, tok LIMIT 200
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS k,
+      |  CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+      |  CAST(sum(xq * yq) AS BIGINT) AS sxy,
+      |  CAST(sum(xq * xq) AS BIGINT) AS sxx,
+      |  CAST(floor(
+      |    (count(*) * CAST(sum(xq * yq) AS BIGINT)
+      |     - CAST(sum(xq) AS BIGINT) * CAST(sum(yq) AS BIGINT)) * 1e0
+      |    / (count(*) * CAST(sum(xq * xq) AS BIGINT)
+      |       - CAST(sum(xq) AS BIGINT) * CAST(sum(xq) AS BIGINT))
+      |    * 1e6) AS BIGINT) AS slope_fp
+      |FROM rk""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val rk = tf
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("tok"))))
+      .filter(col("r") <= 200)
+      .select(expr("CAST(floor(ln(r * 1e0) * 1e6) AS BIGINT)").as("xq"),
+        expr("CAST(floor(ln(f * 1e0) * 1e6) AS BIGINT)").as("yq"))
+    rk.agg(count(lit(1)).as("k"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(expr("xq * yq")).as("sxy"), sum(expr("xq * xq")).as("sxx"))
+      .select(col("k"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        expr("CAST(floor((k * sxy - sx * sy) * 1e0" +
+          " / (k * sxx - sx * sx) * 1e6) AS BIGINT)").as("slope_fp"))
+  }.intendsGlobalWindow(
+    "the rank window runs over the distinct-token frequency table and " +
+      "feeds a LIMIT 200 — WindowGroupLimit bounds it, never corpus-sized")
+
+
   private val P = 2147483647L // 2^31 - 1
 
   /** md5-based word/shingle hash, identical value in both engines. Spark
@@ -100,6 +156,7 @@ object DataPrepQueries {
 
   // ------------------------------------------------------------------ queries
   val all: Seq[QueryDef] = Seq(
+    zipfQuery,
     // ---- exact dedup: content-hash grouping ----
     QueryDef.sql(
       "q_dedup_exact",
