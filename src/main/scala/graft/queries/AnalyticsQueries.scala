@@ -432,6 +432,82 @@ object AnalyticsQueries {
       h.select(col("s").as("event_type"), col("h").as("p_reach_fp"))
     },
 
+    // ---- Mutual information between event type and hour-of-day — the
+    //      dependence diagnostic completing the drift/association tier
+    //      (q_dist_drift measures shift BETWEEN corpora, this measures
+    //      coupling WITHIN one): MI = Σ p_xy·ln(p_xy/(p_x·p_y)) over the
+    //      (#types × 24)-cell contingency table, each cell's
+    //      contribution 1e6-quantized BEFORE the exact integer sum (the
+    //      klContrib convention), entropies alike, NMI = one final div.
+    //      Headroom: nxy·n < n² ≤ 2^63 up to n ≈ 3e9 events; the cell
+    //      table is metadata-sized at any corpus ----
+    QueryDef.sql(
+      "q_mutual_info",
+      """WITH cells AS (
+        |  SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+        |), my AS (
+        |  SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+        |), tot AS (
+        |  SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells
+        |), terms AS (
+        |  SELECT
+        |    CAST(sum(CAST(floor(ln((nxy * n) * 1e0 / (nx * ny))
+        |      * nxy * 1e6 / n) AS BIGINT)) AS BIGINT) AS mi_fp,
+        |    CAST(sum(CASE WHEN rn_x = 1 THEN
+        |      CAST(floor(ln(n * 1e0 / nx) * nx * 1e6 / n) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS hx_fp,
+        |    CAST(sum(CASE WHEN rn_y = 1 THEN
+        |      CAST(floor(ln(n * 1e0 / ny) * ny * 1e6 / n) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS hy_fp,
+        |    min(n) AS n
+        |  FROM (
+        |    SELECT cells.*, nx, ny, n,
+        |      row_number() OVER (PARTITION BY cells.x ORDER BY cells.y) AS rn_x,
+        |      row_number() OVER (PARTITION BY cells.y ORDER BY cells.x) AS rn_y
+        |    FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot)
+        |)
+        |SELECT n, mi_fp, hx_fp, hy_fp,
+        |  CASE WHEN least(hx_fp, hy_fp) > 0
+        |       THEN (mi_fp * 1000000) // least(hx_fp, hy_fp)
+        |       ELSE CAST(0 AS BIGINT) END AS nmi_fp
+        |FROM terms""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, d)
+        .select(col("event_type").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+      val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      val tot = cells.agg(sum(col("nxy")).as("n"))
+      val joined = cells.join(mx, "x").join(my, "y")
+        .crossJoin(broadcast(tot))
+        .withColumn("rn_x",
+          row_number().over(Window.partitionBy(col("x")).orderBy(col("y"))))
+        .withColumn("rn_y",
+          row_number().over(Window.partitionBy(col("y")).orderBy(col("x"))))
+      val terms = joined.agg(
+        sum(expr(
+          "CAST(floor(ln((nxy * n) * 1e0 / (nx * ny)) * nxy * 1e6 / n) AS BIGINT)"))
+          .cast("long").as("mi_fp"),
+        sum(expr("CASE WHEN rn_x = 1 THEN " +
+          "CAST(floor(ln(n * 1e0 / nx) * nx * 1e6 / n) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END")).cast("long").as("hx_fp"),
+        sum(expr("CASE WHEN rn_y = 1 THEN " +
+          "CAST(floor(ln(n * 1e0 / ny) * ny * 1e6 / n) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END")).cast("long").as("hy_fp"),
+        min(col("n")).as("n"))
+      terms.select(col("n"), col("mi_fp"), col("hx_fp"), col("hy_fp"),
+        when(least(col("hx_fp"), col("hy_fp")) > 0,
+          expr("(mi_fp * 1000000) div least(hx_fp, hy_fp)"))
+          .otherwise(0L).as("nmi_fp"))
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row total-count frame"),
+
     // ---- Cohen's kappa inter-rater agreement per event type — the
     //      chance-corrected agreement statistic completing the eval
     //      tier next to q_eval_confusion/q_calibration: rater A flags
