@@ -432,6 +432,91 @@ object AnalyticsQueries {
       h.select(col("s").as("event_type"), col("h").as("p_reach_fp"))
     },
 
+    // ---- Wald's SPRT (sequential probability ratio test) per variant:
+    //      the SEQUENTIAL member of the testing tier — q_ab_test decides
+    //      on a fixed sample, this walks the cumulative log-likelihood
+    //      ratio in event order and reports the FIRST boundary crossing
+    //      (the always-valid early-stopping workload). H0: conversion
+    //      p0 = 0.19, H1: p1 = 0.21, alpha = beta = 0.05; per-event
+    //      increments and both Wald boundaries are 1e6-quantized ln
+    //      constants SPELLED IDENTICALLY on both engines, the walk is
+    //      an exact int64 cumulative window sum, the first crossing one
+    //      min(struct) agg. One shuffle on the variant key ----
+    QueryDef.sql(
+      "q_sprt",
+      """WITH obs AS (
+        |  SELECT user_id % 2 AS variant,
+        |    row_number() OVER (PARTITION BY user_id % 2
+        |      ORDER BY ts, event_id) AS rn,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(ln(21e-2 / 19e-2) * 1e6) AS BIGINT)
+        |      ELSE CAST(floor(ln(79e-2 / 81e-2) * 1e6) AS BIGINT)
+        |    END AS inc
+        |  FROM events
+        |), walk AS (
+        |  SELECT variant, rn,
+        |    CAST(sum(inc) OVER (PARTITION BY variant ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS llr
+        |  FROM obs
+        |), bounds AS (
+        |  SELECT CAST(floor(ln(95e-2 / 5e-2) * 1e6) AS BIGINT) AS up_fp,
+        |    CAST(floor(ln(5e-2 / 95e-2) * 1e6) AS BIGINT) AS low_fp
+        |), crossing AS (
+        |  SELECT variant, min(rn) AS cross_rn
+        |  FROM walk CROSS JOIN bounds
+        |  WHERE llr >= up_fp OR llr <= low_fp
+        |  GROUP BY variant
+        |), tot AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY 1
+        |)
+        |SELECT t.variant, t.n, b.up_fp, b.low_fp,
+        |  c.cross_rn, w.llr AS cross_llr_fp,
+        |  CASE WHEN c.cross_rn IS NULL THEN 'continue'
+        |       WHEN w.llr >= b.up_fp THEN 'h1' ELSE 'h0' END AS decision
+        |FROM tot t CROSS JOIN bounds b
+        |LEFT JOIN crossing c ON c.variant = t.variant
+        |LEFT JOIN walk w ON w.variant = t.variant AND w.rn = c.cross_rn""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val obs = ev(s, d)
+        .select((col("user_id") % 2).as("variant"),
+          col("ts"), col("event_id"),
+          when(col("event_type") === "purchase",
+            expr("CAST(floor(ln(21e-2 / 19e-2) * 1e6) AS BIGINT)"))
+            .otherwise(expr("CAST(floor(ln(79e-2 / 81e-2) * 1e6) AS BIGINT)"))
+            .as("inc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("variant")).orderBy(col("ts"), col("event_id"))))
+      val walk = obs.withColumn("llr",
+        sum(col("inc")).over(Window.partitionBy(col("variant"))
+          .orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("variant"), col("rn"), col("llr"))
+      val bounds = ev(s, d).limit(1).select(
+        expr("CAST(floor(ln(95e-2 / 5e-2) * 1e6) AS BIGINT)").as("up_fp"),
+        expr("CAST(floor(ln(5e-2 / 95e-2) * 1e6) AS BIGINT)").as("low_fp"))
+      val crossing = walk.crossJoin(broadcast(bounds))
+        .filter(col("llr") >= col("up_fp") || col("llr") <= col("low_fp"))
+        .groupBy(col("variant")).agg(min(col("rn")).as("cross_rn"))
+      val tot = obs.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      // the crossing llr comes from probing the corpus-sized walk with
+      // the BROADCAST #variants-row crossing frame — never the reverse
+      val crossLlr = walk
+        .join(broadcast(crossing.select(col("variant").as("wv"),
+          col("cross_rn"))),
+          col("wv") === col("variant") && col("rn") === col("cross_rn"))
+        .select(col("variant"), col("cross_rn"), col("llr"))
+      tot.crossJoin(broadcast(bounds))
+        .join(broadcast(crossLlr), Seq("variant"), "left")
+        .select(col("variant"), col("n"), col("up_fp"), col("low_fp"),
+          col("cross_rn"), col("llr").as("cross_llr_fp"),
+          when(col("cross_rn").isNull, "continue")
+            .when(col("llr") >= col("up_fp"), "h1")
+            .otherwise("h0").as("decision"))
+    }.intendsNestedLoop(
+      "cross joins against the broadcast 1-row Wald-boundary frame"),
+
     // ---- Mutual information between event type and hour-of-day — the
     //      dependence diagnostic completing the drift/association tier
     //      (q_dist_drift measures shift BETWEEN corpora, this measures
