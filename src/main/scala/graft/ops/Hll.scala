@@ -59,18 +59,27 @@ object Hll {
         expr("h div 256").as("w"))
       .groupBy(col("key"), col("j"))
       .agg(max(expr(rhoCase("w"))).as("mj"))
-    regs.groupBy(col("key"))
+    finish(regs.groupBy(col("key"))
       .agg(count(lit(1)).as("nr"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("zr"))
       .select(col("key"), (lit(m.toLong) - col("nr")).as("zeros"),
-        col("nr"), col("zr"))
-      .select(col("key"), col("zeros"),
-        expr(s"$alphaChain / (zr + zeros * $pow53)").as("raw"))
-      .select(col("key"), col("zeros"),
+        col("zr")))
+  }
+
+  /** The shared estimate chain over register aggregates (key, zeros,
+    * zr) — single-sourced for the batch path and the streaming twin
+    * ([[graft.streaming.HllStream]] emits the same aggregate columns
+    * from its per-key register state). Row-local expressions only, so
+    * it applies to streaming frames unchanged.
+    */
+  def finish(agg: DataFrame): DataFrame =
+    agg
+      .withColumn("raw", expr(s"$alphaChain / (zr + zeros * $pow53)"))
+      .withColumn("hll_fp",
         expr("""CAST(floor(CASE WHEN zeros > 0 AND raw <= 640e0
                |  THEN 256e0 * ln(256e0 / zeros) ELSE raw END * 1e3)
-               |  AS BIGINT)""".stripMargin).as("hll_fp"))
-  }
+               |  AS BIGINT)""".stripMargin))
+      .drop("raw", "zr")
 
   /** DuckDB twin over a `graft_hll_obs` (key, h) relation: CTE chain
     * ending in a relation `graft_hll_est` (key, zeros, hll_fp).
