@@ -814,6 +814,37 @@ object RankQueries {
       graft.ops.Mst.forest(e)
     },
 
+    // ---- Full coreness decomposition (see ops.Coreness): every part's
+    //      core NUMBER via the Montresor h-index iteration — the whole
+    //      k-core hierarchy q_kcore samples at k=2, from ONE fixed-round
+    //      loop (28 rounds; fixpoint measured at 21/10 for the gate
+    //      scales). Top-coreness parts are the densest co-purchase
+    //      community members ----
+    QueryDef.sql(
+      "q_coreness",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), graft_und_edges AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |""".stripMargin + graft.ops.Coreness.oracleSql()
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      graft.ops.Coreness.run(e)
+    },
+
     // ---- Single-linkage clustering levels off ONE spanning forest
     //      (see ops.Mst): clusters at distance threshold t are the
     //      connected components of the edges with w <= t, and the
