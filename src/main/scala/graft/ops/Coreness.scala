@@ -44,15 +44,26 @@ object Coreness {
           .unionAll(e0.select(col("b").as("n"), col("a").as("m"))))
       var c = Iterate.materialize(
         und.groupBy(col("n")).agg(count(lit(1)).as("c")))
-      val cad = new Iterate.Cadence(c)
+      // early exit at the fixpoint: the estimate is elementwise
+      // NON-INCREASING (Montresor Thm 1), so an unchanged Σc is an
+      // unchanged vector and later rounds are no-ops; every round
+      // materializes so the probe reads checkpointed data
+      def sig(df: DataFrame): Long =
+        df.agg(sum(col("c"))).head.getLong(0)
+      var prev = sig(c)
+      var done = false
+      val cad = new Iterate.Cadence(c, every = 1)
       val w = Window.partitionBy(col("n")).orderBy(col("cm").desc)
-      for (i <- 1 to rounds) {
+      for (i <- 1 to rounds if !done) {
         val next = und
           .join(c.select(col("n").as("m"), col("c").as("cm")), "m")
           .withColumn("rk", row_number().over(w))
           .groupBy(col("n"))
           .agg(max(least(col("rk"), col("cm"))).as("c"))
         c = cad.step(i, i == rounds, next)
+        val s = sig(c)
+        if (s == prev) done = true
+        prev = s
       }
       c.select(col("n").as("node"), col("c").as("coreness"))
     }

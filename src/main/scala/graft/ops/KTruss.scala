@@ -35,8 +35,15 @@ object KTruss {
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .distinct())
-    val cadence = new Iterate.Cadence(e)
-    for (i <- 1 to rounds) {
+    // early exit at the fixpoint: next ⊆ e always, so an unchanged COUNT
+    // is an unchanged SET and every later round is a no-op (the oracle
+    // unrolls all rounds — identical values either way). Every round
+    // materializes (Cadence(every=1) shape) because the count probe
+    // would otherwise re-execute the triangle join
+    val cadence = new Iterate.Cadence(e, every = 1)
+    var prev = e.count()
+    var done = false
+    for (i <- 1 to rounds if !done) {
       val sup = Triangles.triangles(e)
         .select(explode(array(
           struct(least(col("x"), col("y")).as("a"),
@@ -51,6 +58,9 @@ object KTruss {
         .select(col("a"), col("b"))
       val next = e.join(sup, Seq("a", "b"), "left_semi")
       e = cadence.step(i, i == rounds, next)
+      val cnt = e.count()
+      if (cnt == prev) done = true
+      prev = cnt
     }
     e
   }

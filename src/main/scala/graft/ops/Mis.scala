@@ -48,9 +48,13 @@ object Mis {
         .withColumn("p", expr(prio)))
     var e = Iterate.materialize(e0)
     var out: DataFrame = null
-    val liveCad = new Iterate.Cadence(live)
-    val eCad = new Iterate.Cadence(e)
-    for (i <- 1 to rounds) {
+    // every round materializes (Cadence(every=1)) so the live-set
+    // emptiness probe — the early exit once everything is selected or
+    // removed; later rounds are no-ops — reads checkpointed data
+    val liveCad = new Iterate.Cadence(live, every = 1)
+    val eCad = new Iterate.Cadence(e, every = 1)
+    var done = false
+    for (i <- 1 to rounds if !done) {
       val und = e.select(col("a").as("n"), col("b").as("m"))
         .unionAll(e.select(col("b").as("n"), col("a").as("m")))
       // count live neighbors that beat (p, id) — selected iff none
@@ -78,6 +82,7 @@ object Mis {
         e.join(lv.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(lv.select(col("node").as("b")), Seq("b"), "left_semi")
           .select(col("a"), col("b")))
+      if (live.isEmpty) done = true
     }
     out
   }
