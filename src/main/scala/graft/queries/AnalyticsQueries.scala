@@ -1196,6 +1196,50 @@ object AnalyticsQueries {
           expr("-1L - (md5p60(concat(event_type, ':1')) % 5)").as("e1")))
     },
 
+    // ---- Burst detection (Kleinberg's two-state automaton, decoded
+    //      exactly): label each user's events baseline/burst from
+    //      INTER-ARRIVAL GAPS — short gaps (< 1h, ~9% of arrivals)
+    //      reward the burst state, long gaps the baseline, and the
+    //      stay/switch costs (-1/-4) make isolated short gaps stay
+    //      baseline while runs flip a whole segment. Pure composition:
+    //      one lag window derives gap emissions, [[graft.ops.Viterbi]]
+    //      decodes — the q_viterbi DP and oracle verbatim on a
+    //      different emission column ----
+    QueryDef.sql(
+      "q_bursts",
+      s"""WITH RECURSIVE gaps AS (
+         |  SELECT user_id, event_id, ts,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    epoch_us(ts) // 1000000
+         |      - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS gap
+         |  FROM events
+         |), graft_hmm_ev AS (
+         |  SELECT user_id, event_id, rn,
+         |    CASE WHEN gap IS NULL OR gap >= 3600
+         |      THEN CAST(0 AS BIGINT) ELSE -3 END AS e0,
+         |    CASE WHEN gap IS NOT NULL AND gap < 3600
+         |      THEN CAST(0 AS BIGINT) ELSE -3 END AS e1
+         |  FROM gaps
+         |),
+         |${graft.ops.Viterbi.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (expr("unix_seconds(ts)")
+            - lag(expr("unix_seconds(ts)"), 1).over(w)).as("gap"))
+      graft.ops.Viterbi.decode(
+        gaps.select(col("user_id"), col("ts"), col("event_id"),
+          when(col("gap").isNull || col("gap") >= 3600, 0L)
+            .otherwise(-3L).as("e0"),
+          when(col("gap").isNotNull && col("gap") < 3600, 0L)
+            .otherwise(-3L).as("e1")))
+    },
+
     // ---- Forward-algorithm filtering posteriors for the same 2-state
     //      HMM family (see ops.HmmForward): where q_viterbi commits to
     //      ONE most-likely path, this reports P(state 1 | obs so far)
