@@ -432,6 +432,36 @@ object AnalyticsQueries {
       h.select(col("s").as("event_type"), col("h").as("p_reach_fp"))
     },
 
+    // ---- Offline bandit policy evaluation by replay (see
+    //      ops.BanditReplay — Li et al.'s counterfactual method): a
+    //      deterministic epsilon-greedy policy walks each user's logged
+    //      stream; only events whose logged arm matches the policy's
+    //      pick count. Per-user (arm, pulls, rewards) scorecard;
+    //      everything integer so the sequential decisions are bit-exact
+    //      cross-engine ----
+    QueryDef.sql(
+      "q_bandit_replay",
+      s"""WITH RECURSIVE graft_bandit_ev AS (
+         |  SELECT user_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    ${graft.ops.BanditReplay.Arms.zipWithIndex
+               .map { case (a, i) => s"WHEN event_type = '$a' THEN $i" }
+               .mkString("CASE ", " ", " ELSE -1 END")} AS arm,
+         |    CASE WHEN value >= 26e1 THEN 1 ELSE 0 END AS r,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)
+         |      || ':' || CAST(row_number() OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS ex
+         |  FROM events
+         |),
+         |${graft.ops.BanditReplay.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.BanditReplay.replay(
+        Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("value")))
+    },
+
     // ---- Wald's SPRT (sequential probability ratio test) per variant:
     //      the SEQUENTIAL member of the testing tier — q_ab_test decides
     //      on a fixed sample, this walks the cumulative log-likelihood
