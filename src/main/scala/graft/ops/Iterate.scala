@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
   * checkpoint-cadence implementation — a change to either lands in
   * every operator at once instead of eight hand-copied variants.
   */
-private[ops] object Iterate {
+private[graft] object Iterate {
 
   /** Materialize a distributed frame in place: reliable checkpoint when
     * a checkpoint dir is configured (the cluster deployment path), local

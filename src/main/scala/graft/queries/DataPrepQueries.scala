@@ -155,8 +155,79 @@ object DataPrepQueries {
       .withColumnRenamed("id_b", "doc_b")
 
   // ------------------------------------------------------------------ queries
+  /** Greedy max-coverage document selection (the submodular selection
+    * primitive behind facility-location data curation — pick the k
+    * documents that together cover the most distinct bigrams): per
+    * round, each candidate's marginal gain = its bigrams not yet
+    * covered (one anti join against the broadcast vocabulary-bounded
+    * covered set + one groupBy), winner by (gain desc, doc_id). The
+    * classic (1−1/e) greedy, k passes over the token table — lazy-greedy
+    * priority queues are the serial optimization; at cluster scale the
+    * k linear passes ARE the distributed form. Oracle unrolls the same
+    * k rounds; ties and exhaustion (no positive-gain candidate → round
+    * yields nothing) behave identically by construction.
+    */
+  private[queries] val maxCoverageQuery: QueryDef = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), tk AS (
+        |  SELECT DISTINCT doc_id, bigram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, n),
+        |      i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+        |    FROM t WHERE n >= 2)
+        |), cov0 AS (SELECT '' AS tok WHERE false)""".stripMargin)
+    for (i <- 1 to k) sb.append(
+      s""",
+         |g$i AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM tk
+         |  WHERE bigram NOT IN (SELECT tok FROM cov${i - 1})
+         |  GROUP BY doc_id
+         |), w$i AS (
+         |  SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1
+         |), cov$i AS (
+         |  SELECT tok FROM cov${i - 1}
+         |  UNION SELECT bigram FROM tk JOIN w$i USING (doc_id)
+         |)""".stripMargin)
+    sb.append("\n" + (1 to k)
+      .map(i => s"SELECT $i AS pick, doc_id, gain FROM w$i")
+      .mkString("\nUNION ALL "))
+    QueryDef.sql("q_max_coverage", sb.toString) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, n - 1), i -> " +
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+        .distinct()
+      toks.cache()
+      var covered = toks.select(col("bigram")).limit(0)
+      val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (i <- 1 to k) {
+        val gains = toks
+          .join(broadcast(covered), Seq("bigram"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        val w = graft.ops.Iterate.materialize(
+          gains.orderBy(col("gain").desc, col("doc_id")).limit(1))
+        picks += w.select(lit(i).as("pick"), col("doc_id"), col("gain"))
+        covered = graft.ops.Iterate.materialize(
+          covered.union(
+            toks.join(broadcast(w.select(col("doc_id"))), "doc_id")
+              .select(col("bigram"))))
+      }
+      picks.reduce(_ unionAll _)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     zipfQuery,
+    maxCoverageQuery,
     // ---- exact dedup: content-hash grouping ----
     QueryDef.sql(
       "q_dedup_exact",
