@@ -606,6 +606,47 @@ object TechQueries {
           col("event_id"), col("value")))
     },
 
+    // ---- RiskMetrics EWMA volatility (see ops.EwmVar): λ = 0.94
+    //      variance recurrence over the q_sharpe winsorized returns —
+    //      the rolling-dispersion twin of q_sharpe's static variance.
+    //      Exact int64; vol = floor(sqrt(v)) is safe cross-engine
+    //      because IEEE sqrt is correctly rounded (ln is not — see
+    //      ops.BanditReplay's UCB rejection note) ----
+    QueryDef.sql(
+      "q_ewm_var",
+      s"""WITH RECURSIVE c AS (
+         |  SELECT event_type AS symbol, ts, event_id,
+         |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS cents
+         |  FROM events
+         |), graft_returns AS (
+         |  SELECT symbol,
+         |    row_number() OVER (PARTITION BY symbol
+         |      ORDER BY ts, event_id) AS rn,
+         |    greatest(-1000000, least(1000000,
+         |      ((cents - pc) * 1000000) // pc)) AS r_fp
+         |  FROM (
+         |    SELECT symbol, cents, ts, event_id,
+         |      lag(cents) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS pc
+         |    FROM c)
+         |  WHERE pc >= 100
+         |),
+         |${graft.ops.EwmVar.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      val wl = Window.partitionBy(col("symbol")).orderBy(col("ts"), col("event_id"))
+      val rets = Tables.events(s, d)
+        .select(col("event_type").as("symbol"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("cents"))
+        .withColumn("pc", lag(col("cents"), 1).over(wl))
+        .filter(col("pc") >= 100)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("symbol")).orderBy(col("ts"), col("event_id")))
+          .cast("long"))
+        .select(col("symbol"), col("rn"),
+          greatest(lit(-1000000L), least(lit(1000000L),
+            expr("((cents - pc) * 1000000L) div pc"))).as("r_fp"))
+      graft.ops.EwmVar.track(rets)
+    },
+
     // ---- Holt-Winters additive seasonal smoothing (see ops.HoltWinters):
     //      level + trend + 24-slot hourly seasonal indices per event
     //      type, over the hourly cents-sum series — the seasonal member
