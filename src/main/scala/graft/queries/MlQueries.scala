@@ -41,6 +41,57 @@ object MlQueries {
        |    FROM embeddings e, cb c) WHERE rk = 1
        |)""".stripMargin
 
+  /** DuckDB CTE chain ending in `m(q_id, pred_label, votes)`: the brute
+    * top-5 kNN majority vote for the vec_id < 20 query frame — shared
+    * by q_knn_classify and q_mcnemar.
+    */
+  private def knnPredCtes: String = {
+    def dot(a: String, b: String) = OracleVec.dot(a, b)
+    s"""q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < 20
+       |), p AS (
+       |  SELECT q_id, c.vec_id AS c_id,
+       |    ${dot("q_emb", "c.embedding")}
+       |    / (sqrt(${dot("q_emb", "q_emb")})
+       |       * sqrt(${dot("c.embedding", "c.embedding")})) AS cosine
+       |  FROM q, embeddings c WHERE q_id <> c.vec_id
+       |), nb AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5
+       |), v AS (
+       |  SELECT q_id, e.label, count(*) AS votes
+       |  FROM nb JOIN embeddings e ON nb.c_id = e.vec_id
+       |  GROUP BY q_id, e.label
+       |), m AS (
+       |  SELECT q_id, label AS pred_label, votes FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[knnPredCtes]]: (q_id, true_label, pred_label,
+    * votes) for the vec_id < 20 query frame.
+    */
+  private def knnPred(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    val nb = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(qv))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"))
+    Classify.knnVote(nb, emb.select(col("vec_id"), col("label")))
+      .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- Nearest-centroid classification (linear-probe sanity check of
@@ -76,50 +127,67 @@ object MlQueries {
     //      frame (the ANN variants produce the same (q_id, c_id) shape)
     //      -> per-query vote with a partial-aggregable argmax. ----
     QueryDef.sql(
-      "q_knn_classify", {
-        def dot(a: String, b: String) = OracleVec.dot(a, b)
-        s"""WITH q AS (
-           |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-           |  WHERE vec_id < 20
-           |), p AS (
-           |  SELECT q_id, c.vec_id AS c_id,
-           |    ${dot("q_emb", "c.embedding")}
-           |    / (sqrt(${dot("q_emb", "q_emb")})
-           |       * sqrt(${dot("c.embedding", "c.embedding")})) AS cosine
-           |  FROM q, embeddings c WHERE q_id <> c.vec_id
-           |), nb AS (
-           |  SELECT q_id, c_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY q_id
-           |      ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5
-           |), v AS (
-           |  SELECT q_id, e.label, count(*) AS votes
-           |  FROM nb JOIN embeddings e ON nb.c_id = e.vec_id
-           |  GROUP BY q_id, e.label
-           |), m AS (
-           |  SELECT q_id, label AS pred_label, votes FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY q_id
-           |      ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1
-           |)
-           |SELECT m.q_id, e.label AS true_label, m.pred_label, m.votes
-           |FROM m JOIN embeddings e ON m.q_id = e.vec_id""".stripMargin
-      }
+      "q_knn_classify",
+      s"""WITH $knnPredCtes
+         |SELECT m.q_id, e.label AS true_label, m.pred_label, m.votes
+         |FROM m JOIN embeddings e ON m.q_id = e.vec_id""".stripMargin
     ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val qv = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-      val nb = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        .crossJoin(broadcast(qv))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("c_id"))
-      Classify.knnVote(nb, emb.select(col("vec_id"), col("label")))
-        .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
-        .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
+      knnPred(s, d)
     }.intendsNestedLoop(
       "broadcast side is the 20-row query frame (brute kNN baseline)"),
+
+    // ---- McNemar's paired test: do the centroid and kNN classifiers
+    //      err DIFFERENTLY on the same examples? The paired-sample
+    //      significance test the confusion matrices can't answer
+    //      (accuracy deltas ignore pairing). Discordant cells b/c from
+    //      one join of the two shared prediction chains; continuity-
+    //      corrected chi2 = (|b−c|−1)²·S div (b+c), exact integers ----
+    QueryDef.sql(
+      "q_mcnemar",
+      s"""WITH $centroidPredCtes, $knnPredCtes, paired AS (
+         |  SELECT p.vec_id,
+         |    CASE WHEN p.pred_label = p.true_label THEN 1 ELSE 0 END AS a_ok,
+         |    CASE WHEN m.pred_label = p.true_label THEN 1 ELSE 0 END AS b_ok
+         |  FROM pred p JOIN m ON m.q_id = p.vec_id
+         |), cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a_ok = b_ok THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         |    CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM paired
+         |)
+         |SELECT n, agree, b, c,
+         |  CASE WHEN b + c > 0
+         |    THEN (greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+         |          * 1000000) // (b + c)
+         |    ELSE CAST(0 AS BIGINT) END AS chi2_fp
+         |FROM cells""".stripMargin
+    ) { (s, d) =>
+      val cent = Classify.nearestCentroid(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), col("label")))
+        .select(col("vec_id"), col("true_label"),
+          col("pred_label").as("a_pred"))
+      val knn = knnPred(s, d)
+        .select(col("q_id").as("vec_id"), col("pred_label").as("b_pred"))
+      val paired = cent.join(knn, "vec_id")
+        .select(
+          when(col("a_pred") === col("true_label"), 1L).otherwise(0L).as("a_ok"),
+          when(col("b_pred") === col("true_label"), 1L).otherwise(0L).as("b_ok"))
+      paired.agg(count(lit(1)).as("n"),
+          sum(when(col("a_ok") === col("b_ok"), 1L).otherwise(0L)).as("agree"),
+          sum(when(col("a_ok") === 1L && col("b_ok") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("a_ok") === 0L && col("b_ok") === 1L, 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("n"), col("agree"), col("b"), col("c"),
+          when(col("b") + col("c") > 0,
+            expr("(greatest(abs(b - c) - 1, 0L) * greatest(abs(b - c) - 1, 0L)" +
+              " * 1000000L) div (b + c)"))
+            .otherwise(0L).as("chi2_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the #labels-row centroid codebook and the " +
+        "20-row query frame"),
 
     // ---- kNN classification over the IVF-PQ index — the shape a 100 TB
     //      label-propagation job actually runs: neighbours come from the
