@@ -606,6 +606,51 @@ object TechQueries {
           col("event_id"), col("value")))
     },
 
+    // ---- Time-weighted average price per symbol-day (q_vwap's
+    //      clock-weighted sibling — irregular ticks mean the plain mean
+    //      over-weights busy minutes): each tick holds its price until
+    //      the next (dt in whole seconds via epoch-floor math), the
+    //      day's last tick holds nothing. Exact integers; headroom
+    //      cents·dt ≤ 1e5·86400 ≈ 8.6e9 per term, safe to ~1e9
+    //      terms/day-symbol ----
+    QueryDef.sql(
+      "q_twap",
+      """WITH t AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts) // 1000000) OVER w
+        |      - epoch_us(ts) // 1000000 AS dt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY ts, event_id)
+        |)
+        |SELECT symbol, day,
+        |  CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(sum(dt) AS BIGINT) AS held_s,
+        |  CASE WHEN CAST(sum(dt) AS BIGINT) > 0
+        |    THEN CAST(sum(cents * dt) AS BIGINT) // CAST(sum(dt) AS BIGINT)
+        |    ELSE NULL END AS twap_cents
+        |FROM t WHERE dt IS NOT NULL
+        |GROUP BY symbol, day""".stripMargin
+    ) { (s, d) =>
+      val w = Window
+        .partitionBy(col("symbol"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type").as("symbol"),
+          to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("cents"),
+          expr("unix_seconds(ts)").as("sec"))
+        .withColumn("dt", lead(col("sec"), 1).over(w) - col("sec"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("symbol"), col("day"))
+        .agg(count(lit(1)).as("n_ticks"),
+          sum(col("dt")).as("held_s"),
+          when(sum(col("dt")) > 0,
+            expr("CAST(sum(cents * dt) AS BIGINT) div CAST(sum(dt) AS BIGINT)"))
+            .otherwise(lit(null)).as("twap_cents"))
+    },
+
     // ---- RiskMetrics EWMA volatility (see ops.EwmVar): λ = 0.94
     //      variance recurrence over the q_sharpe winsorized returns —
     //      the rolling-dispersion twin of q_sharpe's static variance.
