@@ -637,6 +637,39 @@ object ExtQueries {
         .withColumnRenamed("id_b", "doc_b")
     },
 
+    // ---- Cross-format identity through the batch DSv2 source (see
+    //      graft.sources.JsonlSource): events → Spark's JSONL writer →
+    //      the graft-jsonl TableProvider (filter pushdown evaluates
+    //      cents >= 26000 on the parsed line, column pruning drops
+    //      user_id at the reader) → hash-aggregate — the SAME numbers
+    //      the oracle computes from the original parquet. Proves the
+    //      source end-to-end, not just spec-level ----
+    QueryDef.sql(
+      "q_jsonl_source",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT event_type,
+        |        CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS cents
+        |      FROM events)
+        |WHERE cents >= 26000 GROUP BY event_type""".stripMargin
+    ) { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_q").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("cents"))
+        .coalesce(4)
+        .write.mode("overwrite").json(tmp)
+      s.read.format("graft-jsonl")
+        .option("path", tmp)
+        .option("schema",
+          "event_id:long,user_id:long,event_type:string,cents:long")
+        .load()
+        .filter(col("cents") >= 26000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    },
+
     // ---- interval x interval OVERLAP join (both sides are intervals —
     //      the harder sibling of q_range_join's point-in-interval):
     //      per-order open fulfillment windows [orderdate, min(last ship,
