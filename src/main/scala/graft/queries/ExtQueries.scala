@@ -659,7 +659,11 @@ object ExtQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("cents"))
         .coalesce(4)
-        .write.mode("overwrite").json(tmp)
+        .write.format("graft-jsonl") // OUR DSv2 writer, not Spark's json()
+        .option("path", tmp)
+        .option("schema",
+          "event_id:long,user_id:long,event_type:string,cents:long")
+        .mode("overwrite").save()
       s.read.format("graft-jsonl")
         .option("path", tmp)
         .option("schema",

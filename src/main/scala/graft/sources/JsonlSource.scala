@@ -183,15 +183,108 @@ class JsonlScanBuilder(dir: String, full: StructType)
   override def build(): Scan = new JsonlScan(dir, full, required, pushed)
 }
 
+/** Per-task JSONL writer: a temp file renamed into place on COMMIT —
+  * task-level atomicity (an aborted/speculated task leaves no partial
+  * visible file), the standard two-phase sink contract.
+  */
+class JsonlDataWriter(dir: String, partitionId: Int, taskId: Long,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmp = java.nio.file.Paths.get(
+    dir, s".part-$partitionId-$taskId.json.inprogress")
+  private val out = java.nio.file.Files.newBufferedWriter(tmp)
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder("{")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) sb.append(", ")
+      sb.append('"').append(f.name).append("\": ")
+      if (row.isNullAt(i)) sb.append("null")
+      else f.dataType match {
+        case LongType => sb.append(row.getLong(i))
+        case _ =>
+          // minimal JSON string escape (quotes/backslash/control)
+          val v = row.getUTF8String(i).toString
+          sb.append('"')
+          v.foreach {
+            case '"' => sb.append("\\\"")
+            case '\\' => sb.append("\\\\")
+            case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+            case c => sb.append(c)
+          }
+          sb.append('"')
+      }
+    }
+    out.write(sb.append('}').toString)
+    out.newLine()
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(
+      dir, s"part-$partitionId-$taskId.json"))
+    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+  }
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+  override def close(): Unit = ()
+}
+
+class JsonlBatchWrite(dir: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    if (truncate)
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .foreach(java.nio.file.Files.delete)
+    val dirS = dir
+    val sch = schema
+    new org.apache.spark.sql.connector.write.DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+        new JsonlDataWriter(dirS, partitionId, taskId, sch)
+    }
+  }
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = ()
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = ()
+}
+
 class JsonlTable(dir: String, schema0: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-jsonl($dir)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(dir, schema0)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        doTruncate = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new JsonlBatchWrite(dir, info.schema(), doTruncate)
+        }
+    }
 }
 
 /** `spark.read.format("graft-jsonl").option("path", dir)

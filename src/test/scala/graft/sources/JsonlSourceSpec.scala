@@ -77,6 +77,33 @@ class JsonlSourceSpec extends AnyFunSuite with Matchers {
     plan should include("LessThan(v,200)")
   }
 
+  test("write path: DSv2 writer round-trips through the reader, " +
+      "overwrite truncates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_w").toString
+    val df = (0L until 50L).map(i => (i, s"s$i", i * 7))
+      .toDF("id", "grp", "v")
+    df.repartition(3).write.format("graft-jsonl")
+      .option("path", dir).option("schema", "id:long,grp:string,v:long")
+      .mode("overwrite").save()
+    val back = read(dir)
+    back.count() shouldBe 50L
+    back.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) shouldBe
+      (0L until 50L).map(_ * 7).sum
+    // overwrite truncates: a second smaller write leaves no stale rows
+    df.limit(10).write.format("graft-jsonl")
+      .option("path", dir).option("schema", "id:long,grp:string,v:long")
+      .mode("overwrite").save()
+    read(dir).count() shouldBe 10L
+    // escaping: quotes and control chars survive the round trip
+    val tricky = Seq((1L, "a\"b\\c\nd", 0L)).toDF("id", "grp", "v")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_jsonl_e").toString
+    tricky.write.format("graft-jsonl")
+      .option("path", dir2).option("schema", "id:long,grp:string,v:long")
+      .mode("overwrite").save()
+    read(dir2).select("grp").head.getString(0) shouldBe "a\"b\\c\nd"
+  }
+
   test("missing fields surface as nulls") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl2").toString
     java.nio.file.Files.write(
