@@ -432,6 +432,65 @@ object AnalyticsQueries {
       h.select(col("s").as("event_type"), col("h").as("p_reach_fp"))
     },
 
+    // ---- One-way ANOVA F-test across event types (the PARAMETRIC
+    //      sibling of q_kruskal's rank test — same question, mean-based
+    //      instead of rank-based): do the five value distributions share
+    //      a mean? Group moments n/Σx/Σx² are exact int64 over cents
+    //      (x² ≤ 1e10·n, safe to ~9e8 rows); the per-group s²/n term is
+    //      1e0-quantized BEFORE the exact cross-group sum (the klContrib
+    //      convention — s² itself would overflow), SSW = Q − T stays
+    //      pure integer, and the final F is ONE identical-op-order
+    //      double chain over the exact sums ----
+    QueryDef.sql(
+      "q_anova",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(c) AS BIGINT) AS s_j,
+        |    CAST(sum(c * c) AS BIGINT) AS q_j,
+        |    CAST(floor((CAST(sum(c) AS BIGINT) * 1e0
+        |      * CAST(sum(c) AS BIGINT)) / count(*)) AS BIGINT) AS t_j
+        |  FROM (SELECT event_type,
+        |          CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS c
+        |        FROM events)
+        |  GROUP BY event_type
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_j) AS BIGINT) AS n, CAST(sum(s_j) AS BIGINT) AS s,
+        |    CAST(sum(q_j) AS BIGINT) AS q, CAST(sum(t_j) AS BIGINT) AS t
+        |  FROM g
+        |)
+        |SELECT k, n, q, t,
+        |  CAST(floor(t * 1e0 - (s * 1e0 * s) / n) AS BIGINT) AS ssb_fp,
+        |  q - t AS ssw_fp,
+        |  CASE WHEN k >= 2 AND n > k AND q - t > 0
+        |    THEN CAST(floor(((t * 1e0 - (s * 1e0 * s) / n) / (k - 1))
+        |      / ((q * 1e0 - t * 1e0) / (n - k)) * 1e6) AS BIGINT)
+        |    ELSE NULL END AS f_fp
+        |FROM tot""".stripMargin
+    ) { (s, d) =>
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_j"), sum(col("c")).as("s_j"),
+          sum(expr("c * c")).as("q_j"))
+        .withColumn("t_j",
+          expr("CAST(floor((s_j * 1e0 * s_j) / n_j) AS BIGINT)"))
+      g.agg(count(lit(1)).as("k"), sum(col("n_j")).as("n"),
+          sum(col("s_j")).as("s"), sum(col("q_j")).as("q"),
+          sum(col("t_j")).as("t"))
+        .select(col("k"), col("n"), col("q"), col("t"),
+          expr("CAST(floor(t * 1e0 - (s * 1e0 * s) / n) AS BIGINT)")
+            .as("ssb_fp"),
+          (col("q") - col("t")).as("ssw_fp"),
+          when(col("k") >= 2 && col("n") > col("k")
+              && col("q") - col("t") > 0,
+            expr("CAST(floor(((t * 1e0 - (s * 1e0 * s) / n) / (k - 1))" +
+              " / ((q * 1e0 - t * 1e0) / (n - k)) * 1e6) AS BIGINT)"))
+            .otherwise(lit(null)).as("f_fp"))
+    },
+
     // ---- Offline bandit policy evaluation by replay (see
     //      ops.BanditReplay — Li et al.'s counterfactual method): a
     //      deterministic epsilon-greedy policy walks each user's logged
