@@ -491,6 +491,69 @@ object AnalyticsQueries {
             .otherwise(lit(null)).as("f_fp"))
     },
 
+    // ---- Levene's test for variance homogeneity (mean-centered
+    //      variant) — the assumption check BEHIND q_anova: are the five
+    //      value spreads equal? ANOVA's own F machinery applied to the
+    //      absolute deviations z = |c − floor-mean_j| (integer floor
+    //      means, documented — Brown-Forsythe's median centering would
+    //      put an interpolated quantile inside every row). Two passes:
+    //      one grouped agg for the means (broadcast back), then the
+    //      exact q_anova moment recipe over z ----
+    QueryDef.sql(
+      "q_levene",
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS c
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) // count(*) AS mu
+        |  FROM c GROUP BY event_type
+        |), z AS (
+        |  SELECT c.event_type, abs(c.c - m.mu) AS z
+        |  FROM c JOIN m ON m.event_type = c.event_type
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(z) AS BIGINT) AS s_j,
+        |    CAST(sum(z * z) AS BIGINT) AS q_j,
+        |    CAST(floor((CAST(sum(z) AS BIGINT) * 1e0
+        |      * CAST(sum(z) AS BIGINT)) / count(*)) AS BIGINT) AS t_j
+        |  FROM z GROUP BY event_type
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_j) AS BIGINT) AS n, CAST(sum(s_j) AS BIGINT) AS s,
+        |    CAST(sum(q_j) AS BIGINT) AS q, CAST(sum(t_j) AS BIGINT) AS t
+        |  FROM g
+        |)
+        |SELECT k, n, q, t,
+        |  CASE WHEN k >= 2 AND n > k AND q - t > 0
+        |    THEN CAST(floor(((t * 1e0 - (s * 1e0 * s) / n) / (k - 1))
+        |      / ((q * 1e0 - t * 1e0) / (n - k)) * 1e6) AS BIGINT)
+        |    ELSE NULL END AS w_fp
+        |FROM tot""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("c"))
+      val m = c.groupBy(col("event_type").as("met"))
+        .agg(expr("CAST(sum(c) AS BIGINT) div count(*)").as("mu"))
+      val z = c.join(broadcast(m), col("met") === col("event_type"))
+        .select(col("event_type"), abs(col("c") - col("mu")).as("z"))
+      val g = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_j"), sum(col("z")).as("s_j"),
+          sum(expr("z * z")).as("q_j"))
+        .withColumn("t_j",
+          expr("CAST(floor((s_j * 1e0 * s_j) / n_j) AS BIGINT)"))
+      g.agg(count(lit(1)).as("k"), sum(col("n_j")).as("n"),
+          sum(col("s_j")).as("s"), sum(col("q_j")).as("q"),
+          sum(col("t_j")).as("t"))
+        .select(col("k"), col("n"), col("q"), col("t"),
+          when(col("k") >= 2 && col("n") > col("k")
+              && col("q") - col("t") > 0,
+            expr("CAST(floor(((t * 1e0 - (s * 1e0 * s) / n) / (k - 1))" +
+              " / ((q * 1e0 - t * 1e0) / (n - k)) * 1e6) AS BIGINT)"))
+            .otherwise(lit(null)).as("w_fp"))
+    },
+
     // ---- Offline bandit policy evaluation by replay (see
     //      ops.BanditReplay — Li et al.'s counterfactual method): a
     //      deterministic epsilon-greedy policy walks each user's logged
