@@ -49,18 +49,58 @@ object EwmVar {
       .toDF("symbol", "rn", "r_fp", "var_fp", "vol_fp")
   }
 
-  /** The identical recurrence as a DuckDB recursive CTE over a
-    * `graft_returns` (symbol, rn, r_fp) relation.
+  /** The identical recurrence as a BLOCK-folded DuckDB query over a
+    * `graft_returns` (symbol, rn, r_fp) relation (rn contiguous
+    * 1-based per symbol). A naive per-rn recursive CTE is serial in n
+    * AND rescans the returns table every iteration — an sf1 oracle
+    * timeout (NOTES round-5). This form splits each series into
+    * 64-row blocks:
+    *
+    *  - `carry` recursion runs over BLOCKS (n/64 iterations), each
+    *    advancing the variance across a whole block with one scalar
+    *    `list_reduce` fold (the carry seed rides in via
+    *    `list_prepend`; block 0 seeds v₁ = r₁²);
+    *  - per-row values are then independent prefix folds WITHIN the
+    *    row's block (≤ 64 lambda steps each, embarrassingly parallel).
+    *
+    * Cost ≈ n²/(symbols·64²) join work + 64·n lambda steps — ~14 s at
+    * the 1M-row sf1 shape vs a timeout before; equivalence with the
+    * serial recursion is exact (same integer ops in the same order).
     */
   def oracleSql: String =
-    """ewv(symbol, rn, r_fp, v) AS (
-      |  SELECT symbol, rn, r_fp, r_fp * r_fp
-      |  FROM graft_returns WHERE rn = 1
+    """blocks AS MATERIALIZED (
+      |  SELECT symbol, CAST((rn - 1) // 64 AS BIGINT) AS blk,
+      |    list(r_fp ORDER BY rn) AS rs
+      |  FROM graft_returns GROUP BY 1, 2
+      |),
+      |carry(symbol, blk, vin) AS (
+      |  SELECT symbol, CAST(0 AS BIGINT) AS blk, CAST(NULL AS BIGINT) AS vin
+      |  FROM blocks WHERE blk = 0
       |  UNION ALL
-      |  SELECT e.symbol, e.rn, e.r_fp,
-      |    (94 * ewv.v + 6 * e.r_fp * e.r_fp) // 100
-      |  FROM ewv JOIN graft_returns e
-      |    ON e.symbol = ewv.symbol AND e.rn = ewv.rn + 1
+      |  SELECT b.symbol, b.blk + 1,
+      |    CASE WHEN carry.vin IS NULL THEN
+      |      list_reduce(list_prepend(b.rs[1] * b.rs[1], b.rs[2:]),
+      |        (acc, r) -> (94 * acc + 6 * r * r) // 100)
+      |    ELSE
+      |      list_reduce(list_prepend(carry.vin, b.rs),
+      |        (acc, r) -> (94 * acc + 6 * r * r) // 100)
+      |    END
+      |  FROM carry JOIN blocks b
+      |    ON b.symbol = carry.symbol AND b.blk = carry.blk
+      |),
+      |ewv AS (
+      |  SELECT g.symbol, g.rn, g.r_fp,
+      |    CASE WHEN c.vin IS NULL THEN
+      |      CASE WHEN ((g.rn - 1) % 64) = 0 THEN g.r_fp * g.r_fp
+      |      ELSE list_reduce(
+      |        list_prepend(b.rs[1] * b.rs[1], b.rs[2:((g.rn - 1) % 64) + 1]),
+      |        (acc, r) -> (94 * acc + 6 * r * r) // 100) END
+      |    ELSE list_reduce(
+      |      list_prepend(c.vin, b.rs[1:((g.rn - 1) % 64) + 1]),
+      |      (acc, r) -> (94 * acc + 6 * r * r) // 100) END AS v
+      |  FROM graft_returns g
+      |  JOIN blocks b ON b.symbol = g.symbol AND b.blk = (g.rn - 1) // 64
+      |  JOIN carry c ON c.symbol = g.symbol AND c.blk = b.blk
       |)
       |SELECT symbol, rn, r_fp, v AS var_fp,
       |  CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS vol_fp

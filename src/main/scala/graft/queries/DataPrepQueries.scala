@@ -175,21 +175,26 @@ object DataPrepQueries {
         |  SELECT doc_id, string_split(text, ' ') AS toks,
         |    len(string_split(text, ' ')) AS n
         |  FROM documents
-        |), tk AS (
+        |), tk AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, bigram FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, n),
         |      i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
         |    FROM t WHERE n >= 2)
         |), cov0 AS (SELECT '' AS tok WHERE false)""".stripMargin)
+    // every chained CTE is MATERIALIZED: cov_{i-1} and tk are each
+    // referenced twice per round, and DuckDB re-inlines plain CTEs per
+    // reference — the un-materialized chain re-expands tk 2^k times
+    // (the sf1 oracle timeout, NOTES round-5); materialization makes
+    // each round one scan of tk + one anti-join against cov.
     for (i <- 1 to k) sb.append(
       s""",
          |g$i AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM tk
          |  WHERE bigram NOT IN (SELECT tok FROM cov${i - 1})
          |  GROUP BY doc_id
-         |), w$i AS (
+         |), w$i AS MATERIALIZED (
          |  SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1
-         |), cov$i AS (
+         |), cov$i AS MATERIALIZED (
          |  SELECT tok FROM cov${i - 1}
          |  UNION SELECT bigram FROM tk JOIN w$i USING (doc_id)
          |)""".stripMargin)

@@ -75,6 +75,19 @@ object JsonlSource {
           s"graft-jsonl schema type '$other' (want long|string)")
       }
     }
+
+  /** List the directory's .json data files, CLOSING the directory
+    * stream (java.nio.file.Files.list holds an open handle until
+    * closed — leaking one per scan planning would exhaust fds on a
+    * long-lived driver).
+    */
+  def listJsonFiles(dir: String): Array[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .toArray.sortBy(_.toString)
+    finally s.close()
+  }
 }
 
 case class JsonlInputPartition(path: String) extends InputPartition
@@ -127,8 +140,14 @@ private[sources] object JsonlFilterEval {
       case i: Int => Some(java.lang.Long.compare(field.asLong(), i.toLong))
       case i: Integer => Some(java.lang.Long.compare(field.asLong(), i.toLong))
       case l: java.lang.Long => Some(java.lang.Long.compare(field.asLong(), l))
-      case s: String => Some(field.asText().compareTo(s))
-      case other => Some(field.asText().compareTo(other.toString))
+      // Spark compares strings in UTF-8 BINARY order; String.compareTo
+      // is UTF-16 code-unit order and diverges on supplementary
+      // characters. Accepted predicates are removed from the residual,
+      // so the source MUST match Spark's collation exactly.
+      case s: String => Some(UTF8String.fromString(field.asText())
+        .compareTo(UTF8String.fromString(s)))
+      case other => Some(UTF8String.fromString(field.asText())
+        .compareTo(UTF8String.fromString(other.toString)))
     }
   }
 
@@ -189,23 +208,109 @@ class JsonlPartitionReaderFactory(
   }
 }
 
+/** Source-reported size statistics: the sum of the data files' bytes.
+  * Without this a DSv2 relation defaults to
+  * `spark.sql.defaultSizeInBytes` (Long.Max-ish) and can NEVER be
+  * chosen as a broadcast side — at 100 TB that turns every join
+  * against a small JSONL dim table into a shuffle. File size is the
+  * same proxy Spark's own FileScan reports.
+  */
+private[sources] trait JsonlFileStats
+    extends org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  def statsDir: String
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = JsonlSource.listJsonFiles(statsDir)
+        .map(java.nio.file.Files.size).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+}
+
 class JsonlScan(
     dir: String, full: StructType, required: StructType,
-    pushed: Array[JsonlPred]) extends Scan with Batch {
+    pushed: Array[JsonlPred]) extends Scan with Batch with JsonlFileStats {
+  override def statsDir: String = dir
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .toArray.sortBy(_.toString)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonlMicroBatchStream(dir, required, pushed, checkpointLocation)
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonlSource.listJsonFiles(dir)
       .map(p => JsonlInputPartition(p.toString): InputPartition)
-  }
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlPartitionReaderFactory(required, pushed)
   override def description(): String =
     s"graft-jsonl $dir, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.map(p => s"${p.col} ${p.op} ${p.value}").mkString(", ")}]"
+}
+
+/** Streaming (micro-batch) read leg over the SAME per-file readers and
+  * pushdown state as the batch path. File-discovery offsets follow
+  * Spark's own FileStreamSource design: a persistent seen-files log in
+  * the checkpoint directory, offsets are just an index into it — so
+  * the offset JSON stays O(1) no matter how many files accumulate, and
+  * restart replays exactly the logged prefix. New files are admitted
+  * in whole-file units (each micro-batch = the files discovered since
+  * the last), which is the right granularity for an append-only
+  * ingest directory ([[PartitionedStore]]'s layout contract).
+  */
+class JsonlMicroBatchStream(
+    dir: String, required: StructType, pushed: Array[JsonlPred],
+    checkpointLocation: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileIndexOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"fileIndex":$n}"""
+  }
+
+  private val logPath = {
+    val d = java.nio.file.Paths.get(checkpointLocation)
+    java.nio.file.Files.createDirectories(d)
+    d.resolve("graft-jsonl-files.log")
+  }
+  private def loggedFiles(): Array[String] =
+    if (java.nio.file.Files.exists(logPath))
+      java.nio.file.Files.readAllLines(logPath).asScala
+        .filter(_.nonEmpty).toArray
+    else Array.empty
+
+  override def initialOffset(): Offset = FileIndexOffset(0)
+  override def deserializeOffset(json: String): Offset = {
+    val n = (new ObjectMapper).readTree(json).get("fileIndex").asInt()
+    FileIndexOffset(n)
+  }
+  /** Discover files not yet in the log, append them (driver-side,
+    * single writer), and report the new end index.
+    */
+  override def latestOffset(): Offset = {
+    val seen = loggedFiles()
+    val seenSet = seen.toSet
+    val fresh = JsonlSource.listJsonFiles(dir)
+      .map(_.toString).filterNot(seenSet)
+    if (fresh.nonEmpty)
+      java.nio.file.Files.write(logPath,
+        fresh.mkString("", "\n", "\n").getBytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    FileIndexOffset(seen.length + fresh.length)
+  }
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileIndexOffset].n
+    val e = end.asInstanceOf[FileIndexOffset].n
+    loggedFiles().slice(s, e)
+      .map(p => JsonlInputPartition(p): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlPartitionReaderFactory(required, pushed)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class JsonlScanBuilder(dir: String, full: StructType)
@@ -302,16 +407,14 @@ class JsonlScanBuilder(dir: String, full: StructType)
 class JsonlAggScan(
     dir: String, full: StructType, outSchema: StructType,
     filters: Array[JsonlPred], groupCols: Array[String],
-    aggFuncs: Array[(String, String)]) extends Scan with Batch {
+    aggFuncs: Array[(String, String)]) extends Scan with Batch
+    with JsonlFileStats {
+  override def statsDir: String = dir
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .toArray.sortBy(_.toString)
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonlSource.listJsonFiles(dir)
       .map(p => JsonlInputPartition(p.toString): InputPartition)
-  }
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlAggReaderFactory(full, filters, groupCols, aggFuncs)
   override def description(): String =
@@ -358,8 +461,11 @@ class JsonlAggReaderFactory(
                 case "max" => Long.MinValue
                 case _ => 0L
               }})
+            // sum's flag starts true too: SQL SUM over zero non-null
+            // inputs is NULL, not 0 (count/count_star stay 0).
             val nl = nulls.getOrElseUpdate(key,
-              a.map { case (op, _) => op == "min" || op == "max" })
+              a.map { case (op, _) =>
+                op == "min" || op == "max" || op == "sum" })
             a.zipWithIndex.foreach { case ((op, c), i) =>
               lazy val cv = n.get(c)
               lazy val has = cv != null && !cv.isNull
@@ -373,6 +479,20 @@ class JsonlAggReaderFactory(
             }
           }
         finally lines.close()
+        // GLOBAL aggregate (empty group-by): partial hash-aggregate
+        // semantics require one initial-buffer row even over zero
+        // input lines — Spark rewrites the final COUNT merge as SUM
+        // over partials, so an absent partial would turn count(*)
+        // over empty/fully-filtered input into NULL instead of 0.
+        if (g.isEmpty && groups.isEmpty) {
+          groups(Seq.empty) = a.map { case (op, _) => op match {
+            case "min" => Long.MaxValue
+            case "max" => Long.MinValue
+            case _ => 0L
+          }}
+          nulls(Seq.empty) = a.map { case (op, _) =>
+            op == "min" || op == "max" || op == "sum" }
+        }
         JsonlSource.aggScans.incrementAndGet()
       }
       private val it = groups.iterator
@@ -395,15 +515,24 @@ class JsonlAggReaderFactory(
   }
 }
 
-/** Per-task JSONL writer: a temp file renamed into place on COMMIT —
-  * task-level atomicity (an aborted/speculated task leaves no partial
-  * visible file), the standard two-phase sink contract.
+/** Commit message carrying a committed TASK's staged file: the final
+  * move into place happens in the driver's job-level commit, so a
+  * failed job neither destroys pre-existing data (truncate is applied
+  * there too) nor leaves partial task output visible.
   */
-class JsonlDataWriter(dir: String, partitionId: Int, taskId: Long,
-    schema: StructType)
+case class JsonlCommitMsg(staged: String, finalName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Per-task JSONL writer: writes to a JOB-scoped staged file; task
+  * commit seals it (fsync'd close) and reports the path — visibility
+  * is deferred to [[JsonlBatchWrite.commit]] (job-level atomicity;
+  * an aborted/speculated task just deletes its staged file).
+  */
+class JsonlDataWriter(dir: String, jobId: String, partitionId: Int,
+    taskId: Long, schema: StructType)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val tmp = java.nio.file.Paths.get(
-    dir, s".part-$partitionId-$taskId.json.inprogress")
+    dir, s".part-$partitionId-$taskId.$jobId.staged")
   private val out = java.nio.file.Files.newBufferedWriter(tmp)
   override def write(row: InternalRow): Unit = {
     val sb = new StringBuilder("{")
@@ -431,9 +560,7 @@ class JsonlDataWriter(dir: String, partitionId: Int, taskId: Long,
   }
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(
-      dir, s"part-$partitionId-$taskId.json"))
-    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+    JsonlCommitMsg(tmp.toString, s"part-$partitionId-$taskId.json")
   }
   override def abort(): Unit = {
     out.close()
@@ -442,31 +569,51 @@ class JsonlDataWriter(dir: String, partitionId: Int, taskId: Long,
   override def close(): Unit = ()
 }
 
-class JsonlBatchWrite(dir: String, schema: StructType, truncate: Boolean)
+class JsonlBatchWrite(dir: String, jobId: String, schema: StructType,
+    truncate: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(d)
-    if (truncate)
-      java.nio.file.Files.list(d).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json"))
-        .foreach(java.nio.file.Files.delete)
-    val dirS = dir
-    val sch = schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val (dirS, jid, sch) = (dir, jobId, schema)
     new org.apache.spark.sql.connector.write.DataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-        new JsonlDataWriter(dirS, partitionId, taskId, sch)
+        new JsonlDataWriter(dirS, jid, partitionId, taskId, sch)
     }
   }
+  /** Job-level commit: ONLY here do staged files become visible —
+    * truncate deletes the old data at the last possible moment, then
+    * every committed task's staged file moves into place. A failure
+    * before this point leaves pre-existing data untouched.
+    */
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
-      : Unit = ()
+      : Unit = {
+    if (truncate)
+      JsonlSource.listJsonFiles(dir).foreach(java.nio.file.Files.delete)
+    messages.foreach { case JsonlCommitMsg(staged, finalName) =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+        java.nio.file.Paths.get(dir, finalName))
+    }
+  }
+  /** Job-level abort: delete every staged file this job produced —
+    * both the task-committed ones (carried in messages) and any
+    * stragglers matching the job id.
+    */
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
-      : Unit = ()
+      : Unit = {
+    messages.filter(_ != null).foreach { case JsonlCommitMsg(staged, _) =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(staged))
+    }
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(s".$jobId.staged"))
+      .toArray.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally s.close()
+  }
 }
 
 class JsonlTable(dir: String, schema0: StructType)
@@ -476,6 +623,7 @@ class JsonlTable(dir: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -494,7 +642,8 @@ class JsonlTable(dir: String, schema0: StructType)
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new JsonlBatchWrite(dir, info.schema(), doTruncate)
+            new JsonlBatchWrite(dir, info.queryId(), info.schema(),
+              doTruncate)
         }
     }
 }

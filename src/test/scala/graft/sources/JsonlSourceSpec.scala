@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -150,6 +152,135 @@ class JsonlSourceSpec extends AnyFunSuite with Matchers {
       "PushedAggregates"
   }
 
+  test("global aggregate over empty / fully-filtered input: count is " +
+      "0, sum/min/max are NULL (partial-buffer semantics)") {
+    val dir = writeFixture()
+    // filter removes everything at the source; Spark merges partials
+    // with SUM, so a missing partial row would make count(*) NULL
+    val df = read(dir).filter(col("v") >= 100000L)
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+    df.queryExecution.executedPlan.toString should include(
+      "PushedAggregates")
+    val r = df.head
+    r.getLong(0) shouldBe 0L
+    r.isNullAt(1) shouldBe true
+    r.isNullAt(2) shouldBe true
+    r.isNullAt(3) shouldBe true
+    // a group whose summed column is all-NULL emits NULL, not 0
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_jsonl_n").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "part-0.json"),
+      """{"id": 1, "grp": "a"}
+        |{"id": 2, "grp": "a"}
+        |{"id": 3, "grp": "b", "v": 7}""".stripMargin.getBytes)
+    val df2 = read(dir2).groupBy("grp").agg(sum("v").as("sv"))
+    df2.queryExecution.executedPlan.toString should include(
+      "PushedAggregates")
+    val got2 = df2.collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    got2 shouldBe Map("a" -> None, "b" -> Some(7L))
+  }
+
+  test("source reports file-size statistics: a small JSONL dim is " +
+      "broadcast-joined") {
+    val dir = writeFixture()
+    val rel = read(dir)
+    // the optimized relation carries the real byte size, not the
+    // defaultSizeInBytes sentinel
+    val stats = rel.queryExecution.optimizedPlan.stats
+    val onDisk = JsonlSource.listJsonFiles(dir)
+      .map(java.nio.file.Files.size).sum
+    stats.sizeInBytes.toLong should be <= (4L * onDisk)
+    stats.sizeInBytes.toLong should be > 0L
+    // consequence at scale: joining a big frame against this small
+    // source picks a broadcast join without an explicit hint
+    import spark.implicits._
+    val big = spark.range(0, 10000).map(i => (i % 100, i))
+      .toDF("id", "x")
+    val j = big.join(rel, "id")
+    j.queryExecution.executedPlan.toString should include(
+      "BroadcastHashJoin")
+    j.count() shouldBe 10000L
+  }
+
+  test("streaming leg: micro-batches track new files, restart resumes " +
+      "from the checkpoint log, pushdown schema applies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jsonl_c").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.json"),
+      """{"id": 1, "grp": "x", "v": 10}
+        |{"id": 2, "grp": "y", "v": 20}""".stripMargin.getBytes)
+    val stream = spark.readStream.format("graft-jsonl")
+      .option("path", dir)
+      .option("schema", "id:long,grp:string,v:long")
+      .load()
+      .select("id", "v")
+    // memory sink forbids checkpoint recovery; foreachBatch into a
+    // shared collector supports it and keeps the restart leg honest
+    JsonlStreamCollector.ids.clear()
+    def start() = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => JsonlStreamCollector.ids.add(r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      JsonlStreamCollector.ids.asScala.toSet shouldBe Set(1L, 2L)
+      // a new file arrives -> exactly its rows appear in the next batch
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "b.json"),
+        """{"id": 3, "grp": "x", "v": 30}""".getBytes)
+      q1.processAllAvailable()
+      JsonlStreamCollector.ids.asScala.toSet shouldBe Set(1L, 2L, 3L)
+    } finally q1.stop()
+    // restart from the same checkpoint: only files logged AFTER the
+    // stop are delivered — no re-delivery of a/b
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "c.json"),
+      """{"id": 4, "grp": "z", "v": 40}""".getBytes)
+    JsonlStreamCollector.ids.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      JsonlStreamCollector.ids.asScala.toSet shouldBe Set(4L)
+    } finally q2.stop()
+  }
+
+  test("job-level write atomicity: an aborted job leaves pre-existing " +
+      "data untouched and no staged files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_a").toString
+    val pre = Seq((1L, "keep", 2L)).toDF("id", "grp", "v")
+    pre.write.format("graft-jsonl")
+      .option("path", dir).option("schema", "id:long,grp:string,v:long")
+      .mode("overwrite").save()
+    // a failing overwrite job: one row throws mid-write
+    val bad = spark.range(0, 10)
+      .map(i => { if (i == 7) throw new RuntimeException("boom"); (i, "x", i) })
+      .toDF("id", "grp", "v")
+    intercept[Exception] {
+      bad.coalesce(1).write.format("graft-jsonl")
+        .option("path", dir).option("schema", "id:long,grp:string,v:long")
+        .mode("overwrite").save()
+    }
+    // pre-existing data survives (truncate happens only at job commit)
+    val back = read(dir).collect()
+    back.map(_.getString(1)).toSeq shouldBe Seq("keep")
+    // no .staged litter
+    val leftovers = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".staged")).toList
+      finally s.close()
+    }
+    leftovers shouldBe empty
+  }
+
   test("missing fields surface as nulls") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl2").toString
     java.nio.file.Files.write(
@@ -160,4 +291,11 @@ class JsonlSourceSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
     got.toSeq shouldBe Seq((1L, None, 5L), (2L, Some("x"), 6L))
   }
+}
+
+/** Driver-side collector for the streaming-leg spec (foreachBatch
+  * runs on the driver in local mode).
+  */
+object JsonlStreamCollector {
+  val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 }
