@@ -270,7 +270,15 @@ class JsonlMicroBatchStream(
   }
 
   private val logPath = {
-    val d = java.nio.file.Paths.get(checkpointLocation)
+    // Spark hands the checkpoint location as a Hadoop-qualified URI
+    // ("file:/tmp/..."): Paths.get on the raw string would create a
+    // literal "file:" directory under the CWD.
+    val d =
+      if (checkpointLocation.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(
+          // bare "file:/x" needs the authority form for Paths.get
+          checkpointLocation.replaceFirst("^file:/+", "file:///")))
+      else java.nio.file.Paths.get(checkpointLocation)
     java.nio.file.Files.createDirectories(d)
     d.resolve("graft-jsonl-files.log")
   }
