@@ -299,6 +299,18 @@ object Bench {
     // per-batch commit overhead. 8 keeps headroom without the fan-out cost.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // After each data batch Spark runs an extra NO-DATA micro-batch to
+    // advance the watermark and evict state — for THIS pipeline that
+    // doubles the per-batch fixed cost (planning + state commit per
+    // stateful op) without changing a single output row: the dedup gate
+    // and the flatMapGroupsWithState fold both emit on arrival, never on
+    // watermark advance (watermark only bounds dedup-state retention).
+    // StreamBatchPropertySpec pins batch≡stream equality independently.
+    // Do NOT copy this to the session/OHLC replays — their windows emit
+    // ON watermark advance and need the no-data batches.
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // restore in finally: an exception mid-replay must not leave the shared
     // session at the reduced partition count for subsequent bench queries
     try {
@@ -323,6 +335,10 @@ object Bench {
           f"[bench] stream_indicators ($batches batches): $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")
         secs
       } finally query.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 }

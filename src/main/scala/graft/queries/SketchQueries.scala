@@ -1,0 +1,879 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Round-6 breadth: mergeable-sketch cardinality, two-sample testing,
+  * document fingerprinting, sequential pattern mining, smoothed LM
+  * scoring, decayed attribution, and global graph structure — each the
+  * standard distributed form of a pass a large-scale data platform
+  * runs, each hash-exact against the DuckDB oracle.
+  *
+  * Reference scope: extension surface (the reference's statistics are
+  * price scalars — services/spark/app/api/views.py); part of the
+  * training-data tier.
+  *
+  * Numeric contract: exact int64 counts/moments; single-row test
+  * statistics use the q_anova identical-op-order double-chain
+  * convention (floor-quantized once at the end); per-row scores are
+  * pure integer fixed point.
+  */
+object SketchQueries {
+
+  /** The 60-bit md5-prefix hash, DuckDB spelling (≡ Spark `md5p60`). */
+  private def md5pDuck(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Support-pruned part co-occurrence graph — the exact CTE chain
+    * q_triangles/q_clustering_coef use (kept textually identical so
+    * the graph-tier oracles cannot drift apart).
+    */
+  private val graphCtes: String =
+    """li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), e AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY node
+      |)""".stripMargin
+
+  /** The same co-occurrence edge list on the Spark side. */
+  private def coEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("a"), col("b"))
+  }
+
+  // Welch chain fragments — ONE spelling shared verbatim by both
+  // engines (floor/CASE/CAST/1e0 are common syntax), so the
+  // identical-op-order contract cannot drift.
+  private val vn1 =
+    "(((q1 * 1e0 - (s1 * 1e0 * s1) / n1) / (n1 - 1)) / n1)"
+  private val vn2 =
+    "(((q2 * 1e0 - (s2 * 1e0 * s2) / n2) / (n2 - 1)) / n2)"
+  private val mdiff = "(s1 * 1e0 / n1 - s2 * 1e0 / n2)"
+  private val welchCols: Seq[String] = Seq(
+    "n1", "n2",
+    s"CAST(floor($mdiff * 1e6) AS BIGINT) AS mdiff_fp",
+    s"CAST(floor(($mdiff * $mdiff) / ($vn1 + $vn2) * 1e6) AS BIGINT)" +
+      " AS t2_fp",
+    s"CAST(floor((($vn1 + $vn2) * ($vn1 + $vn2))" +
+      s" / ($vn1 * $vn1 / (n1 - 1) + $vn2 * $vn2 / (n2 - 1)) * 1e6)" +
+      " AS BIGINT) AS df_fp")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- KMV (k-minimum-values) distinct sketch per event type
+    //      (Bar-Yossef et al. 2002; the theta-sketch core): the k = 64
+    //      smallest 60-bit hashes of the user ids; estimate
+    //      (k−1)·2^60 / h_(k). Fully DETERMINISTIC (md5 hashes), so
+    //      unlike HLL the whole sketch — kth hash AND estimate — is
+    //      hash-exact against the oracle, and the sketch is mergeable
+    //      (union = k smallest of the concatenation; KmvSpec pins the
+    //      merge algebra). Scale shape: rank ≤ k over distinct hashes
+    //      rides Spark's WindowGroupLimit (partial top-k BEFORE the
+    //      shuffle), so no group ever sorts its full distinct set.
+    //      63·2^60 is exactly representable (6-bit mantissa·2^60) and
+    //      the single divide is correctly rounded — identical doubles
+    //      both engines ----
+    QueryDef.sql(
+      "q_kmv",
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${md5pDuck("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |), rk AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM h
+         |), sk AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS sk_size,
+         |    max(h) AS kth_h
+         |  FROM rk WHERE rk <= 64 GROUP BY event_type
+         |), ex AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM h GROUP BY event_type
+         |)
+         |SELECT s.event_type, e.n_exact, s.sk_size, s.kth_h,
+         |  CASE WHEN s.sk_size < 64 THEN s.sk_size
+         |    ELSE CAST(floor((63e0 * 1152921504606846976e0) / s.kth_h)
+         |      AS BIGINT) END AS est
+         |FROM sk s JOIN ex e ON e.event_type = s.event_type
+         |ORDER BY s.event_type""".stripMargin
+    ) { (s, d) =>
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("md5p60(cast(user_id as string))").as("h"))
+        .distinct()
+      val rk = h.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      val sk = rk.filter(col("rk") <= 64)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sk_size"), max(col("h")).as("kth_h"))
+      val ex = h.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+      sk.join(ex, "event_type")
+        .select(col("event_type"), col("n_exact"), col("sk_size"),
+          col("kth_h"),
+          // single-sourced with streaming.KmvStream
+          graft.ops.Kmv.estExpr.as("est"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- Welch's unequal-variance t-test, click vs view values — the
+    //      two-sample member of the parametric tier (q_anova tests k
+    //      means jointly; Welch is THE default two-group test since
+    //      equal variances can't be assumed at pipeline scale). One
+    //      conditional-aggregate pass gives both groups' exact int64
+    //      moments; t², the mean gap, and the Welch–Satterthwaite df
+    //      are one shared-spelling double chain over them (fragments
+    //      literally shared between the Spark and DuckDB strings) ----
+    QueryDef.sql(
+      "q_welch",
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS c
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |), g AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END)
+         |      AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END)
+         |      AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END)
+         |      AS BIGINT) AS q1,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END)
+         |      AS BIGINT) AS q2
+         |  FROM c
+         |)
+         |SELECT ${welchCols.mkString(",\n  ")}
+         |FROM g""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("c"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("event_type") === "click", col("c")).otherwise(0L))
+            .as("s1"),
+          sum(when(col("event_type") === "view", col("c")).otherwise(0L))
+            .as("s2"),
+          sum(when(col("event_type") === "click", expr("c * c"))
+            .otherwise(0L)).as("q1"),
+          sum(when(col("event_type") === "view", expr("c * c"))
+            .otherwise(0L)).as("q2"))
+        .selectExpr(welchCols: _*)
+    },
+
+    // ---- Winnowing document fingerprints (Schleimer, Wilkerson &
+    //      Aiken 2003 — the MOSS local fingerprinting scheme): hash
+    //      every 3-shingle, slide a w = 4 window over the positions,
+    //      keep each window's minimum, dedupe. Guarantees a shared
+    //      fingerprint for any shared run of ≥ w+k−1 = 7 tokens while
+    //      storing ~2/(w+1) of the hashes — the position-robust
+    //      near-dup fingerprint family next to minhash (set-level) and
+    //      q_fingerprint (rolling hash). With 60-bit hashes the
+    //      window argmin is tie-free, so the fingerprint SET is exact:
+    //      selected = DISTINCT leading-window minima over full windows
+    //      (short docs keep their single whole-doc window). Row-local
+    //      + one per-doc window — no corpus-wide shuffle beyond the
+    //      doc key ----
+    QueryDef.sql(
+      "q_winnow",
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT doc_id, unnest(range(1, n - 1)) AS pos,
+         |    CAST(n - 2 AS BIGINT) AS n_sh, toks
+         |  FROM tok
+         |), hh AS (
+         |  SELECT doc_id, pos, n_sh,
+         |    ${md5pDuck(
+            "array_to_string(list_slice(toks, pos, pos + 2), ' ')")} AS h
+         |  FROM sh
+         |), wm AS (
+         |  SELECT doc_id, pos, n_sh,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM hh
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, wmin
+         |  FROM wm WHERE pos <= greatest(1, n_sh - 3)
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |  string_agg(CAST(wmin AS VARCHAR), ',' ORDER BY wmin) AS fp_csv
+         |FROM fp GROUP BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 3)
+      val hh = tok
+        .select(col("doc_id"), (col("n") - 2).cast("long").as("n_sh"),
+          col("toks"), explode(expr("sequence(1, n - 2)")).as("pos"))
+        .select(col("doc_id"), col("pos"), col("n_sh"),
+          expr("md5p60(concat_ws(' ', slice(toks, pos, 3)))").as("h"))
+      val wm = hh.withColumn("wmin", min(col("h")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, 3)))
+      wm.filter(col("pos") <= greatest(lit(1L), col("n_sh") - 3))
+        .select(col("doc_id"), col("wmin")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          expr("array_join(transform(array_sort(collect_list(wmin))," +
+            " x -> cast(x as string)), ',')").as("fp_csv"))
+    },
+
+    // ---- Sequential pattern support (the PrefixSpan support-counting
+    //      core at length 2): for every ordered event-type pair
+    //      (src THEN dst), how many users exhibit it — exists an src
+    //      occurrence strictly before a dst occurrence, i.e.
+    //      min_ts(src) < max_ts(dst). ONE grouped agg gives each
+    //      user's per-type first/last µs; the pair join is within-user
+    //      over ≤ |types| rows — never an event-level self-join ----
+    QueryDef.sql(
+      "q_seq_patterns",
+      """WITH ut AS (
+        |  SELECT user_id, event_type,
+        |    min(epoch_us(ts)) AS t_min, max(epoch_us(ts)) AS t_max
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.event_type AS src, b.event_type AS dst,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |WHERE a.t_min < b.t_max
+        |GROUP BY 1, 2 ORDER BY support DESC, src, dst""".stripMargin
+    ) { (s, d) =>
+      val ut = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(expr("unix_micros(ts)")).as("t_min"),
+          max(expr("unix_micros(ts)")).as("t_max"))
+      ut.alias("a").join(ut.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type"))
+        .filter(col("a.t_min") < col("b.t_max"))
+        .groupBy(col("a.event_type").as("src"),
+          col("b.event_type").as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("src"), col("dst"))
+    },
+
+    // ---- Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995,
+    //      the smoothing standard behind n-gram LMs; q_lm_score's
+    //      add-k sibling with the CONTINUATION-count back-off):
+    //      P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/T
+    //      with discount D = 3/4 — an exact rational, so with common
+    //      denominator 4·c1·T the whole score is ONE integer fixed-
+    //      point ratio, no ln/exp anywhere. Headroom:
+    //      4·c12·T·1e6 < 2^63 holds to ~10^8 bigram tokens at this
+    //      vocab (documented bound; lower the 1e6 scale beyond). All
+    //      counts partial-aggregable; top-30 via TakeOrdered ----
+    QueryDef.sql(
+      "q_kn_score",
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(range(1, n)) AS i FROM t WHERE n >= 2)
+        |), bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM b GROUP BY 1, 2
+        |), lc AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1p
+        |  FROM bc GROUP BY w1
+        |), rc AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS nctx FROM bc GROUP BY w2
+        |), tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tbig FROM bc
+        |)
+        |SELECT bc.w1, bc.w2, bc.c12,
+        |  ((4 * bc.c12 - 3) * tt.tbig + 3 * lc.n1p * rc.nctx) * 1000000
+        |    // (4 * lc.c1 * tt.tbig) AS kn_fp
+        |FROM bc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tt
+        |ORDER BY kn_fp DESC, w1, w2 LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val b = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+        .select(col("toks"), explode(expr("sequence(1, n - 1)")).as("i"))
+        .select(expr("element_at(toks, i)").as("w1"),
+          expr("element_at(toks, i + 1)").as("w2"))
+      val bc = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val lc = bc.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+      val rc = bc.groupBy(col("w2")).agg(count(lit(1)).as("nctx"))
+      val tt = bc.agg(count(lit(1)).as("tbig"))
+      bc.join(lc, "w1").join(rc, "w2").crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("((4 * c12 - 3) * tbig + 3 * n1p * nctx) * 1000000L" +
+            " div (4 * c1 * tbig)").as("kn_fp"))
+        .orderBy(col("kn_fp").desc, col("w1"), col("w2"))
+        .limit(30)
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row bigram-type total"),
+
+    // ---- Time-decay attribution: q_attribution's journey machinery
+    //      with half-life-per-hour weights — each touch credits its
+    //      journey's closing purchase 2^-hours (capped at 20h), in
+    //      exact 2^-20 fixed point (weights are integer SHIFTS of
+    //      2^20, so the decay is exact on both engines — the reason
+    //      the half-life is a power of two and not e-based: exp is not
+    //      correctly rounded, shifts are exact). Same one-exchange
+    //      shape as q_attribution ----
+    QueryDef.sql(
+      "q_attribution_decay",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS journey
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, journey, epoch_us(ts) AS p_us
+        |  FROM seq WHERE event_type = 'purchase'
+        |), touches AS (
+        |  SELECT s.event_type,
+        |    least((c.p_us - epoch_us(s.ts)) // 3600000000, 20) AS hgap
+        |  FROM seq s JOIN conv c
+        |    ON c.user_id = s.user_id AND c.journey = s.journey
+        |  WHERE s.event_type <> 'purchase'
+        |)
+        |SELECT event_type AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(1048576 >> hgap) AS BIGINT) AS decay_fp20
+        |FROM touches GROUP BY event_type ORDER BY channel""".stripMargin
+    ) { (s, d) =>
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("journey",
+          coalesce(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).over(wSeq), lit(0L)))
+      val conv = seq.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("journey"),
+          expr("unix_micros(ts)").as("p_us"))
+      seq.filter(col("event_type") =!= "purchase")
+        .join(conv, Seq("user_id", "journey"))
+        .select(col("event_type"),
+          least(expr("(p_us - unix_micros(ts)) div 3600000000L"), lit(20L))
+            .as("hgap"))
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(expr("shiftright(1048576L, cast(hgap as int))"))
+            .as("decay_fp20"))
+        .orderBy(col("channel"))
+    },
+
+    // ---- Degree assortativity of the co-occurrence graph (Newman
+    //      2002): do high-degree parts co-occur with high-degree parts?
+    //      Pearson r over the (deg(u), deg(v)) pairs of every directed
+    //      edge. Because the edge list is symmetric, Σx = Σy and
+    //      Σx² = Σy², so r = (M·Σxy − Σx²)/(M·Σx² − (Σx)²) needs NO
+    //      sqrt — exact int64 sums, one floor-quantized division ----
+    QueryDef.sql(
+      "q_assortativity",
+      s"""WITH $graphCtes, de2 AS (
+         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+         |), xy AS (
+         |  SELECT du.dg AS x, dv.dg AS y
+         |  FROM de2 JOIN deg du ON du.node = de2.u
+         |            JOIN deg dv ON dv.node = de2.v
+         |), mm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM xy
+         |)
+         |SELECT m, sxy, sx, sxx,
+         |  CASE WHEN m * 1e0 * sxx - sx * 1e0 * sx > 0
+         |    THEN CAST(floor((m * 1e0 * sxy - sx * 1e0 * sx)
+         |      / (m * 1e0 * sxx - sx * 1e0 * sx) * 1e6) AS BIGINT)
+         |    ELSE NULL END AS r_fp
+         |FROM mm""".stripMargin
+    ) { (s, d) =>
+      val e = coEdges(s, d)
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val de2 = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      de2.join(deg.select(col("node").as("u"), col("dg").as("x")), "u")
+        .join(deg.select(col("node").as("v"), col("dg").as("y")), "v")
+        .agg(count(lit(1)).as("m"), sum(expr("x * y")).as("sxy"),
+          sum(col("x")).as("sx"), sum(expr("x * x")).as("sxx"))
+        .select(col("m"), col("sxy"), col("sx"), col("sxx"),
+          when(expr("m * 1e0 * sxx - sx * 1e0 * sx") > 0,
+            expr("CAST(floor((m * 1e0 * sxy - sx * 1e0 * sx)" +
+              " / (m * 1e0 * sxx - sx * 1e0 * sx) * 1e6) AS BIGINT)"))
+            .otherwise(lit(null)).as("r_fp"))
+    },
+
+    // ---- Global transitivity (the whole-graph clustering ratio,
+    //      completing q_clustering_coef's per-node view): 3·triangles
+    //      / wedges, wedges = Σ C(deg, 2). Triangle total from the
+    //      same degree-ordered enumeration (Σ per-node participation
+    //      = 3T exactly); both counts are one agg each ----
+    QueryDef.sql(
+      "q_transitivity",
+      s"""WITH $graphCtes, de AS (
+         |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+         |              THEN a ELSE b END AS src,
+         |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+         |              THEN b ELSE a END AS dst
+         |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+         |), tri AS (
+         |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+         |  FROM de w1 JOIN de w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+         |  WHERE EXISTS (SELECT 1 FROM de c
+         |                WHERE c.src = w1.dst AND c.dst = w2.dst)
+         |), tc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tri FROM tri
+         |), wc AS (
+         |  SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedge
+         |  FROM deg
+         |)
+         |SELECT n_tri, n_wedge,
+         |  CASE WHEN n_wedge > 0
+         |    THEN (3 * n_tri * 1000000) // n_wedge ELSE NULL END AS trans_fp
+         |FROM tc CROSS JOIN wc""".stripMargin
+    ) { (s, d) =>
+      val e = coEdges(s, d)
+      val tc = graft.ops.Triangles.perNode(e)
+        .agg(expr("sum(n_tri) div 3").as("n_tri"))
+      val wc = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedge"))
+      tc.crossJoin(broadcast(wc))
+        .select(col("n_tri"), col("n_wedge"),
+          when(col("n_wedge") > 0,
+            expr("(3 * n_tri * 1000000L) div n_wedge"))
+            .otherwise(lit(null)).as("trans_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are two 1-row scalar frames"),
+
+    // ---- Robust scaler (median/IQR standardization — the outlier-
+    //      immune cousin of min-max normalization, sklearn's
+    //      RobustScaler): per event type, p25/median/p75 as EXACT
+    //      LOWER order statistics (rank-(n+3)//4 / (n+1)//2 /
+    //      (3n+3)//4 element picks with event_id tie-break — never
+    //      interpolation, the q_data_card convention), then each row's
+    //      z = (c − med)·1e6 div IQR. One event_type exchange carries
+    //      the rank window; quartiles come back by broadcast join ----
+    QueryDef.sql(
+      "q_robust_scaler",
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS c
+        |  FROM events
+        |), r AS (
+        |  SELECT event_id, event_type, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c, event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM c
+        |), q AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN c END) AS p25,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN c END) AS p75
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT r.event_id, r.event_type, r.c,
+        |  CASE WHEN q.p75 > q.p25
+        |    THEN ((r.c - q.med) * 1000000) // (q.p75 - q.p25)
+        |    ELSE NULL END AS z_fp
+        |FROM r JOIN q USING (event_type)""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("c"))
+      val w = Window.partitionBy(col("event_type"))
+      val r = c
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("c"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+      val q = r.groupBy(col("event_type"))
+        .agg(
+          max(when(expr("rn = (n + 3) div 4"), col("c"))).as("p25"),
+          max(when(expr("rn = (n + 1) div 2"), col("c"))).as("med"),
+          max(when(expr("rn = (3 * n + 3) div 4"), col("c"))).as("p75"))
+      r.join(broadcast(q), "event_type")
+        .select(col("event_id"), col("event_type"), col("c"),
+          when(col("p75") > col("p25"),
+            expr("((c - med) * 1000000L) div (p75 - p25)"))
+            .otherwise(lit(null)).as("z_fp"))
+    },
+
+    // ---- Shuffle-skew profile of a join key (know your shuffle BEFORE
+    //      running it at 100 TB — the diagnostic behind the salting /
+    //      AQE-skew-join decisions this engine makes elsewhere):
+    //      per-key fan-out of lineitem.l_orderkey → key count, row
+    //      count, max and exact-p99 fan-out, mean, and the skew ratio
+    //      max/mean. p99 comes from the fan-out HISTOGRAM (group by
+    //      cnt), so the only window runs over ≤ max-fan-out rows —
+    //      never a corpus-wide rank ----
+    QueryDef.sql(
+      "q_skew_profile",
+      """WITH k AS (
+        |  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |), h AS (
+        |  SELECT cnt, CAST(count(*) AS BIGINT) AS f FROM k GROUP BY cnt
+        |), cum AS (
+        |  SELECT cnt, f,
+        |    CAST(sum(f) OVER (ORDER BY cnt) AS BIGINT) AS cf,
+        |    CAST(sum(f) OVER () AS BIGINT) AS nk,
+        |    CAST(sum(cnt * f) OVER () AS BIGINT) AS nr
+        |  FROM h
+        |)
+        |SELECT max(nk) AS n_keys, max(nr) AS n_rows,
+        |  max(cnt) AS max_cnt,
+        |  min(CASE WHEN cf >= (99 * nk + 99) // 100 THEN cnt END) AS p99_cnt,
+        |  (max(nr) * 1000000) // max(nk) AS mean_fp,
+        |  (max(cnt) * max(nk) * 1000000) // max(nr) AS skew_fp
+        |FROM cum""".stripMargin
+    ) { (s, d) =>
+      val k = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val h = k.groupBy(col("cnt")).agg(count(lit(1)).as("f"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = h
+        .withColumn("cf", sum(col("f")).over(
+          Window.orderBy(col("cnt"))))
+        .withColumn("nk", sum(col("f")).over(wAll))
+        .withColumn("nr", sum(expr("cnt * f")).over(wAll))
+      cum.agg(
+        max(col("nk")).as("n_keys"), max(col("nr")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        min(when(expr("cf >= (99 * nk + 99) div 100"), col("cnt")))
+          .as("p99_cnt"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          col("p99_cnt"),
+          expr("(n_rows * 1000000L) div n_keys").as("mean_fp"),
+          expr("(max_cnt * n_keys * 1000000L) div n_rows").as("skew_fp"))
+    }.intendsGlobalWindow(
+      "the windowed frame is the per-key fan-out HISTOGRAM — rows = " +
+        "distinct fan-out values, bounded by the max key fan-out " +
+        "(single digits to dozens), never corpus-sized"),
+
+    // ---- Order-independent table checksum (dataset versioning /
+    //      replication audit — the integrity primitive behind
+    //      q_dataset_diff's row-level view): per table, row count +
+    //      the exact SUM of 60-bit row-hash residues mod 1e9+7.
+    //      Commutative, so any partitioning/ordering gives the same
+    //      value; residue sum stays inside int64 to ~9e9 rows (mod the
+    //      sum again beyond). Only integer-cast and string columns
+    //      feed the hash — float/timestamp columns go through epoch /
+    //      cents casts so both engines hash identical strings ----
+    QueryDef.sql(
+      "q_table_checksum",
+      s"""WITH lh AS (
+         |  SELECT ${md5pDuck(
+            "concat_ws('|', l_orderkey, l_partkey, l_suppkey, " +
+              "l_linenumber, CAST(floor(l_quantity * 1e2 + 5e-1) AS BIGINT), " +
+              "CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT), " +
+              "l_returnflag, l_linestatus, epoch_us(l_shipdate))")} % 1000000007
+         |    AS hr
+         |  FROM lineitem
+         |), dh AS (
+         |  SELECT ${md5pDuck(
+            "concat_ws('|', doc_id, lang, source, n_chars, text)")} % 1000000007
+         |    AS hr
+         |  FROM documents
+         |)
+         |SELECT 'documents' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(hr) AS BIGINT) AS checksum FROM dh
+         |UNION ALL
+         |SELECT 'lineitem', CAST(count(*) AS BIGINT),
+         |  CAST(sum(hr) AS BIGINT) FROM lh
+         |ORDER BY tbl""".stripMargin
+    ) { (s, d) =>
+      val lh = Tables.lineitem(s, d).select(
+        expr("md5p60(concat_ws('|', l_orderkey, l_partkey, l_suppkey, " +
+          "l_linenumber, CAST(floor(l_quantity * 1e2 + 5e-1) AS BIGINT), " +
+          "CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT), " +
+          // l_shipdate arrives TIMESTAMP_NTZ; the cast is a UTC-session
+          // no-op and matches DuckDB's naive epoch_us
+          "l_returnflag, l_linestatus, " +
+          "unix_micros(cast(l_shipdate as timestamp)))) " +
+          "% 1000000007L").as("hr"))
+      val dh = Tables.documents(s, d).select(
+        expr("md5p60(concat_ws('|', doc_id, lang, source, n_chars, text))" +
+          " % 1000000007L").as("hr"))
+      dh.agg(count(lit(1)).as("n_rows"), sum(col("hr")).as("checksum"))
+        .select(lit("documents").as("tbl"), col("n_rows"), col("checksum"))
+        .union(
+          lh.agg(count(lit(1)).as("n_rows"), sum(col("hr")).as("checksum"))
+            .select(lit("lineitem").as("tbl"), col("n_rows"),
+              col("checksum")))
+        .orderBy(col("tbl"))
+    },
+
+    // ---- Length-3 sequential patterns (q_seq_patterns' GSP step): for
+    //      every ordered type triple (src THEN mid THEN dst), users
+    //      with occurrences in that order. Correctness by the greedy
+    //      argument: a valid triple exists iff (earliest src, earliest
+    //      mid AFTER it, any dst after that) works — so one grouped
+    //      min/max pass + one events×types conditional-min join
+    //      (events touched once per candidate mid type, grouped
+    //      immediately; never an events-level self-join) ----
+    QueryDef.sql(
+      "q_gsp3",
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), ut AS (
+        |  SELECT user_id, event_type, min(us) AS t_min, max(us) AS t_max
+        |  FROM ev GROUP BY 1, 2
+        |), m2 AS (
+        |  SELECT a.user_id, a.event_type AS src, e.event_type AS mid,
+        |    min(e.us) AS t2
+        |  FROM ut a JOIN ev e ON e.user_id = a.user_id
+        |    AND e.event_type <> a.event_type AND e.us > a.t_min
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT m2.src, m2.mid, c.event_type AS dst,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM m2 JOIN ut c ON c.user_id = m2.user_id
+        |  AND c.event_type <> m2.src AND c.event_type <> m2.mid
+        |WHERE c.t_max > m2.t2
+        |GROUP BY 1, 2, 3 ORDER BY support DESC, src, mid, dst""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      val ut = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("us")).as("t_min"), max(col("us")).as("t_max"))
+      val m2 = ut.alias("a").join(ev.alias("e"),
+          col("e.user_id") === col("a.user_id") &&
+            col("e.event_type") =!= col("a.event_type") &&
+            col("e.us") > col("a.t_min"))
+        .groupBy(col("a.user_id").as("user_id"),
+          col("a.event_type").as("src"), col("e.event_type").as("mid"))
+        .agg(min(col("e.us")).as("t2"))
+      m2.join(ut.alias("c"),
+          col("c.user_id") === m2("user_id") &&
+            col("c.event_type") =!= m2("src") &&
+            col("c.event_type") =!= m2("mid"))
+        .filter(col("c.t_max") > col("t2"))
+        .groupBy(m2("src"), m2("mid"), col("c.event_type").as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("src"), col("mid"), col("dst"))
+    },
+
+    // ---- Lorenz curve of supplier revenue concentration (q_gini's
+    //      CURVE: cumulative revenue share at each population decile —
+    //      the 10 points a concentration dashboard plots): exact
+    //      integer ranks and cumulative sums over the supplier
+    //      dimension, point d picked at rank (d·n)//10 ----
+    QueryDef.sql(
+      "q_lorenz",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS units
+        |  FROM lineitem GROUP BY 1
+        |), rk AS (
+        |  SELECT units,
+        |    CAST(row_number() OVER (ORDER BY units, l_suppkey) AS BIGINT)
+        |      AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(units) OVER (ORDER BY units, l_suppkey) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(units) OVER () AS BIGINT) AS tot
+        |  FROM rev
+        |)
+        |SELECT d.d AS decile, (p.cum * 1000000) // p.tot AS cum_share_fp
+        |FROM (SELECT unnest(range(1, 11)) AS d) d
+        |JOIN rk p ON p.i = (d.d * p.n) // 10
+        |ORDER BY d.d""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice) AS BIGINT)"))
+          .as("units"))
+      val wOrd = Window.orderBy(col("units"), col("l_suppkey"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rk = rev
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("cum", sum(col("units")).over(wOrd))
+        .withColumn("tot", sum(col("units")).over(wAll))
+      val ds = Tables.lineitem(s, d).sparkSession
+        .range(1, 11).select(col("id").as("d"))
+      broadcast(ds).join(rk, expr("i = (d * n) div 10"))
+        .select(col("d").as("decile"),
+          expr("(cum * 1000000L) div tot").as("cum_share_fp"))
+        .orderBy(col("decile"))
+    }.intendsGlobalWindow(
+      "the windowed frame is the SUPPLIER DIMENSION (one row per " +
+        "supplier after the revenue rollup) — dim-table-sized, never " +
+        "fact-sized").intendsNestedLoop(
+      "broadcast side is the constant 10-row decile grid"),
+
+    // ---- AR(2) fit by Yule-Walker (the autoregression member of the
+    //      forecasting tier — q_holt smooths, this IDENTIFIES the
+    //      process): per symbol, φ1 = r1(1−r2)/(1−r1²), φ2 =
+    //      (r2−r1²)/(1−r1²) from exact integer deviation moments
+    //      (values quantized to whole units so Σd² keeps int64 headroom
+    //      to ~1e8 rows/symbol; mean is the integer floor mean, the
+    //      q_levene convention). One symbol exchange carries both lag
+    //      windows; the φ chain is one shared-spelling double
+    //      expression quantized at 1e6 ----
+    QueryDef.sql(
+      "q_ar2",
+      """WITH u AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |    CAST(floor(value + 5e-1) AS BIGINT) AS v
+        |  FROM events
+        |), m AS (
+        |  SELECT symbol, CAST(sum(v) AS BIGINT) // count(*) AS mu
+        |  FROM u GROUP BY symbol
+        |), dd AS (
+        |  SELECT u.symbol, u.v - m.mu AS dv,
+        |    lag(u.v - m.mu, 1) OVER w AS d1,
+        |    lag(u.v - m.mu, 2) OVER w AS d2
+        |  FROM u JOIN m ON m.symbol = u.symbol
+        |  WINDOW w AS (PARTITION BY u.symbol ORDER BY u.ts, u.event_id)
+        |), g AS (
+        |  SELECT symbol,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dv * dv) AS BIGINT) AS sd0,
+        |    CAST(sum(CASE WHEN d1 IS NOT NULL THEN dv * d1 ELSE 0 END)
+        |      AS BIGINT) AS sd1,
+        |    CAST(sum(CASE WHEN d2 IS NOT NULL THEN dv * d2 ELSE 0 END)
+        |      AS BIGINT) AS sd2
+        |  FROM dd GROUP BY symbol
+        |)
+        |SELECT symbol, n, sd0, sd1, sd2,
+        |  CASE WHEN sd0 > 0
+        |      AND 1e0 - (sd1 * 1e0 / sd0) * (sd1 * 1e0 / sd0) <> 0e0
+        |    THEN CAST(floor((sd1 * 1e0 / sd0)
+        |      * (1e0 - sd2 * 1e0 / sd0)
+        |      / (1e0 - (sd1 * 1e0 / sd0) * (sd1 * 1e0 / sd0)) * 1e6)
+        |      AS BIGINT) ELSE NULL END AS phi1_fp,
+        |  CASE WHEN sd0 > 0
+        |      AND 1e0 - (sd1 * 1e0 / sd0) * (sd1 * 1e0 / sd0) <> 0e0
+        |    THEN CAST(floor((sd2 * 1e0 / sd0
+        |      - (sd1 * 1e0 / sd0) * (sd1 * 1e0 / sd0))
+        |      / (1e0 - (sd1 * 1e0 / sd0) * (sd1 * 1e0 / sd0)) * 1e6)
+        |      AS BIGINT) ELSE NULL END AS phi2_fp
+        |FROM g ORDER BY symbol""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .select(col("event_type").as("symbol"), col("ts"), col("event_id"),
+          expr("CAST(floor(value + 5e-1) AS BIGINT)").as("v"))
+      val m = u.groupBy(col("symbol"))
+        .agg(expr("CAST(sum(v) AS BIGINT) div count(*)").as("mu"))
+      val w = Window.partitionBy(col("symbol"))
+        .orderBy(col("ts"), col("event_id"))
+      val dd = u.join(broadcast(m), "symbol")
+        .withColumn("dv", col("v") - col("mu"))
+        .withColumn("d1", lag(col("dv"), 1).over(w))
+        .withColumn("d2", lag(col("dv"), 2).over(w))
+      val g = dd.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("dv * dv")).as("sd0"),
+          sum(expr("CASE WHEN d1 IS NOT NULL THEN dv * d1 ELSE 0 END"))
+            .as("sd1"),
+          sum(expr("CASE WHEN d2 IS NOT NULL THEN dv * d2 ELSE 0 END"))
+            .as("sd2"))
+      val r1 = "(sd1 * 1e0 / sd0)"
+      val r2 = "(sd2 * 1e0 / sd0)"
+      val den = s"(1e0 - $r1 * $r1)"
+      g.select(col("symbol"), col("n"), col("sd0"), col("sd1"), col("sd2"),
+          when(col("sd0") > 0 && expr(s"$den <> 0e0"),
+            expr(s"CAST(floor($r1 * (1e0 - $r2) / $den * 1e6) AS BIGINT)"))
+            .otherwise(lit(null)).as("phi1_fp"),
+          when(col("sd0") > 0 && expr(s"$den <> 0e0"),
+            expr(s"CAST(floor(($r2 - $r1 * $r1) / $den * 1e6) AS BIGINT)"))
+            .otherwise(lit(null)).as("phi2_fp"))
+        .orderBy(col("symbol"))
+    },
+
+    // ---- Burstiness index per user (Goh & Barabási 2008,
+    //      B = (σ−μ)/(σ+μ) of the inter-event gaps): −1 = periodic,
+    //      0 = Poisson, →1 = bursty — the single-number arrival-
+    //      pattern diagnostic next to q_bursts' per-event state
+    //      machine. Gaps in exact whole seconds; σ via the population
+    //      moment identity over exact int64 sums, one sqrt (correctly
+    //      rounded) + one quantized division ----
+    QueryDef.sql(
+      "q_burstiness",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 1000000
+        |      - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), mo AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(gap) AS BIGINT) AS s,
+        |    CAST(sum(gap * gap) AS BIGINT) AS q
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, n,
+        |  CASE WHEN sqrt((q * 1e0 - (s * 1e0 * s) / n) / n) + s * 1e0 / n
+        |         > 0e0
+        |    THEN CAST(floor(
+        |      (sqrt((q * 1e0 - (s * 1e0 * s) / n) / n) - s * 1e0 / n)
+        |      / (sqrt((q * 1e0 - (s * 1e0 * s) / n) / n) + s * 1e0 / n)
+        |      * 1e6) AS BIGINT)
+        |    ELSE NULL END AS b_fp
+        |FROM mo WHERE n >= 2 ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val g = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("unix_seconds(ts)").as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      val mo = g.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
+          sum(expr("gap * gap")).as("q"))
+        .filter(col("n") >= 2)
+      val sig = "sqrt((q * 1e0 - (s * 1e0 * s) / n) / n)"
+      val mu = "(s * 1e0 / n)"
+      mo.select(col("user_id"), col("n"),
+          when(expr(s"$sig + $mu > 0e0"),
+            expr(s"CAST(floor(($sig - $mu) / ($sig + $mu) * 1e6) AS BIGINT)"))
+            .otherwise(lit(null)).as("b_fp"))
+        .orderBy(col("user_id"))
+    }
+  )
+}
