@@ -320,6 +320,53 @@ object DataPrepQueries {
           (coalesce(col("rep"), col("doc_id")) < col("doc_id")).as("is_dup"))
     },
 
+    // ---- Near-dup cluster SIZE distribution (the curation dashboard's
+    //      first question about a dedup pass: how big are the duplicate
+    //      families?): histogram of q_dedup_cc's connected-component
+    //      sizes — size 1 = unique docs, the tail = boilerplate
+    //      families. Reuses the exact CC machinery + oracle CTEs, adds
+    //      two bounded hash aggs ----
+    QueryDef.sql(
+      "q_cc_sizes",
+      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")}, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+         |), comp AS (
+         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+         |), cl AS (
+         |  SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |), sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cl_size
+         |  FROM cl GROUP BY cluster_id
+         |)
+         |SELECT cl_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cl_size) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cl_size ORDER BY cl_size""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val pairs = graft.ops.NearDup
+        .minhashCandidatePairs(Tables.documents(s, d), ordered = true)
+      val comp = graft.ops.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(coalesce(col("rep"), col("doc_id")).as("cluster_id"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cl_size"))
+        .groupBy(col("cl_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cl_size")).as("n_docs"))
+        .orderBy(col("cl_size"))
+    },
+
     // ---- CDC apply (last-writer-wins with tombstones): resolve a
     //      change-log of Upserts/Deletes to the current table state —
     //      the lakehouse ingestion primitive under every MERGE-based

@@ -58,6 +58,52 @@ object SketchQueries {
       .select(col("a"), col("b"))
   }
 
+  /** Winnowing fingerprint derivation (DuckDB CTE chain ending in
+    * `fp(doc_id, wmin)`) — shared by q_winnow and q_winnow_pairs so
+    * the two oracles cannot drift.
+    */
+  private val winnowDuck: String =
+    s"""tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), sh AS (
+       |  SELECT doc_id, unnest(range(1, n - 1)) AS pos,
+       |    CAST(n - 2 AS BIGINT) AS n_sh, toks
+       |  FROM tok
+       |), hh AS (
+       |  SELECT doc_id, pos, n_sh,
+       |    ${md5pDuck(
+          "array_to_string(list_slice(toks, pos, pos + 2), ' ')")} AS h
+       |  FROM sh
+       |), wm AS (
+       |  SELECT doc_id, pos, n_sh,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |  FROM hh
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, wmin
+       |  FROM wm WHERE pos <= greatest(1, n_sh - 3)
+       |)""".stripMargin
+
+  /** The same fingerprint set on the Spark side: (doc_id, wmin). */
+  private def winnowFp(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+    val hh = tok
+      .select(col("doc_id"), (col("n") - 2).cast("long").as("n_sh"),
+        col("toks"), explode(expr("sequence(1, n - 2)")).as("pos"))
+      .select(col("doc_id"), col("pos"), col("n_sh"),
+        expr("md5p60(concat_ws(' ', slice(toks, pos, 3)))").as("h"))
+    hh.withColumn("wmin", min(col("h")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, 3)))
+      .filter(col("pos") <= greatest(lit(1L), col("n_sh") - 3))
+      .select(col("doc_id"), col("wmin")).distinct()
+  }
+
   // Welch chain fragments — ONE spelling shared verbatim by both
   // engines (floor/CASE/CAST/1e0 are common syntax), so the
   // identical-op-order contract cannot drift.
@@ -198,50 +244,72 @@ object SketchQueries {
     //      doc key ----
     QueryDef.sql(
       "q_winnow",
-      s"""WITH tok AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks,
-         |    len(string_split(text, ' ')) AS n
-         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
-         |), sh AS (
-         |  SELECT doc_id, unnest(range(1, n - 1)) AS pos,
-         |    CAST(n - 2 AS BIGINT) AS n_sh, toks
-         |  FROM tok
-         |), hh AS (
-         |  SELECT doc_id, pos, n_sh,
-         |    ${md5pDuck(
-            "array_to_string(list_slice(toks, pos, pos + 2), ' ')")} AS h
-         |  FROM sh
-         |), wm AS (
-         |  SELECT doc_id, pos, n_sh,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-         |  FROM hh
-         |), fp AS (
-         |  SELECT DISTINCT doc_id, wmin
-         |  FROM wm WHERE pos <= greatest(1, n_sh - 3)
-         |)
+      s"""WITH $winnowDuck
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
          |  string_agg(CAST(wmin AS VARCHAR), ',' ORDER BY wmin) AS fp_csv
          |FROM fp GROUP BY doc_id""".stripMargin
     ) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") >= 3)
-      val hh = tok
-        .select(col("doc_id"), (col("n") - 2).cast("long").as("n_sh"),
-          col("toks"), explode(expr("sequence(1, n - 2)")).as("pos"))
-        .select(col("doc_id"), col("pos"), col("n_sh"),
-          expr("md5p60(concat_ws(' ', slice(toks, pos, 3)))").as("h"))
-      val wm = hh.withColumn("wmin", min(col("h")).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(0, 3)))
-      wm.filter(col("pos") <= greatest(lit(1L), col("n_sh") - 3))
-        .select(col("doc_id"), col("wmin")).distinct()
+      winnowFp(s, d)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"),
           expr("array_join(transform(array_sort(collect_list(wmin))," +
             " x -> cast(x as string)), ',')").as("fp_csv"))
+    },
+
+    // ---- Winnowing near-dup pairs (the MOSS matching step): docs
+    //      sharing ≥ 50% of the smaller side's fingerprints, candidates
+    //      by fingerprint EQUI-JOIN — never all-pairs, the positional
+    //      complement to minhash's set-level banding. Hot fingerprints
+    //      (df > 20) are dropped on BOTH engines before pairing (the
+    //      q_containment posting-cap convention): at corpus scale a
+    //      boilerplate shingle would otherwise join quadratically, and
+    //      a fingerprint shared by >20 docs identifies boilerplate,
+    //      not a pair ----
+    QueryDef.sql(
+      "q_winnow_pairs",
+      s"""WITH $winnowDuck, freq AS (
+         |  SELECT wmin, CAST(count(*) AS BIGINT) AS df
+         |  FROM fp GROUP BY wmin
+         |), fpc AS (
+         |  SELECT fp.doc_id, fp.wmin FROM fp
+         |  JOIN freq ON freq.wmin = fp.wmin WHERE freq.df <= 20
+         |), nf AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+         |  FROM fpc GROUP BY doc_id
+         |), shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM fpc a JOIN fpc b
+         |    ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, n_shared,
+         |  (n_shared * 1000000) // least(na.n_fp, nb.n_fp) AS overlap_fp
+         |FROM shared
+         |JOIN nf na ON na.doc_id = doc_a
+         |JOIN nf nb ON nb.doc_id = doc_b
+         |WHERE n_shared * 2 >= least(na.n_fp, nb.n_fp)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      val fp = winnowFp(s, d)
+      val freq = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+      val fpc = fp.join(freq.filter(col("df") <= 20), "wmin")
+        .select(col("doc_id"), col("wmin"))
+      val nf = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val shared = fpc.select(col("wmin"), col("doc_id").as("doc_a"))
+        .join(fpc.select(col("wmin"), col("doc_id").as("doc_b")), "wmin")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("na")),
+          "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")),
+          "doc_b")
+        .filter(expr("n_shared * 2 >= least(na, nb)"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          expr("(n_shared * 1000000L) div least(na, nb)").as("overlap_fp"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- Sequential pattern support (the PrefixSpan support-counting
@@ -874,6 +942,100 @@ object SketchQueries {
             expr(s"CAST(floor(($sig - $mu) / ($sig + $mu) * 1e6) AS BIGINT)"))
             .otherwise(lit(null)).as("b_fp"))
         .orderBy(col("user_id"))
-    }
+    },
+
+    // ---- Vocabulary coverage curve (tokenizer sizing: what fraction
+    //      of the token stream does a top-k vocabulary cover?): token
+    //      frequency ranks + cumulative share, exact integers; the
+    //      rank window runs over the VOCABULARY (distinct tokens),
+    //      never the token stream ----
+    QueryDef.sql(
+      "q_vocab_coverage",
+      """WITH tokc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |), rk AS (
+        |  SELECT tok, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |      AS rank,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS tot
+        |  FROM tokc
+        |)
+        |SELECT rank, tok, c, (cum * 1000000) // tot AS cov_fp
+        |FROM rk ORDER BY rank""".stripMargin
+    ) { (s, d) =>
+      val tokc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val wOrd = Window.orderBy(col("c").desc, col("tok"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      tokc
+        .withColumn("rank", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .select(col("rank"), col("tok"), col("c"),
+          expr("(cum * 1000000L) div tot").as("cov_fp"))
+        .orderBy(col("rank"))
+    }.intendsGlobalWindow(
+      "the windowed frame is the DISTINCT-token vocabulary — " +
+        "vocab-bounded, never token-stream-sized"),
+
+    // ---- Hill tail-index estimator (heavy-tail diagnostics — does the
+    //      price distribution have finite variance? the power-law
+    //      check behind sampling and skew decisions): α̂ = k / Σ
+    //      ln(x_(i)/x_(k+1)) over the top k=100 order statistics. The
+    //      top-101 set is TakeOrdered (no global sort); each ln term
+    //      is 1e6-quantized before the exact integer sum (the
+    //      klContrib convention); α as one integer division. Boundary
+    //      ties are value-ties, so the selected MULTISET of values is
+    //      deterministic regardless of which tied rows survive the
+    //      limit ----
+    QueryDef.sql(
+      "q_hill_tail",
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS c
+        |  FROM lineitem
+        |), top AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC) AS BIGINT)
+        |    AS rk
+        |  FROM (SELECT c FROM v ORDER BY c DESC LIMIT 101)
+        |), ref AS (
+        |  SELECT c AS cref FROM top WHERE rk = 101
+        |), terms AS (
+        |  SELECT CAST(floor(1e6 * ln(t.c * 1e0 / r.cref)) AS BIGINT) AS lt
+        |  FROM top t CROSS JOIN ref r WHERE t.rk <= 100
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(lt) AS BIGINT) AS sum_ln_fp,
+        |  CASE WHEN CAST(sum(lt) AS BIGINT) > 0
+        |    THEN CAST(100000000000000 AS BIGINT)
+        |      // CAST(sum(lt) AS BIGINT)
+        |    ELSE NULL END AS alpha_fp
+        |FROM terms""".stripMargin
+    ) { (s, d) =>
+      val v = Tables.lineitem(s, d)
+        .select(expr("CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)")
+          .as("c"))
+      val top = v.orderBy(col("c").desc).limit(101)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc)).cast("long"))
+      val ref = top.filter(col("rk") === 101)
+        .select(col("c").as("cref"))
+      top.filter(col("rk") <= 100)
+        .crossJoin(broadcast(ref))
+        .select(expr("CAST(floor(1e6 * ln(c * 1e0 / cref)) AS BIGINT)")
+          .as("lt"))
+        .agg(count(lit(1)).as("k"), sum(col("lt")).as("sum_ln_fp"))
+        .select(col("k"), col("sum_ln_fp"),
+          when(col("sum_ln_fp") > 0,
+            expr("100000000000000L div sum_ln_fp"))
+            .otherwise(lit(null)).as("alpha_fp"))
+    }.intendsGlobalWindow(
+      "rank runs over the post-limit 101-row top set (the pattern-" +
+        "match post-limit-rank precedent)").intendsNestedLoop(
+      "broadcast side is the 1-row x_(k+1) reference")
   )
 }
