@@ -53,7 +53,13 @@ object Plans {
     "q_link_pred", // capped wedge self-join, ReusedExchange both probes
     "q_stress", // frontier-sized grouped joins, pinned edge partitioning
     "q_psi", // grid windows + 9-row broadcast bin assignment
-    "q_graph_embed" // walk argmin rounds, then metadata-only PPMI iteration
+    "q_graph_embed", // walk argmin rounds, then metadata-only PPMI iteration
+    "q_kmv", // WindowGroupLimit partial top-k before the shuffle
+    "q_winnow_pairs", // fingerprint equi-join + df cap, no all-pairs
+    "q_skew_profile", // fan-out histogram window, never a corpus rank
+    "q_kn_score", // partial-aggregable counts, 1-row broadcast total
+    "q_robust_scaler", // ONE type exchange, broadcast quartiles back
+    "q_table_checksum" // commutative mod-sum, pure scan+agg
   )
 
   def main(args: Array[String]): Unit = {

@@ -537,8 +537,10 @@ object SketchQueries {
          |FROM tc CROSS JOIN wc""".stripMargin
     ) { (s, d) =>
       val e = coEdges(s, d)
+      // sum over ZERO triangle rows is NULL; the oracle's count(*) is 0
+      // (the sf1 co-occurrence graph has no support>=2 triangles)
       val tc = graft.ops.Triangles.perNode(e)
-        .agg(expr("sum(n_tri) div 3").as("n_tri"))
+        .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("n_tri"))
       val wc = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
