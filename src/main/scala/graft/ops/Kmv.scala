@@ -26,7 +26,8 @@ object Kmv {
   def estExpr: Column =
     when(col("sk_size") < K, col("sk_size"))
       .otherwise(expr(
-        "CAST(floor((63e0 * 1152921504606846976e0) / kth_h) AS BIGINT)"))
+        s"CAST(floor((${K - 1}e0 * 1152921504606846976e0) / kth_h)" +
+          " AS BIGINT)"))
 
   /** Merge a sorted sketch with new observations: the K smallest
     * DISTINCT values of the union. O((|sketch| + |batch|) log ·) —

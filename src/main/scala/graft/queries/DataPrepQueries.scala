@@ -143,6 +143,43 @@ object DataPrepQueries {
 
   private val minhashBandsSql: String = minhashBandsSqlFor("documents")
 
+  /** Connected-component cluster assignment over the LSH candidate
+    * pairs — the CTE chain (pairs → symmetric edges → recursive
+    * min-reachable-id closure → comp) shared by q_dedup_cc and
+    * q_cc_sizes so the histogram can never disagree with the
+    * assignment it summarizes. Ends with `comp(id, cluster_id)`.
+    */
+  private val ccCompCtes: String =
+    """pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      |   AND a.doc_id < b.doc_id
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+      |), comp AS (
+      |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin
+
+  /** The same per-doc cluster assignment on the Spark side:
+    * (doc_id, cluster_id) — singletons keep their own id.
+    */
+  private def ccClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val pairs = graft.ops.NearDup
+      .minhashCandidatePairs(Tables.documents(s, d), ordered = true)
+    val comp = graft.ops.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    docs.join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_id"))
+  }
+
   /** In-bucket candidate pairs from the band frame. `ordered = true` keeps
     * one row per pair (doc_a < doc_b, the pair listing); `false` keeps both
     * directions (dedup representative selection groups on doc_a).
@@ -288,36 +325,16 @@ object DataPrepQueries {
     //      recursive CTE computes the same min-reachable-id fixpoint ----
     QueryDef.sql(
       "q_dedup_cc",
-      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")}, pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id
-         |), edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
-         |), comp AS (
-         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
-         |)
+      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")},
+         |$ccCompCtes
          |SELECT d.doc_id,
          |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
          |  coalesce(c.cluster_id, d.doc_id) < d.doc_id AS is_dup
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
     ) { (s, d) =>
-      val docs = Tables.documents(s, d).select("doc_id")
-      val pairs = graft.ops.NearDup
-        .minhashCandidatePairs(Tables.documents(s, d), ordered = true)
-      val comp = graft.ops.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      docs.join(comp, docs("doc_id") === comp("id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("rep"), col("doc_id")).as("cluster_id"),
-          (coalesce(col("rep"), col("doc_id")) < col("doc_id")).as("is_dup"))
+      ccClusters(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") < col("doc_id")).as("is_dup"))
     },
 
     // ---- Near-dup cluster SIZE distribution (the curation dashboard's
@@ -328,21 +345,8 @@ object DataPrepQueries {
     //      two bounded hash aggs ----
     QueryDef.sql(
       "q_cc_sizes",
-      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")}, pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id
-         |), edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
-         |), comp AS (
-         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
-         |), cl AS (
+      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")},
+         |$ccCompCtes, cl AS (
          |  SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id
          |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |), sz AS (
@@ -353,13 +357,7 @@ object DataPrepQueries {
          |  CAST(sum(cl_size) AS BIGINT) AS n_docs
          |FROM sz GROUP BY cl_size ORDER BY cl_size""".stripMargin
     ) { (s, d) =>
-      val docs = Tables.documents(s, d).select("doc_id")
-      val pairs = graft.ops.NearDup
-        .minhashCandidatePairs(Tables.documents(s, d), ordered = true)
-      val comp = graft.ops.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      docs.join(comp, docs("doc_id") === comp("id"), "left")
-        .select(coalesce(col("rep"), col("doc_id")).as("cluster_id"))
+      ccClusters(s, d)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cl_size"))
         .groupBy(col("cl_size"))
         .agg(count(lit(1)).as("n_clusters"),

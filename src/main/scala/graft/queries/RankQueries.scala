@@ -422,18 +422,7 @@ object RankQueries {
     //      parts by triangle participation ----
     QueryDef.sql(
       "q_triangles",
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        |), e AS (
-        |  SELECT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-        |  WHERE x.l_partkey < y.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |), deg AS (
-        |  SELECT node, count(*) AS dg FROM (
-        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-        |  GROUP BY node
-        |), de AS (
+      s"""WITH ${CoGraph.ctes}, de AS (
         |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
         |              THEN a ELSE b END AS src,
         |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
@@ -451,17 +440,7 @@ object RankQueries {
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY node ORDER BY n_tri DESC, part LIMIT 20""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
-      graft.ops.Triangles.perNode(e)
+      graft.ops.Triangles.perNode(CoGraph.edges(s, d))
         .select(col("node").as("part"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)
@@ -477,18 +456,7 @@ object RankQueries {
     //      nodes keep cc = 0 via the left join ----
     QueryDef.sql(
       "q_clustering_coef",
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        |), e AS (
-        |  SELECT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-        |  WHERE x.l_partkey < y.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |), deg AS (
-        |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
-        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-        |  GROUP BY node
-        |), de AS (
+      s"""WITH ${CoGraph.ctes}, de AS (
         |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
         |              THEN a ELSE b END AS src,
         |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
@@ -513,16 +481,7 @@ object RankQueries {
         |FROM deg LEFT JOIN tn ON tn.node = deg.node
         |WHERE deg.dg >= 2""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
+      val e = CoGraph.edges(s, d)
       val deg = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))

@@ -26,37 +26,8 @@ object SketchQueries {
   private def md5pDuck(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
-  /** Support-pruned part co-occurrence graph — the exact CTE chain
-    * q_triangles/q_clustering_coef use (kept textually identical so
-    * the graph-tier oracles cannot drift apart).
-    */
-  private val graphCtes: String =
-    """li AS (
-      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      |), e AS (
-      |  SELECT x.l_partkey AS a, y.l_partkey AS b
-      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-      |  WHERE x.l_partkey < y.l_partkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 2
-      |), deg AS (
-      |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
-      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-      |  GROUP BY node
-      |)""".stripMargin
-
-  /** The same co-occurrence edge list on the Spark side. */
-  private def coEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select(col("a"), col("b"))
-  }
+  private def coEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    CoGraph.edges(s, d)
 
   /** Winnowing fingerprint derivation (DuckDB CTE chain ending in
     * `fp(doc_id, wmin)`) — shared by q_winnow and q_winnow_pairs so
@@ -138,6 +109,8 @@ object SketchQueries {
     //      both engines ----
     QueryDef.sql(
       "q_kmv",
+      // capacity single-sourced from ops.Kmv.K (the streaming twin and
+      // estExpr branch on the same constant)
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,
          |    ${md5pDuck("CAST(user_id AS VARCHAR)")} AS h
@@ -149,14 +122,15 @@ object SketchQueries {
          |), sk AS (
          |  SELECT event_type, CAST(count(*) AS BIGINT) AS sk_size,
          |    max(h) AS kth_h
-         |  FROM rk WHERE rk <= 64 GROUP BY event_type
+         |  FROM rk WHERE rk <= ${graft.ops.Kmv.K} GROUP BY event_type
          |), ex AS (
          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
          |  FROM h GROUP BY event_type
          |)
          |SELECT s.event_type, e.n_exact, s.sk_size, s.kth_h,
-         |  CASE WHEN s.sk_size < 64 THEN s.sk_size
-         |    ELSE CAST(floor((63e0 * 1152921504606846976e0) / s.kth_h)
+         |  CASE WHEN s.sk_size < ${graft.ops.Kmv.K} THEN s.sk_size
+         |    ELSE CAST(floor((${graft.ops.Kmv.K - 1}e0
+         |      * 1152921504606846976e0) / s.kth_h)
          |      AS BIGINT) END AS est
          |FROM sk s JOIN ex e ON e.event_type = s.event_type
          |ORDER BY s.event_type""".stripMargin
@@ -167,7 +141,7 @@ object SketchQueries {
         .distinct()
       val rk = h.withColumn("rk", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("h"))))
-      val sk = rk.filter(col("rk") <= 64)
+      val sk = rk.filter(col("rk") <= graft.ops.Kmv.K)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("sk_size"), max(col("h")).as("kth_h"))
       val ex = h.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
@@ -233,7 +207,7 @@ object SketchQueries {
     //      Aiken 2003 — the MOSS local fingerprinting scheme): hash
     //      every 3-shingle, slide a w = 4 window over the positions,
     //      keep each window's minimum, dedupe. Guarantees a shared
-    //      fingerprint for any shared run of ≥ w+k−1 = 7 tokens while
+    //      fingerprint for any shared run of ≥ w+k−1 = 6 tokens while
     //      storing ~2/(w+1) of the hashes — the position-robust
     //      near-dup fingerprint family next to minhash (set-level) and
     //      q_fingerprint (rolling hash). With 60-bit hashes the
@@ -470,7 +444,7 @@ object SketchQueries {
     //      sqrt — exact int64 sums, one floor-quantized division ----
     QueryDef.sql(
       "q_assortativity",
-      s"""WITH $graphCtes, de2 AS (
+      s"""WITH ${CoGraph.ctes}, de2 AS (
          |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
          |), xy AS (
          |  SELECT du.dg AS x, dv.dg AS y
@@ -514,7 +488,7 @@ object SketchQueries {
     //      = 3T exactly); both counts are one agg each ----
     QueryDef.sql(
       "q_transitivity",
-      s"""WITH $graphCtes, de AS (
+      s"""WITH ${CoGraph.ctes}, de AS (
          |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
          |              THEN a ELSE b END AS src,
          |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)

@@ -251,13 +251,16 @@ class JsonlScan(
 
 /** Streaming (micro-batch) read leg over the SAME per-file readers and
   * pushdown state as the batch path. File-discovery offsets follow
-  * Spark's own FileStreamSource design: a persistent seen-files log in
-  * the checkpoint directory, offsets are just an index into it — so
-  * the offset JSON stays O(1) no matter how many files accumulate, and
-  * restart replays exactly the logged prefix. New files are admitted
-  * in whole-file units (each micro-batch = the files discovered since
-  * the last), which is the right granularity for an append-only
-  * ingest directory ([[PartitionedStore]]'s layout contract).
+  * Spark's own FileStreamSource design: a persistent discovery log in
+  * the CHECKPOINT FILESYSTEM (one immutable `<i>.batch` file per
+  * discovery round, written through the Hadoop FileSystem API — so
+  * hdfs:/s3a:/file: checkpoints all work and restart from a different
+  * host/CWD replays exactly the logged prefix), offsets are just the
+  * batch index — O(1) offset JSON no matter how many files accumulate.
+  * New files are admitted in whole-file units (each micro-batch = the
+  * files discovered since the last), which is the right granularity
+  * for an append-only ingest directory ([[PartitionedStore]]'s layout
+  * contract).
   */
 class JsonlMicroBatchStream(
     dir: String, required: StructType, pushed: Array[JsonlPred],
@@ -265,54 +268,73 @@ class JsonlMicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FileIndexOffset(n: Int) extends Offset {
-    override def json(): String = s"""{"fileIndex":$n}"""
+  private case class BatchIndexOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"batchIndex":$n}"""
   }
 
-  private val logPath = {
-    // Spark hands the checkpoint location as a Hadoop-qualified URI
-    // ("file:/tmp/..."): Paths.get on the raw string would create a
-    // literal "file:" directory under the CWD.
-    val d =
-      if (checkpointLocation.startsWith("file:"))
-        java.nio.file.Paths.get(java.net.URI.create(
-          // bare "file:/x" needs the authority form for Paths.get
-          checkpointLocation.replaceFirst("^file:/+", "file:///")))
-      else java.nio.file.Paths.get(checkpointLocation)
-    java.nio.file.Files.createDirectories(d)
-    d.resolve("graft-jsonl-files.log")
-  }
-  private def loggedFiles(): Array[String] =
-    if (java.nio.file.Files.exists(logPath))
-      java.nio.file.Files.readAllLines(logPath).asScala
-        .filter(_.nonEmpty).toArray
-    else Array.empty
+  // The discovery log lives in the checkpoint's OWN filesystem —
+  // resolving the location through Hadoop handles any scheme (the
+  // raw string through java.nio.Paths would turn "file:/..." or
+  // "hdfs://..." into a bogus CWD-relative local directory, silently
+  // breaking exactly-once on restart).
+  private val logDir = new org.apache.hadoop.fs.Path(
+    checkpointLocation, "graft-jsonl-files")
+  private val fs = logDir.getFileSystem(
+    new org.apache.hadoop.conf.Configuration())
+  fs.mkdirs(logDir)
 
-  override def initialOffset(): Offset = FileIndexOffset(0)
+  private def batchFile(i: Int) =
+    new org.apache.hadoop.fs.Path(logDir, f"$i%010d.batch")
+  private def batchCount(): Int = {
+    val st = fs.listStatus(logDir)
+    st.count(_.getPath.getName.endsWith(".batch"))
+  }
+  private def readBatch(i: Int): Array[String] = {
+    val in = fs.open(batchFile(i))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toArray
+    finally in.close()
+  }
+  /** Write an immutable discovery-round file: create-no-overwrite +
+    * rename makes concurrent/zombie drivers lose cleanly.
+    */
+  private def writeBatch(i: Int, files: Array[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(logDir, f".$i%010d.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, batchFile(i))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"graft-jsonl: discovery log ${batchFile(i)} already exists " +
+          "(concurrent stream on one checkpoint?)")
+    }
+  }
+
+  override def initialOffset(): Offset = BatchIndexOffset(0)
   override def deserializeOffset(json: String): Offset = {
-    val n = (new ObjectMapper).readTree(json).get("fileIndex").asInt()
-    FileIndexOffset(n)
+    val n = (new ObjectMapper).readTree(json).get("batchIndex").asInt()
+    BatchIndexOffset(n)
   }
-  /** Discover files not yet in the log, append them (driver-side,
-    * single writer), and report the new end index.
+  /** Discover files not yet logged; if any, seal them as the next
+    * discovery-round file. Driver-side, single logical writer.
     */
   override def latestOffset(): Offset = {
-    val seen = loggedFiles()
-    val seenSet = seen.toSet
+    val k = batchCount()
+    val seen = (0 until k).flatMap(readBatch).toSet
     val fresh = JsonlSource.listJsonFiles(dir)
-      .map(_.toString).filterNot(seenSet)
-    if (fresh.nonEmpty)
-      java.nio.file.Files.write(logPath,
-        fresh.mkString("", "\n", "\n").getBytes,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    FileIndexOffset(seen.length + fresh.length)
+      .map(_.toString).filterNot(seen)
+    if (fresh.isEmpty) BatchIndexOffset(k)
+    else {
+      writeBatch(k, fresh)
+      BatchIndexOffset(k + 1)
+    }
   }
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileIndexOffset].n
-    val e = end.asInstanceOf[FileIndexOffset].n
-    loggedFiles().slice(s, e)
+    val s = start.asInstanceOf[BatchIndexOffset].n
+    val e = end.asInstanceOf[BatchIndexOffset].n
+    (s until e).flatMap(readBatch).toArray
       .map(p => JsonlInputPartition(p): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -532,9 +554,12 @@ case class JsonlCommitMsg(staged: String, finalName: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** Per-task JSONL writer: writes to a JOB-scoped staged file; task
-  * commit seals it (fsync'd close) and reports the path — visibility
-  * is deferred to [[JsonlBatchWrite.commit]] (job-level atomicity;
-  * an aborted/speculated task just deletes its staged file).
+  * commit closes it (flushed to the OS — like Spark's own file sinks,
+  * durability against power loss is the filesystem's job, not a
+  * per-task fsync) and reports the path — VISIBILITY is deferred to
+  * [[JsonlBatchWrite.commit]] (job-level atomicity; an aborted/
+  * speculated task just deletes its staged file, and job commit
+  * sweeps any zombie attempt's leftovers).
   */
 class JsonlDataWriter(dir: String, jobId: String, partitionId: Int,
     taskId: Long, schema: StructType)
@@ -568,7 +593,12 @@ class JsonlDataWriter(dir: String, jobId: String, partitionId: Int,
   }
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    JsonlCommitMsg(tmp.toString, s"part-$partitionId-$taskId.json")
+    // the final name carries the job id: task ids restart from small
+    // numbers in every application, so "part-P-T.json" could collide
+    // with a previous app's output in append mode — and a collision
+    // surfacing as Files.move failure inside the DRIVER's job commit
+    // has no retry. The (uuid) job id makes names globally unique.
+    JsonlCommitMsg(tmp.toString, s"part-$partitionId-$taskId-$jobId.json")
   }
   override def abort(): Unit = {
     out.close()
@@ -605,6 +635,19 @@ class JsonlBatchWrite(dir: String, jobId: String, schema: StructType,
       java.nio.file.Files.move(java.nio.file.Paths.get(staged),
         java.nio.file.Paths.get(dir, finalName))
     }
+    // sweep staged files from LOSING attempts of this job (zombie /
+    // speculated tasks whose abort() never ran — executor loss): the
+    // committed winners were just moved away, anything left with this
+    // job id is garbage that truncate-overwrite would never collect
+    // (listJsonFiles only sees .json).
+    dropStaged()
+  }
+  private def dropStaged(): Unit = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(s".$jobId.staged"))
+      .toArray.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally s.close()
   }
   /** Job-level abort: delete every staged file this job produced —
     * both the task-committed ones (carried in messages) and any
@@ -616,11 +659,7 @@ class JsonlBatchWrite(dir: String, jobId: String, schema: StructType,
     messages.filter(_ != null).foreach { case JsonlCommitMsg(staged, _) =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(staged))
     }
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(s".$jobId.staged"))
-      .toArray.foreach(java.nio.file.Files.deleteIfExists(_))
-    finally s.close()
+    dropStaged()
   }
 }
 

@@ -22,10 +22,10 @@ class SketchSpec extends AnyFunSuite with Matchers {
     rows should not be empty
     rows.foreach { r =>
       val (nExact, skSize, est) = (r.getLong(1), r.getLong(2), r.getLong(4))
-      if (skSize < 64) {
+      if (skSize < graft.ops.Kmv.K) {
         est shouldBe nExact // sketch holds everything: exact count
       } else {
-        skSize shouldBe 64L
+        skSize shouldBe graft.ops.Kmv.K.toLong
         withClue(s"${r.getString(0)}: est=$est exact=$nExact") {
           // k=64 gives rse ~ 1/sqrt(62) ~ 12.7%; 30% is > 2 sigma
           math.abs(est - nExact).toDouble / nExact should be < 0.30
@@ -37,7 +37,7 @@ class SketchSpec extends AnyFunSuite with Matchers {
   test("KMV merge algebra: k smallest of the union == sketch of the " +
       "concatenated stream (mergeable-summaries property)") {
     import spark.implicits._
-    val k = 64
+    val k = graft.ops.Kmv.K
     // two deterministic disjoint-ish streams with overlap
     val s1 = (0 until 500).map(i => s"u$i")
     val s2 = (300 until 900).map(i => s"u$i")
@@ -57,7 +57,7 @@ class SketchSpec extends AnyFunSuite with Matchers {
     merged shouldBe direct
   }
 
-  test("q_winnow: every shared >= 7-token run yields a shared " +
+  test("q_winnow: every shared >= 6-token run yields a shared " +
       "fingerprint; density is bounded") {
     val rows = SparkEntry.queries("q_winnow")(spark, "/root/testdata/sf0.001")
       .collect()
@@ -72,7 +72,7 @@ class SketchSpec extends AnyFunSuite with Matchers {
   }
 
   test("winnowing guarantee on a planted pair: two docs sharing a " +
-      "7-token run share a fingerprint") {
+      "6-token run share a fingerprint") {
     import spark.implicits._
     // run the exact q_winnow pipeline over a synthetic 2-doc table
     val shared = "alpha beta gamma delta epsilon zeta eta" // 7 tokens
