@@ -1012,6 +1012,88 @@ object SketchQueries {
     }.intendsGlobalWindow(
       "rank runs over the post-limit 101-row top set (the pattern-" +
         "match post-limit-rank precedent)").intendsNestedLoop(
-      "broadcast side is the 1-row x_(k+1) reference")
+      "broadcast side is the 1-row x_(k+1) reference"),
+
+    // ---- Sample-ratio-mismatch check (the A/B assignment health test
+    //      run BEFORE believing any experiment metric — Fabijan et al.
+    //      2019): chi-square of the observed variant counts against
+    //      the designed 50/50 hash split. Exact integer counts; the
+    //      statistic is one quantized chain; expected counts are exact
+    //      halves via the 2e0 division ----
+    QueryDef.sql(
+      "q_srm",
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), v AS (
+        |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM u
+        |)
+        |SELECT n0, n1,
+        |  CAST(floor(
+        |    ((n0 * 1e0 - (n0 + n1) / 2e0) * (n0 * 1e0 - (n0 + n1) / 2e0)
+        |      / ((n0 + n1) / 2e0)
+        |   + (n1 * 1e0 - (n0 + n1) / 2e0) * (n1 * 1e0 - (n0 + n1) / 2e0)
+        |      / ((n0 + n1) / 2e0)) * 1e6) AS BIGINT) AS chi2_fp
+        |FROM v""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .agg(
+          sum(when(expr("user_id % 2 = 0"), 1L).otherwise(0L)).as("n0"),
+          sum(when(expr("user_id % 2 = 1"), 1L).otherwise(0L)).as("n1"))
+        .selectExpr("n0", "n1",
+          "CAST(floor(((n0 * 1e0 - (n0 + n1) / 2e0) * " +
+            "(n0 * 1e0 - (n0 + n1) / 2e0) / ((n0 + n1) / 2e0) + " +
+            "(n1 * 1e0 - (n0 + n1) / 2e0) * " +
+            "(n1 * 1e0 - (n0 + n1) / 2e0) / ((n0 + n1) / 2e0)) * 1e6) " +
+            "AS BIGINT) AS chi2_fp")
+    },
+
+    // ---- Feature hashing (the "hashing trick", Weinberger et al.
+    //      2009 — the fixed-width featurizer behind Vowpal Wabbit /
+    //      sklearn's HashingVectorizer): tokens map to 256 buckets by
+    //      hash, sign by a second hash bit, counts collide additively.
+    //      Row-local per doc (one tokenize + one grouped count — the
+    //      featurization never shuffles the corpus beyond the doc
+    //      key); sparse vector serialized as sorted idx:val CSV (no
+    //      raw arrays in compared output) ----
+    QueryDef.sql(
+      "q_feature_hash",
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    ${md5pDuck("tok")} % 256 AS idx,
+         |    CASE WHEN (${md5pDuck("concat('sgn:', tok)")} % 2) = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS val
+         |  FROM f GROUP BY doc_id, idx
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+         |  string_agg(CAST(idx AS VARCHAR) || ':' || CAST(val AS VARCHAR),
+         |    ',' ORDER BY idx) AS feat_csv
+         |FROM b WHERE val <> 0 GROUP BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          expr("md5p60(tok) % 256").as("idx"),
+          expr("CASE WHEN (md5p60(concat('sgn:', tok)) % 2) = 0 " +
+            "THEN 1L ELSE -1L END").as("sgn"))
+        .groupBy(col("doc_id"), col("idx"))
+        .agg(sum(col("sgn")).as("val"))
+        .filter(col("val") =!= 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(idx, val))), " +
+            "x -> concat(cast(x.idx as string), ':', " +
+            "cast(x.val as string))), ',')").as("feat_csv"))
+    }
   )
 }
