@@ -1094,6 +1094,45 @@ object SketchQueries {
             "collect_list(struct(idx, val))), " +
             "x -> concat(cast(x.idx as string), ':', " +
             "cast(x.val as string))), ',')").as("feat_csv"))
-    }
+    },
+
+    // ---- Theil T inequality index (the decomposable member of the
+    //      concentration tier — q_gini ranks, q_lorenz plots, Theil
+    //      ADDS across subgroups): T = Σ (x/X)·ln(x·n/X) over supplier
+    //      revenue. Each term is one quantized ln times exact integers
+    //      (the klContrib convention: x·1e6·ln(...) div-free double
+    //      product floored once), summed exactly; zero-revenue
+    //      suppliers contribute 0 (lim x→0). No window anywhere — two
+    //      hash aggs and a broadcast 1-row total ----
+    QueryDef.sql(
+      "q_theil",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM lineitem GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS xt
+        |  FROM rev
+        |)
+        |SELECT max(n) AS n_suppliers, max(xt) AS total_units,
+        |  CAST(sum(CASE WHEN x > 0 THEN
+        |    CAST(floor((x * 1e6 * ln(x * 1e0 * n / xt)) / xt) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS theil_fp
+        |FROM rev CROSS JOIN tot""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice) AS BIGINT)")).as("x"))
+      val tot = rev.agg(count(lit(1)).as("n"), sum(col("x")).as("xt"))
+      rev.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_suppliers"),
+          max(col("xt")).as("total_units"),
+          sum(when(col("x") > 0,
+            expr("CAST(floor((x * 1e6 * ln(x * 1e0 * n / xt)) / xt)" +
+              " AS BIGINT)")).otherwise(0L)).as("theil_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row (n, total) frame")
   )
 }
