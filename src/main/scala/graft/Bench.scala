@@ -39,6 +39,11 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Warm (repeat-run) timings for entries re-run after their cold run —
+    // the self-adjudication channel for session-age/codegen-cold noise:
+    // a cold reading far above its own warm repeat is JVM state, not a
+    // plan regression (the r4/r5/r6 tail clusters all had this signature).
+    val warmRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Streaming replays run FIRST (right after warm-up): their cost is
     // dominated by per-micro-batch planning/state-commit latency, which
     // measurably inflates with accumulated session/JVM state (isolated
@@ -67,7 +72,18 @@ object Bench {
       .filter(kv => want(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      val cold = (System.nanoTime() - t0) / 1e9
+      results(name) = cold
+      // Immediate repeat for the non-trivial entries (>0.5 s cold): same
+      // plan, codegen/classloading now warm. Cheap (warm << cold for the
+      // noise-dominated cases, and sub-0.5 s entries are skipped), and it
+      // lets a future verdict separate real regressions from cold-JVM
+      // artifacts without a separate isolated-replay session.
+      if (cold > 0.5) {
+        val t1 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        warmRuns(name) = (System.nanoTime() - t1) / 1e9
+      }
     }
     // end-to-end BATCH curation: exact dedup -> near-dup components ->
     // quality -> PII scrub -> chunk -> pack, one composed job
@@ -90,6 +106,27 @@ object Bench {
     val total = results.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-entry timing artifact (the driver's BENCH_r*.json keeps only
+    // a truncated tail): every entry's cold (first-run) seconds plus, for
+    // entries >0.5 s, the immediate warm repeat — committed per round as
+    // tools/bench_timings_r{N}.json so verdicts can machine-diff the whole
+    // registry and self-adjudicate cold-JVM tail clusters.
+    val timingsOut = sys.env.getOrElse(
+      "SPARK_GRAFT_TIMINGS_OUT", "tools/bench_timings_latest.json")
+    try {
+      val entries = results.map { case (k, cold) =>
+        val warm = warmRuns.get(k).map(w => f"$w%.4f").getOrElse("null")
+        f""""$k":{"cold":$cold%.4f,"warm":$warm}"""
+      }.mkString("{", ",", "}")
+      val body =
+        f"""{"sf":"$sfDir","total_sec":$total%.2f,"entries":${results.size},"timings":$entries}"""
+      val p = java.nio.file.Paths.get(timingsOut)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      System.err.println(s"[bench] full timing map -> $timingsOut")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] timing artifact write failed: $e")
+    }
     spark.stop()
   }
 

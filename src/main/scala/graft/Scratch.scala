@@ -33,6 +33,15 @@ object Scratch {
         println(f"[scratch] stream_indicators_bulk: ${Bench.streamReplay(spark, sfDir, batches = 4)}%.2f s")
       case "stream_docs" =>
         println(f"[scratch] stream_docs: ${Bench.docStreamReplay(spark, sfDir)}%.2f s")
+      // ANN quality at scale (VERDICT r6 item 4): IVF-PQ recall@10 vs
+      // exact brute-force cosine on a sampled query set, at whatever
+      // corpus SPARK_GRAFT_SF_DIR points to (.sfdata/emb128k for the
+      // n=128k record). Production params (nprobe=4) plus widened probes
+      // — on the near-random synthetic embeddings recall tracks the
+      // scanned fraction (no cluster structure to exploit; see
+      // IvfRecallSpec), so the sweep shows the recall/scan trade-off.
+      case "ann_recall" =>
+        annRecall(spark, sfDir)
       case _ =>
         // time construction + count, like Bench: iterative operators
         // (PageRank, MMR, BPE) execute eagerly during construction
@@ -44,5 +53,59 @@ object Scratch {
         if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Measure IVF-PQ recall@10 against exact brute force. One index
+    * build, then a probe-width sweep; prints recall + scanned-fraction
+    * per nprobe (BASELINE.md records the result).
+    */
+  private def annRecall(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecOps
+    import graft.ops.{IvfPq, Pq}
+
+    val raw = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val norm = raw.select(col("vec_id"),
+      Pq.normalized(col("embedding")).as("embedding"))
+    val n = raw.count()
+    val nQ = 32
+    val topK = 10
+    val qPred = col("vec_id") < nQ
+
+    // exact truth: broadcast the 32 queries, one corpus scan, top-10
+    val q = raw.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val truth = raw
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    println(s"[scratch] ann_recall: n=$n, ${truth.size} queries, exact truth done")
+
+    val t0 = System.nanoTime()
+    val idx = IvfPq.build(raw, norm)
+    val cells = idx.coarse.count()
+    println(f"[scratch] ann_recall: index built (cells=$cells) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    for (nprobe <- Seq(4, 16, 64)) {
+      val got = IvfPq.search(idx, raw, Pq.M, qPred,
+        nprobe = nprobe, topK = topK, shortlist = 8 * topK)
+        .select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      val recall = truth.keys.toSeq
+        .map(qid => (truth(qid) & got.getOrElse(qid, Set.empty)).size.toDouble / topK)
+        .sum / truth.size
+      println(f"[scratch] ann_recall: nprobe=$nprobe%2d (scan ~${100.0 * nprobe / cells}%.1f%% of corpus) recall@10 = $recall%.3f")
+    }
   }
 }

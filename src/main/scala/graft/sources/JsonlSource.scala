@@ -276,11 +276,17 @@ class JsonlMicroBatchStream(
   // resolving the location through Hadoop handles any scheme (the
   // raw string through java.nio.Paths would turn "file:/..." or
   // "hdfs://..." into a bogus CWD-relative local directory, silently
-  // breaking exactly-once on restart).
+  // breaking exactly-once on restart). The filesystem is resolved with
+  // the SESSION's Hadoop conf, not a bare `new Configuration()`, so
+  // `spark.hadoop.*` settings (s3a credentials/endpoints, hdfs
+  // nameservices) reach the checkpoint FS.
   private val logDir = new org.apache.hadoop.fs.Path(
     checkpointLocation, "graft-jsonl-files")
   private val fs = logDir.getFileSystem(
-    new org.apache.hadoop.conf.Configuration())
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
   fs.mkdirs(logDir)
 
   private def batchFile(i: Int) =
@@ -295,15 +301,21 @@ class JsonlMicroBatchStream(
       .getLines().filter(_.nonEmpty).toArray
     finally in.close()
   }
-  /** Write an immutable discovery-round file: create-no-overwrite +
-    * rename makes concurrent/zombie drivers lose cleanly.
+  /** Write an immutable discovery-round file. Concurrent/zombie-driver
+    * protection: on HDFS the rename-to-existing-destination fails
+    * atomically, so a second driver on the same checkpoint loses
+    * cleanly. On LOCAL filesystems POSIX rename overwrites, so the
+    * guard is the (non-atomic, best-effort) exists() check below —
+    * file: checkpoints are a single-driver deployment by construction,
+    * and the window is two drivers sealing the SAME round in the same
+    * instant.
     */
   private def writeBatch(i: Int, files: Array[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(logDir, f".$i%010d.tmp")
     val out = fs.create(tmp, false)
     try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, batchFile(i))) {
+    if (fs.exists(batchFile(i)) || !fs.rename(tmp, batchFile(i))) {
       fs.delete(tmp, false)
       throw new java.io.IOException(
         s"graft-jsonl: discovery log ${batchFile(i)} already exists " +
@@ -316,18 +328,33 @@ class JsonlMicroBatchStream(
     val n = (new ObjectMapper).readTree(json).get("batchIndex").asInt()
     BatchIndexOffset(n)
   }
+  // Seen-file state, replayed from the log ONCE at (re)start and then
+  // maintained in memory as rounds are sealed — per-trigger cost is one
+  // directory listing of the data dir, not a re-read of every .batch
+  // file ever written (which would grow O(total files discovered) for a
+  // long-lived stream; FileStreamSource compacts its log for the same
+  // reason). Driver-side, single logical writer, so memory and log
+  // cannot diverge.
+  private var seenCount: Int = -1
+  private val seenFiles = scala.collection.mutable.HashSet.empty[String]
+  private def replayLogOnce(): Unit = if (seenCount < 0) {
+    seenCount = batchCount()
+    (0 until seenCount).foreach(i => seenFiles ++= readBatch(i))
+  }
+
   /** Discover files not yet logged; if any, seal them as the next
     * discovery-round file. Driver-side, single logical writer.
     */
   override def latestOffset(): Offset = {
-    val k = batchCount()
-    val seen = (0 until k).flatMap(readBatch).toSet
+    replayLogOnce()
     val fresh = JsonlSource.listJsonFiles(dir)
-      .map(_.toString).filterNot(seen)
-    if (fresh.isEmpty) BatchIndexOffset(k)
+      .map(_.toString).filterNot(seenFiles)
+    if (fresh.isEmpty) BatchIndexOffset(seenCount)
     else {
-      writeBatch(k, fresh)
-      BatchIndexOffset(k + 1)
+      writeBatch(seenCount, fresh)
+      seenFiles ++= fresh
+      seenCount += 1
+      BatchIndexOffset(seenCount)
     }
   }
   override def planInputPartitions(
@@ -621,20 +648,31 @@ class JsonlBatchWrite(dir: String, jobId: String, schema: StructType,
         new JsonlDataWriter(dirS, jid, partitionId, taskId, sch)
     }
   }
-  /** Job-level commit: ONLY here do staged files become visible —
-    * truncate deletes the old data at the last possible moment, then
-    * every committed task's staged file moves into place. A failure
-    * before this point leaves pre-existing data untouched.
+  /** Job-level commit: ONLY here do staged files become visible. A
+    * failure BEFORE commit() starts leaves pre-existing data untouched.
+    * The commit itself is not atomic (it is a sequence of file moves,
+    * the best a plain file sink can do), but it is RECOVERABLE: truncate
+    * moves old data aside to `<name>.<jobId>.trash` rather than deleting
+    * it, and only after every committed task's staged file has moved
+    * into place are the trash files dropped — a driver crash mid-commit
+    * leaves a mixed directory, with all pre-existing rows still on disk
+    * under `.trash` names for manual recovery.
     */
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
-    if (truncate)
-      JsonlSource.listJsonFiles(dir).foreach(java.nio.file.Files.delete)
+    val trashed: Seq[java.nio.file.Path] = if (truncate)
+      JsonlSource.listJsonFiles(dir).map { p =>
+        val t = p.resolveSibling(s"${p.getFileName}.$jobId.trash")
+        java.nio.file.Files.move(p, t)
+        t
+      }.toSeq
+    else Seq.empty
     messages.foreach { case JsonlCommitMsg(staged, finalName) =>
       java.nio.file.Files.move(java.nio.file.Paths.get(staged),
         java.nio.file.Paths.get(dir, finalName))
     }
+    trashed.foreach(java.nio.file.Files.deleteIfExists(_))
     // sweep staged files from LOSING attempts of this job (zombie /
     // speculated tasks whose abort() never ran — executor loss): the
     // committed winners were just moved away, anything left with this
