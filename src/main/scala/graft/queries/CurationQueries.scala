@@ -430,6 +430,44 @@ object CurationQueries {
           col("t_domain"), col("kept"))
     },
 
+    // ---- Tokenizer fertility / corpus sizing per (lang, source): the
+    //      numbers a tokenizer+mixture design starts from — docs, token
+    //      and char volume, chars-per-token (fertility) and
+    //      tokens-per-doc. One scan, one hash aggregation (grouped on a
+    //      bounded key space); ratios are single correctly-rounded
+    //      divisions of exact integer sums, identical both engines ----
+    QueryDef.sql(
+      "q_token_fertility",
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    n_chars
+        |  FROM documents
+        |)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+        |    AS chars_per_token,
+        |  CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS tokens_per_doc
+        |FROM t GROUP BY lang, source""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          col("n_chars"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"),
+          (col("sum_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("tokens_per_doc"))
+    },
+
     // ---- Gopher-style repetition signals: the repetition dimension of
     //      quality filtering (q_quality_filter covers length/punct/
     //      stopword/uniq-token) — most-frequent-token fraction,
@@ -576,6 +614,69 @@ object CurationQueries {
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       Curation.semDedup(emb, graft.ops.IvfIndex.chooseK(emb.count()), tau = 0.9)
+    }.intendsNestedLoop(
+      "broadcast side is the k ~ sqrt(n) centroid codebook"),
+
+    // ---- Simplified silhouette (Hruschka et al. 2004): cluster-quality
+    //      score of the q_knn_ivf/q_semdedup k-means cells, the
+    //      evaluation metric that tells a curation pipeline whether its
+    //      semantic cells are real before trusting semdedup/IVF on them.
+    //      Per point: a = cosine distance to OWN centroid, b = min
+    //      distance to any OTHER centroid, s = (b-a)/max(a,b) — row
+    //      vs broadcast sqrt(n)-codebook only (the O(n²) pairwise
+    //      silhouette is unusable at scale; the centroid form is the
+    //      standard approximation). Per-term 1e6 quantization before the
+    //      exact integer sum; one final shared-spelling division ----
+    QueryDef.sql(
+      "q_silhouette", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH ${OracleKmeans.codebookCtes},
+           |${OracleKmeans.assignCte("asg", "cb2")},
+           |sc AS (
+           |  SELECT a.vec_id, a.cent_id,
+           |    min(CASE WHEN c.cent_id = a.cent_id
+           |        THEN 1e0 - ${cosDuck("a.embedding", "c.cent_emb")} END) AS da,
+           |    min(CASE WHEN c.cent_id <> a.cent_id
+           |        THEN 1e0 - ${cosDuck("a.embedding", "c.cent_emb")} END) AS db
+           |  FROM asg a, cb2 c
+           |  GROUP BY a.vec_id, a.cent_id
+           |), sil AS (
+           |  SELECT cent_id,
+           |    CASE WHEN greatest(da, db) = 0e0 THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(floor((db - da) / greatest(da, db) * 1e6) AS BIGINT)
+           |    END AS s_fp
+           |  FROM sc
+           |)
+           |SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(s_fp) AS BIGINT) AS s_sum_fp,
+           |  CAST(sum(s_fp) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE) AS mean_sil
+           |FROM sil GROUP BY cent_id""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps
+      import graft.ops.IvfIndex
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cb = IvfIndex.materialize(
+        IvfIndex.codebook(emb, IvfIndex.chooseK(emb.count())))
+      val asg = IvfIndex.assign(emb, cb)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val sc = asg.crossJoin(broadcast(
+          cb.select(col("cent_id").as("c2"), col("cent_emb"))))
+        .withColumn("dist",
+          lit(1.0) - VecOps.cosine(col("embedding"), col("cent_emb")))
+        .groupBy(col("vec_id"), col("cent_id"))
+        .agg(
+          min(when(col("c2") === col("cent_id"), col("dist"))).as("da"),
+          min(when(col("c2") =!= col("cent_id"), col("dist"))).as("db"))
+      sc.withColumn("s_fp",
+          when(greatest(col("da"), col("db")) === 0.0, lit(0L))
+            .otherwise(floor((col("db") - col("da"))
+              / greatest(col("da"), col("db")) * 1e6).cast("long")))
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n"), sum(col("s_fp")).as("s_sum_fp"))
+        .select(col("cent_id"), col("n"), col("s_sum_fp"),
+          (col("s_sum_fp").cast("double") / lit(1e6)
+            / col("n").cast("double")).as("mean_sil"))
     }.intendsNestedLoop(
       "broadcast side is the k ~ sqrt(n) centroid codebook"),
 

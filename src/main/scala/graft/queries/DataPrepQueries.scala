@@ -298,6 +298,46 @@ object DataPrepQueries {
          | AND a.doc_id < b.doc_id""".stripMargin
     ) { (s, d) => minhashCandidatePairs(s, d, ordered = true) },
 
+    // ---- CROSS-dataset near-dup: the incremental-ingest gate — an
+    //      incoming batch (doc_id % 10 = 0 stands in for today's crawl)
+    //      is checked against the EXISTING corpus (the rest) on the
+    //      shared MinHash bands; only incoming×corpus band collisions
+    //      are enumerated, never corpus×corpus (at 100 TB the corpus
+    //      side is a persisted band index bucketed on (band_id,
+    //      band_hash), so each ingest batch costs |batch|·bands lookup
+    //      joins — the corpus is re-scanned by the index, not re-hashed).
+    //      Output per incoming doc: its min-id corpus match (null =
+    //      genuinely new) ----
+    QueryDef.sql(
+      "q_cross_dedup",
+      s"""$minhashBandsSql, hits AS (
+         |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+         |  FROM bands i JOIN bands c
+         |    ON i.band_id = c.band_id AND i.band_hash = c.band_hash
+         |  WHERE i.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |)
+         |SELECT d.doc_id, min(h.corpus_id) AS matched_corpus_id,
+         |  count(h.corpus_id) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |GROUP BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val bands = minhashBands(s, d)
+      val incoming = bands.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = bands.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id").as("corpus_id"),
+          col("band_id"), col("band_hash"))
+      val hits = incoming.join(corpus, Seq("band_id", "band_hash"))
+        .select(col("doc_id"), col("corpus_id")).distinct()
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(min(col("corpus_id")).as("matched_corpus_id"),
+          (count(col("corpus_id")) > 0).as("is_dup"))
+    },
+
     // ---- MinHash near-dup dedup: candidate pairs -> min-id rep per doc ----
     QueryDef.sql(
       "q_dedup_minhash",
@@ -536,6 +576,82 @@ object DataPrepQueries {
           col("doc_id"), col("chunk_id"),
           md5(col("chunk_text")).as("chunk_digest"),
           col("n_chunk_tokens"), col("shard"), col("cum_tokens"), col("bin_id"))
+    },
+
+    // ---- MinHash sketch-quality eval: estimated vs EXACT Jaccard on
+    //      q_jaccard_pairs' deterministic pair sample — the measurement
+    //      that justifies (or resizes) the 16-perm signature before
+    //      trusting near-dup decisions to it. est16 = # agreeing mins
+    //      (E[est16/16] = J); err is the integer difference of the two
+    //      1e6-quantized similarities. All-integer: min-hashes, shingle
+    //      counts, and intersections are exact in both engines ----
+    QueryDef.sql(
+      "q_minhash_err",
+      s"""$minhashBandsSql, sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM sh_raw
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT sa.doc_id AS doc_a, count(*) AS ni
+         |  FROM sh sa JOIN sh sb
+         |    ON sa.shingle = sb.shingle AND sb.doc_id = sa.doc_id + 1
+         |  WHERE sa.doc_id % 10 = 0
+         |  GROUP BY sa.doc_id
+         |), sigm AS (
+         |  SELECT a.doc_id AS doc_a, CAST(${(0 until 16)
+            .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS BIGINT) AS est16
+         |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0
+         |)
+         |SELECT s.doc_a, s.doc_a + 1 AS doc_b, s.est16,
+         |  s.est16 * 62500 AS est_fp,
+         |  CAST(floor(COALESCE(i.ni, 0) * 1e0
+         |    / (ca.n + cb.n - COALESCE(i.ni, 0)) * 1e6) AS BIGINT) AS jacc_fp,
+         |  s.est16 * 62500 - CAST(floor(COALESCE(i.ni, 0) * 1e0
+         |    / (ca.n + cb.n - COALESCE(i.ni, 0)) * 1e6) AS BIGINT) AS err_fp
+         |FROM sigm s
+         |JOIN cnt ca ON ca.doc_id = s.doc_a
+         |JOIN cnt cb ON cb.doc_id = s.doc_a + 1
+         |LEFT JOIN inter i ON i.doc_a = s.doc_a""".stripMargin
+    ) { (s, d) =>
+      // signature mins (same family as NearDup.minhashBands, pre-stack)
+      val hashed = graft.ops.NearDup.shingles(Tables.documents(s, d))
+        .filter(col("doc_id") % 10 <= 1)
+        .select(col("doc_id"), expr(s"md5p60(shingle) % $P").as("h"))
+      val sig = hashed.groupBy(col("doc_id")).agg(
+        min(expr(s"(h * ${perms.head._1} + ${perms.head._2}) % $P")).as("m0"),
+        perms.zipWithIndex.tail.map { case ((a, b), j) =>
+          min(expr(s"(h * $a + $b) % $P")).as(s"m$j")
+        }: _*)
+      val sigm = sig.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a") +: (0 until 16)
+          .map(j => col(s"m$j").as(s"a$j")): _*)
+        .join(sig.select(col("doc_id").as("doc_bb") +: (0 until 16)
+            .map(j => col(s"m$j").as(s"b$j")): _*),
+          col("doc_bb") === col("doc_a") + 1)
+        .select(col("doc_a"),
+          (0 until 16).map(j =>
+              when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+            .reduce(_ + _).as("est16"))
+      val sh = shingleDf(s, d).filter(col("doc_id") % 10 <= 1).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("ia"), col("shingle"))
+        .join(sh.select(col("doc_id").as("ib"),
+            col("shingle").as("shingle_b")),
+          col("shingle") === col("shingle_b") && col("ib") === col("ia") + 1)
+        .groupBy(col("ia")).agg(count(lit(1)).as("ni"))
+      val jaccFp = floor(coalesce(col("ni"), lit(0L)) * lit(1e0)
+        / (col("na") + col("nb") - coalesce(col("ni"), lit(0L))) * 1e6)
+        .cast("long")
+      sigm
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select((col("doc_id") - 1).as("doc_a"), col("n").as("nb")), "doc_a")
+        .join(inter.select(col("ia").as("doc_a"), col("ni")), Seq("doc_a"), "left")
+        .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"), col("est16"),
+          (col("est16") * 62500).as("est_fp"), jaccFp.as("jacc_fp"),
+          (col("est16") * 62500 - jaccFp).as("err_fp"))
     },
 
     // ---- n-gram Jaccard similarity on a deterministic pair sample ----

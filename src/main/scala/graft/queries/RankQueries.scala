@@ -87,6 +87,18 @@ object RankQueries {
       PageRank.run(fwd.union(rev), seeds = Some(seeds))
     },
 
+    // ---- Katz centrality (Katz 1953) over the support-pruned part
+    //      co-occurrence graph: attenuation-weighted walk counting,
+    //      β = 1/2 truncated at 4 rounds so the 2^4-scaled score is an
+    //      exact int64 (see ops.Katz) — the degree-unnormalized
+    //      influence prior next to q_pagerank/q_trustrank. One
+    //      materialized symmetric edge list, one join + groupBy sum per
+    //      round ----
+    QueryDef.sql(
+      "q_katz",
+      s"WITH ${CoGraph.ctes},\n" + graft.ops.Katz.oracleSql
+    ) { (s, d) => graft.ops.Katz.run(CoGraph.edges(s, d)) },
+
     // ---- Label propagation with clamped seeds (see ops.LabelProp):
     //      supplier nation-group labels spread over the UNDIRECTED
     //      trade graph by synchronous integer majority vote — the

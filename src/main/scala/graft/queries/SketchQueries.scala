@@ -203,6 +203,61 @@ object SketchQueries {
         .selectExpr(welchCols: _*)
     },
 
+    // ---- Two-sample power analysis (experiment DESIGN, before the
+    //      q_welch/q_ab_test/q_srm health tier runs): per metric stream,
+    //      the required n per arm to detect a 5% lift of the current
+    //      mean at alpha=0.05 / power=0.8 —
+    //      n = ceil(2 (z_{.975}+z_{.8})^2 sigma^2 / delta^2). One hash
+    //      aggregation of exact centi-unit integer moments (the q_welch
+    //      quantization); the closed form is one shared-spelling double
+    //      chain (z constants as literals, squared by multiplication —
+    //      no pow(), whose rounding is not cross-engine pinned) ----
+    QueryDef.sql(
+      "q_power_analysis", {
+        val z2 = "(1.959963984540054e0 + 8.416212335729143e-1)" +
+          " * (1.959963984540054e0 + 8.416212335729143e-1)"
+        s"""WITH c AS (
+           |  SELECT event_type, CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS c
+           |  FROM events
+           |), g AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+           |  FROM c GROUP BY event_type HAVING sum(c) <> 0
+           |), m AS (
+           |  SELECT event_type, n,
+           |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+           |    CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+           |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var_c
+           |  FROM g
+           |)
+           |SELECT event_type, n, mean_c, var_c,
+           |  CAST(ceil(2e0 * $z2 * var_c
+           |    / (mean_c * 5e-2 * (mean_c * 5e-2))) AS BIGINT) AS n_required
+           |FROM m""".stripMargin
+      }
+    ) { (s, d) =>
+      val z2 = "(1.959963984540054e0 + 8.416212335729143e-1)" +
+        " * (1.959963984540054e0 + 8.416212335729143e-1)"
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(expr("c * c")).as("q"))
+        .filter(col("s") =!= 0L)
+        .selectExpr("event_type", "n",
+          "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c",
+          """CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+            |  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin
+            + " AS var_c")
+        .selectExpr("event_type", "n", "mean_c", "var_c",
+          s"""CAST(ceil(2e0 * $z2 * var_c
+             |  / (mean_c * 5e-2 * (mean_c * 5e-2))) AS BIGINT)""".stripMargin
+            + " AS n_required")
+    },
+
     // ---- Winnowing document fingerprints (Schleimer, Wilkerson &
     //      Aiken 2003 — the MOSS local fingerprinting scheme): hash
     //      every 3-shingle, slide a w = 4 window over the positions,
