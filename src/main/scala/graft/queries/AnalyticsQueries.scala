@@ -137,6 +137,63 @@ object AnalyticsQueries {
           Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
     },
 
+    // ---- Functional-dependency profiling (the schema-discovery side
+    //      of data quality — q_expectations checks DECLARED rules, this
+    //      MEASURES candidate X → Y dependencies): per candidate FD over
+    //      the denormalized orders⋈customer frame, the violating-key
+    //      count and the g3 error (min fraction of rows to delete for
+    //      the FD to hold = 1 − Σ_X plurality(Y)/n — Kivinen & Mannila
+    //      1995). Scale shape per FD: two cascaded hash aggs (X,Y → X),
+    //      both partially aggregable; candidates share one scan ----
+    QueryDef.sql(
+      "q_fd_violations", {
+        def fdSql(name: String, x: String, y: String) =
+          s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS viol_keys,
+             |  CAST(floor((sum(tot) - sum(maxc)) * 1e0 / sum(tot) * 1e6)
+             |    AS BIGINT) AS g3_fp
+             |FROM (
+             |  SELECT $x, CAST(sum(c) AS BIGINT) AS tot,
+             |    CAST(max(c) AS BIGINT) AS maxc,
+             |    CAST(count(*) AS BIGINT) AS ny
+             |  FROM (SELECT $x, $y, count(*) AS c FROM den GROUP BY 1, 2)
+             |  GROUP BY $x)""".stripMargin
+        s"""WITH den AS (
+           |  SELECT o_custkey, c_nationkey, c_mktsegment, o_orderpriority
+           |  FROM orders JOIN customer ON c_custkey = o_custkey
+           |)
+           |${fdSql("custkey->nationkey", "o_custkey", "c_nationkey")}
+           |UNION ALL
+           |${fdSql("nationkey->mktsegment", "c_nationkey", "c_mktsegment")}
+           |UNION ALL
+           |${fdSql("mktsegment->orderpriority", "c_mktsegment",
+            "o_orderpriority")}""".stripMargin
+      }
+    ) { (s, d) =>
+      val den = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority"))
+      def fd(name: String, x: String, y: String) =
+        den.groupBy(col(x), col(y)).agg(count(lit(1)).as("c"))
+          .groupBy(col(x)).agg(sum(col("c")).as("tot"),
+            max(col("c")).as("maxc"), count(lit(1)).as("ny"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("ny") > 1, 1).otherwise(0)).cast("long")
+              .as("viol_keys"),
+            expr("CAST(floor((sum(tot) - sum(maxc)) * 1e0 / sum(tot) * 1e6)"
+              + " AS BIGINT)").as("g3_fp"))
+          .select(lit(name).as("fd"), col("n_keys"), col("viol_keys"),
+            col("g3_fp"))
+      fd("custkey->nationkey", "o_custkey", "c_nationkey")
+        .unionByName(fd("nationkey->mktsegment", "c_nationkey",
+          "c_mktsegment"))
+        .unionByName(fd("mktsegment->orderpriority", "c_mktsegment",
+          "o_orderpriority"))
+    },
+
     // ---- Ordered conversion funnel view -> click -> purchase: each step
     //      is the user's earliest qualifying event STRICTLY AFTER the
     //      previous step (min-ts chaining, the windowFunnel contract) ----

@@ -338,6 +338,71 @@ object DataPrepQueries {
           (count(col("corpus_id")) > 0).as("is_dup"))
     },
 
+    // ---- Contrastive training triplets (anchor, positive, negative)
+    //      for embedding-model training data: positives are mined from
+    //      the MinHash band collisions (near-dup = semantically close),
+    //      negatives are hash-pseudorandom corpus members via the
+    //      64-bucket trick — bucket(id) = md5p60(id) % 64, negative =
+    //      the anchor's bucket's min id (max id as fallback when the
+    //      min collides with the pair). Fully deterministic, no RNG.
+    //      Scale shape: the band join is the standard LSH candidate
+    //      step; the negative lookup joins a 64-row broadcast frame —
+    //      no global ordering, no per-row sampling state ----
+    QueryDef.sql(
+      "q_contrastive_pairs",
+      s"""$minhashBandsSql, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), pos AS (
+         |  SELECT anchor, min(p) AS pos_id FROM (
+         |    SELECT doc_a AS anchor, doc_b AS p FROM pairs
+         |    UNION ALL SELECT doc_b, doc_a FROM pairs)
+         |  GROUP BY anchor
+         |), bk AS (
+         |  SELECT ${duckHash("CAST(doc_id AS VARCHAR)")} % 64 AS bucket,
+         |    min(doc_id) AS nmin, max(doc_id) AS nmax
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT p.anchor AS anchor_id, p.pos_id,
+         |  CASE WHEN bk.nmin <> p.anchor AND bk.nmin <> p.pos_id
+         |         THEN bk.nmin
+         |       WHEN bk.nmax <> p.anchor AND bk.nmax <> p.pos_id
+         |         THEN bk.nmax
+         |       ELSE NULL END AS neg_id
+         |FROM pos p JOIN bk
+         |  ON bk.bucket = ${duckHash("CAST(p.anchor AS VARCHAR)")} % 64"""
+        .stripMargin
+    ) { (s, d) =>
+      val bands = minhashBands(s, d)
+      val pairs = bands
+        .select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+            col("band_id"), col("band_hash")),
+          Seq("band_id", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val pos = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("p"))
+        .union(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("p")))
+        .groupBy(col("anchor")).agg(min(col("p")).as("pos_id"))
+      val bk = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"${sparkHash("cast(doc_id as string)")} % 64").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(min(col("doc_id")).as("nmin"), max(col("doc_id")).as("nmax"))
+      pos
+        .withColumn("bucket",
+          expr(s"${sparkHash("cast(anchor as string)")} % 64"))
+        .join(broadcast(bk), "bucket")
+        .select(col("anchor").as("anchor_id"), col("pos_id"),
+          when(col("nmin") =!= col("anchor")
+              && col("nmin") =!= col("pos_id"), col("nmin"))
+            .when(col("nmax") =!= col("anchor")
+              && col("nmax") =!= col("pos_id"), col("nmax"))
+            .otherwise(lit(null)).as("neg_id"))
+    },
+
     // ---- MinHash near-dup dedup: candidate pairs -> min-id rep per doc ----
     QueryDef.sql(
       "q_dedup_minhash",
@@ -652,6 +717,125 @@ object DataPrepQueries {
         .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"), col("est16"),
           (col("est16") * 62500).as("est_fp"), jaccFp.as("jacc_fp"),
           (col("est16") * 62500 - jaccFp).as("err_fp"))
+    },
+
+    // ---- LSH S-curve calibration: empirical band-collision rate per
+    //      exact-Jaccard decile vs the analytic 1−(1−s^r)^b curve for
+    //      the deployed r = 4 rows × b = 4 bands scheme — the reading
+    //      that tells a near-dup pipeline where its candidate threshold
+    //      actually sits before committing a 100-TB dedup to it
+    //      (q_minhash_err grades the signature's estimate; this grades
+    //      the BANDING built on it). Pair sample = consecutive-id pairs
+    //      (the low-similarity mass) ∪ rare-shingle-blocked pairs
+    //      (df ≤ 5 posting lists — an LSH-INDEPENDENT blocking scheme,
+    //      so a high-sim pair's band-collision outcome is a genuine
+    //      measurement, not true by construction; pair volume is
+    //      Σ df² ≤ 5·|postings|, bounded). All counts exact integers;
+    //      the analytic curve is one shared-spelling double chain
+    //      (integer powers by repeated multiplication, no pow()) ----
+    QueryDef.sql(
+      "q_lsh_scurve", {
+        val sMid = "((CAST(bucket AS DOUBLE) + 5e-1) / 1e1)"
+        val s4 = s"($sMid * $sMid * $sMid * $sMid)"
+        val analytic = s"CAST(floor((1e0 - (1e0 - $s4) * (1e0 - $s4)" +
+          s" * (1e0 - $s4) * (1e0 - $s4)) * 1e6) AS BIGINT)"
+        s"""$minhashBandsSql, sh AS (
+           |  SELECT DISTINCT doc_id, shingle FROM sh_raw
+           |), cnt AS (
+           |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+           |), rare AS (
+           |  SELECT shingle FROM sh GROUP BY shingle
+           |  HAVING count(*) BETWEEN 2 AND 5
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN rare r ON r.shingle = a.shingle
+           |  JOIN sh b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+           |  UNION
+           |  SELECT ca.doc_id, cb.doc_id
+           |  FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+           |), inter AS (
+           |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+           |  FROM pairs p
+           |  JOIN sh a ON a.doc_id = p.doc_a
+           |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+           |  GROUP BY p.doc_a, p.doc_b
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id
+           |), pj AS (
+           |  SELECT
+           |    CAST(least(floor(COALESCE(i.ni, 0) * 1e0
+           |      / (ca.n + cb.n - COALESCE(i.ni, 0)) * 1e1), 9e0) AS BIGINT)
+           |      AS bucket,
+           |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS is_cand
+           |  FROM pairs p
+           |  JOIN cnt ca ON ca.doc_id = p.doc_a
+           |  JOIN cnt cb ON cb.doc_id = p.doc_b
+           |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |  LEFT JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+           |)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(is_cand) AS BIGINT) AS n_cand,
+           |  CAST(floor(CAST(sum(is_cand) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS emp_rate_fp,
+           |  $analytic AS analytic_fp
+           |FROM pj GROUP BY bucket""".stripMargin
+      }
+    ) { (s, d) =>
+      val sMid = "((CAST(bucket AS DOUBLE) + 5e-1) / 1e1)"
+      val s4 = s"($sMid * $sMid * $sMid * $sMid)"
+      val analytic = s"CAST(floor((1e0 - (1e0 - $s4) * (1e0 - $s4)" +
+        s" * (1e0 - $s4) * (1e0 - $s4)) * 1e6) AS BIGINT)"
+      val sh = shingleDf(s, d).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("shingle")
+      val rarePairs = sh.join(rare, "shingle")
+        .select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("doc_b") > col("doc_a"))
+        .select("doc_a", "doc_b")
+      val consecPairs = cnt.select(col("doc_id").as("doc_a"))
+        .join(cnt.select((col("doc_id") - 1).as("doc_a")), "doc_a")
+        .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"))
+      val pairs = rarePairs.union(consecPairs).distinct()
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"),
+          col("shingle").as("shingle_b")), "doc_b")
+        .filter(col("shingle_b") === col("shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      val bands = minhashBands(s, d)
+      val cand = bands
+        .select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+            col("band_id"), col("band_hash")),
+          Seq("band_id", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      pairs
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(cand.withColumn("cc", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .select(
+          least(floor(coalesce(col("ni"), lit(0L)) * lit(1e0)
+            / (col("na") + col("nb") - coalesce(col("ni"), lit(0L)))
+            * 1e1), lit(9e0)).cast("long").as("bucket"),
+          when(col("cc").isNull, 0).otherwise(1).as("is_cand"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("is_cand")).cast("long").as("n_cand"))
+        .selectExpr("bucket", "n_pairs", "n_cand",
+          """CAST(floor(CAST(n_cand AS DOUBLE)
+            |  / CAST(n_pairs AS DOUBLE) * 1e6) AS BIGINT)""".stripMargin
+            + " AS emp_rate_fp",
+          s"$analytic AS analytic_fp")
     },
 
     // ---- n-gram Jaccard similarity on a deterministic pair sample ----

@@ -92,6 +92,20 @@ object SketchQueries {
       s" / ($vn1 * $vn1 / (n1 - 1) + $vn2 * $vn2 / (n2 - 1)) * 1e6)" +
       " AS BIGINT) AS df_fp")
 
+  // Granger F-statistic chain — ONE spelling shared verbatim by both
+  // engines over the exact int64 cross-moments (products of sums go
+  // through doubles: Sbb·Scc can exceed int64).
+  private val grangerFCol: String = {
+    val d2 = "(sbb * 1e0 * scc - sbc * 1e0 * sbc)"
+    val b1 = s"((sab * 1e0 * scc - sac * 1e0 * sbc) / $d2)"
+    val b2 = s"((sac * 1e0 * sbb - sab * 1e0 * sbc) / $d2)"
+    val rssu = s"(saa * 1e0 - $b1 * sab - $b2 * sac)"
+    val rssr = "(saa * 1e0 - (sab * 1e0 / sbb) * sab)"
+    s"CASE WHEN sbb > 0 AND $d2 <> 0e0 AND $rssu > 0e0" +
+      s" THEN CAST(floor(($rssr - $rssu) * (n - 3) / $rssu * 1e6)" +
+      " AS BIGINT) ELSE NULL END AS f_fp"
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- KMV (k-minimum-values) distinct sketch per event type
@@ -152,6 +166,202 @@ object SketchQueries {
           graft.ops.Kmv.estExpr.as("est"))
         .orderBy(col("event_type"))
     },
+
+    // ---- Theta-sketch INTERSECTION (Dasgupta et al. 2016, the
+    //      DataSketches set-algebra form of KMV): estimated
+    //      |users(A) ∩ users(B)| for every event-type pair from the
+    //      per-type K-minimum-value sketches alone — θ = min(θ_A, θ_B),
+    //      S = common retained hashes below θ, est = |S|·2^60/θ. This
+    //      is the audience-overlap measure when the exact pairwise
+    //      distinct join (q_audience_overlap) is unaffordable: sketches
+    //      are K rows per group (mergeable, partial top-K rides
+    //      WindowGroupLimit), so the pairwise stage touches ≤ K·|types|
+    //      rows regardless of data size. n_exact rides along to grade
+    //      the estimate. |S|·2^60 ≤ 2^66 is exactly representable as a
+    //      double (7-bit mantissa · 2^60) and the single divide is
+    //      correctly rounded — identical integers both engines ----
+    QueryDef.sql(
+      "q_theta_intersect", {
+        val K = graft.ops.Kmv.K
+        s"""WITH h AS (
+           |  SELECT DISTINCT event_type,
+           |    ${md5pDuck("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events
+           |), rk AS (
+           |  SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           |  FROM h
+           |), sk AS (
+           |  SELECT event_type, h FROM rk WHERE rk <= $K
+           |), th AS (
+           |  SELECT event_type,
+           |    CASE WHEN count(*) < $K
+           |      THEN CAST(1152921504606846976 AS BIGINT)
+           |      ELSE max(h) END AS theta
+           |  FROM sk GROUP BY event_type
+           |), inter AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |    CAST(count(*) AS BIGINT) AS n_common
+           |  FROM sk a JOIN sk b
+           |    ON b.h = a.h AND a.event_type < b.event_type
+           |  JOIN th ta ON ta.event_type = a.event_type
+           |  JOIN th tb ON tb.event_type = b.event_type
+           |  WHERE a.h < least(ta.theta, tb.theta)
+           |  GROUP BY a.event_type, b.event_type
+           |), ex AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |    CAST(count(*) AS BIGINT) AS n_exact
+           |  FROM h a JOIN h b
+           |    ON b.h = a.h AND a.event_type < b.event_type
+           |  GROUP BY a.event_type, b.event_type
+           |)
+           |SELECT i.type_a, i.type_b, i.n_common,
+           |  least(ta.theta, tb.theta) AS theta_min,
+           |  CAST(floor(CAST(i.n_common AS DOUBLE) * 1152921504606846976e0
+           |    / CAST(least(ta.theta, tb.theta) AS DOUBLE)) AS BIGINT)
+           |    AS est_inter,
+           |  e.n_exact
+           |FROM inter i
+           |JOIN th ta ON ta.event_type = i.type_a
+           |JOIN th tb ON tb.event_type = i.type_b
+           |JOIN ex e ON e.type_a = i.type_a AND e.type_b = i.type_b"""
+          .stripMargin
+      }
+    ) { (s, d) =>
+      val K = graft.ops.Kmv.K
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("md5p60(cast(user_id as string))").as("h"))
+        .distinct()
+      val sk = h.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("h"))))
+        .filter(col("rk") <= K).select(col("event_type"), col("h"))
+      val th = sk.groupBy(col("event_type")).agg(
+        when(count(lit(1)) < K, lit(1152921504606846976L))
+          .otherwise(max(col("h"))).as("theta"))
+      val inter = sk.select(col("event_type").as("type_a"), col("h"))
+        .join(sk.select(col("event_type").as("type_b"),
+          col("h").as("h_b")), col("h_b") === col("h")
+            && col("type_a") < col("type_b"))
+        .join(broadcast(th.select(col("event_type").as("type_a"),
+          col("theta").as("theta_a"))), "type_a")
+        .join(broadcast(th.select(col("event_type").as("type_b"),
+          col("theta").as("theta_b"))), "type_b")
+        .filter(col("h") < least(col("theta_a"), col("theta_b")))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_common"),
+          first(least(col("theta_a"), col("theta_b"))).as("theta_min"))
+      val ex = h.select(col("event_type").as("type_a"), col("h"))
+        .join(h.select(col("event_type").as("type_b"),
+          col("h").as("h_b")), col("h_b") === col("h")
+            && col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      inter.join(ex, Seq("type_a", "type_b"))
+        .selectExpr("type_a", "type_b", "n_common", "theta_min",
+          """CAST(floor(CAST(n_common AS DOUBLE) * 1152921504606846976e0
+            |  / CAST(theta_min AS DOUBLE)) AS BIGINT)""".stripMargin
+            + " AS est_inter",
+          "n_exact")
+    },
+
+    // ---- Bloom-filter quality eval: the deterministic 3-hash/2^16-bit
+    //      Bloom construction measured against EXACT membership — the
+    //      false-positive-rate reading that sizes a join-pruning filter
+    //      before trusting it (complement of q_minhash_err/q_lsh_scurve
+    //      in the sketch-quality family; q_dedup_bloom USES a Bloom
+    //      gate, this one grades it). Member set = customers with ≥ 1
+    //      order; probe set = all customers; the 3 bit positions are
+    //      disjoint 16-bit fields of the shared md5p60 hash, so both
+    //      engines build bit-identical filters. Scale shape: the filter
+    //      is ≤ 2^16 distinct ints (broadcastable by construction —
+    //      that is the point of a Bloom filter); probes join it 3×
+    //      row-locally; one final single-row aggregate. fpr_load is the
+    //      standard (set-fraction)^k expected FPR — spelled by repeated
+    //      multiplication, no pow() ----
+    QueryDef.sql(
+      "q_bloom_eval", {
+        val probeBits = (0 until 3)
+          .map(j => s"(h >> ${16 * j}) & 65535").mkString(", ")
+        s"""WITH mem AS (
+           |  SELECT DISTINCT ${md5pDuck("CAST(o_custkey AS VARCHAR)")} AS h
+           |  FROM orders
+           |), bits AS (
+           |  SELECT DISTINCT unnest([$probeBits]) AS bitpos FROM mem
+           |), probe AS (
+           |  SELECT c_custkey,
+           |    ${md5pDuck("CAST(c_custkey AS VARCHAR)")} AS h,
+           |    CASE WHEN o.ok IS NULL THEN 0 ELSE 1 END AS is_member
+           |  FROM customer
+           |  LEFT JOIN (SELECT DISTINCT o_custkey, 1 AS ok FROM orders) o
+           |    ON o.o_custkey = c_custkey
+           |), pb AS (
+           |  SELECT c_custkey, is_member,
+           |    unnest([$probeBits]) AS bitpos
+           |  FROM probe
+           |), hits AS (
+           |  SELECT p.c_custkey, p.is_member,
+           |    CAST(count(b.bitpos) AS BIGINT) AS nhit
+           |  FROM pb p LEFT JOIN bits b ON b.bitpos = p.bitpos
+           |  GROUP BY p.c_custkey, p.is_member
+           |), agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_universe,
+           |    CAST(sum(is_member) AS BIGINT) AS n_members,
+           |    CAST(sum(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_pass,
+           |    CAST(sum(CASE WHEN nhit = 3 AND is_member = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+           |  FROM hits
+           |), nb AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits
+           |)
+           |SELECT n_universe, n_members, bits_set, n_pass, n_false_pos,
+           |  CAST(floor(CAST(n_false_pos AS DOUBLE)
+           |    / CAST(nullif(n_universe - n_members, 0) AS DOUBLE) * 1e6)
+           |    AS BIGINT) AS fpr_fp,
+           |  CAST(floor((CAST(bits_set AS DOUBLE) / 65536e0)
+           |    * (CAST(bits_set AS DOUBLE) / 65536e0)
+           |    * (CAST(bits_set AS DOUBLE) / 65536e0) * 1e9) AS BIGINT)
+           |    AS fpr_load_fp
+           |FROM agg, nb""".stripMargin
+      }
+    ) { (s, d) =>
+      val mem = Tables.orders(s, d)
+        .select(expr("md5p60(cast(o_custkey as string))").as("h")).distinct()
+      val bits = mem.select(explode(array((0 until 3).map(j =>
+          expr(s"(h >> ${16 * j}) & 65535")): _*)).as("bitpos")).distinct()
+      val probe = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("md5p60(cast(c_custkey as string))").as("h"))
+        .join(Tables.orders(s, d).select(col("o_custkey"), lit(1).as("ok"))
+          .distinct(), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"), col("h"),
+          when(col("ok").isNull, 0).otherwise(1).as("is_member"))
+      val pb = probe.select(col("c_custkey"), col("is_member"),
+        explode(array((0 until 3).map(j =>
+          expr(s"(h >> ${16 * j}) & 65535")): _*)).as("bitpos"))
+      val hits = pb
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("bitpos"), "left")
+        .groupBy(col("c_custkey"), col("is_member"))
+        .agg(count(col("hit")).as("nhit"))
+      val agg = hits.agg(
+        count(lit(1)).as("n_universe"),
+        sum(col("is_member")).cast("long").as("n_members"),
+        sum(when(col("nhit") === 3, 1).otherwise(0)).cast("long").as("n_pass"),
+        sum(when(col("nhit") === 3 && col("is_member") === 0, 1).otherwise(0))
+          .cast("long").as("n_false_pos"))
+      agg.crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+        .selectExpr("n_universe", "n_members", "bits_set", "n_pass",
+          "n_false_pos",
+          """CAST(floor(CAST(n_false_pos AS DOUBLE)
+            |  / CAST(nullif(n_universe - n_members, 0) AS DOUBLE) * 1e6)
+            |  AS BIGINT)""".stripMargin + " AS fpr_fp",
+          """CAST(floor((CAST(bits_set AS DOUBLE) / 65536e0)
+            |  * (CAST(bits_set AS DOUBLE) / 65536e0)
+            |  * (CAST(bits_set AS DOUBLE) / 65536e0) * 1e9) AS BIGINT)"""
+            .stripMargin + " AS fpr_load_fp")
+    }.intendsNestedLoop(
+      "broadcast side is the single-row bits_set count"),
 
     // ---- Welch's unequal-variance t-test, click vs view values — the
     //      two-sample member of the parametric tier (q_anova tests k
@@ -922,6 +1132,101 @@ object SketchQueries {
             expr(s"CAST(floor(($r2 - $r1 * $r1) / $den * 1e6) AS BIGINT)"))
             .otherwise(lit(null)).as("phi2_fp"))
         .orderBy(col("symbol"))
+    },
+
+    // ---- Granger causality, view → click (Granger 1969): per DAY,
+    //      does the views-per-minute series help predict the NEXT
+    //      minute's clicks beyond clicks' own lag? Restricted model
+    //      y_t ~ y_{t-1} vs unrestricted y_t ~ y_{t-1} + x_{t-1} on the
+    //      dense 1440-minute grid (zero-filled, so lags are true
+    //      clock-time lags); F = (RSS_r − RSS_u)(n−3)/RSS_u. The
+    //      causality member of the forecasting tier: q_ar2 identifies a
+    //      single series, q_xcorr measures contemporaneous lead/lag,
+    //      this one tests PREDICTIVE direction. Deviations use the
+    //      integer floor mean (q_ar2/q_levene convention) so all five
+    //      cross-moments are exact int64; the 2-regressor normal
+    //      equations are one shared-spelling double chain (products of
+    //      int sums go through doubles — Sbb·Scc would overflow int64).
+    //      Scale shape: one grouped agg to minutes, windows PARTITIONED
+    //      BY day (1440-row frames), one hash agg per day — no global
+    //      window, days parallelize ----
+    QueryDef.sql(
+      "q_granger", {
+        s"""WITH u AS (
+           |  SELECT epoch_us(ts) // 1000000 AS es, event_type
+           |  FROM events WHERE event_type IN ('click', 'view')
+           |), b AS (
+           |  SELECT es // 86400 AS day, (es % 86400) // 60 AS mi,
+           |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS y,
+           |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS x
+           |  FROM u GROUP BY 1, 2
+           |), grid AS (
+           |  SELECT day, unnest(range(0, 1440)) AS mi
+           |  FROM (SELECT DISTINCT es // 86400 AS day FROM u)
+           |), g AS (
+           |  SELECT grid.day, grid.mi,
+           |    COALESCE(b.y, 0) AS y, COALESCE(b.x, 0) AS x
+           |  FROM grid LEFT JOIN b ON b.day = grid.day AND b.mi = grid.mi
+           |), mm AS (
+           |  SELECT day, CAST(sum(y) AS BIGINT) // count(*) AS my,
+           |    CAST(sum(x) AS BIGINT) // count(*) AS mx
+           |  FROM g GROUP BY day
+           |), dd AS (
+           |  SELECT g.day, g.y - mm.my AS a,
+           |    lag(g.y - mm.my) OVER w AS lb,
+           |    lag(g.x - mm.mx) OVER w AS lc
+           |  FROM g JOIN mm ON mm.day = g.day
+           |  WINDOW w AS (PARTITION BY g.day ORDER BY g.mi)
+           |), sm AS (
+           |  SELECT day, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(a * a) AS BIGINT) AS saa,
+           |    CAST(sum(a * lb) AS BIGINT) AS sab,
+           |    CAST(sum(a * lc) AS BIGINT) AS sac,
+           |    CAST(sum(lb * lb) AS BIGINT) AS sbb,
+           |    CAST(sum(lc * lc) AS BIGINT) AS scc,
+           |    CAST(sum(lb * lc) AS BIGINT) AS sbc
+           |  FROM dd WHERE lb IS NOT NULL GROUP BY day
+           |)
+           |SELECT day, n, saa, sab, sac, sbb, scc, sbc,
+           |  $grangerFCol
+           |FROM sm ORDER BY day""".stripMargin
+      }
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("CAST(unix_micros(ts) AS BIGINT) div 1000000").as("es"),
+          col("event_type"))
+      val b = u.groupBy(expr("es div 86400").as("day"),
+          expr("(es % 86400) div 60").as("mi"))
+        .agg(sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("y"),
+          sum(when(col("event_type") === "view", 1).otherwise(0))
+            .cast("long").as("x"))
+      val grid = u.select(expr("es div 86400").as("day")).distinct()
+        .select(col("day"), explode(expr("sequence(0L, 1439L)")).as("mi"))
+      val g = grid.join(b, Seq("day", "mi"), "left")
+        .select(col("day"), col("mi"),
+          coalesce(col("y"), lit(0L)).as("y"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val mm = g.groupBy("day").agg(
+        expr("CAST(sum(y) AS BIGINT) div count(*)").as("my"),
+        expr("CAST(sum(x) AS BIGINT) div count(*)").as("mx"))
+      val w = Window.partitionBy(col("day")).orderBy(col("mi"))
+      val dd = g.join(broadcast(mm), "day")
+        .withColumn("a", col("y") - col("my"))
+        .withColumn("lb", lag(col("y") - col("my"), 1).over(w))
+        .withColumn("lc", lag(col("x") - col("mx"), 1).over(w))
+      dd.filter(col("lb").isNotNull)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("a * a")).as("saa"), sum(expr("a * lb")).as("sab"),
+          sum(expr("a * lc")).as("sac"), sum(expr("lb * lb")).as("sbb"),
+          sum(expr("lc * lc")).as("scc"), sum(expr("lb * lc")).as("sbc"))
+        .selectExpr("day", "n", "saa", "sab", "sac", "sbb", "scc", "sbc",
+          grangerFCol)
+        .orderBy("day")
     },
 
     // ---- Burstiness index per user (Goh & Barabási 2008,
