@@ -468,6 +468,46 @@ object CurationQueries {
             .as("tokens_per_doc"))
     },
 
+    // ---- Blocklist screening (the multi-pattern contains scan every
+    //      curation pipeline runs before anything smarter — at scale an
+    //      Aho-Corasick pass; semantics here are exact substring
+    //      counts): per blocklist term, documents hit and total
+    //      occurrences via the length-difference identity
+    //      (len(t) − len(replace(t, kw, ''))) / len(kw) — exact
+    //      integers both engines. One scan; the term list is a
+    //      constant-array explode, so the scan is shared across terms
+    //      and the aggregate key space is |blocklist| ----
+    QueryDef.sql(
+      "q_blocklist", {
+        val kws = Seq("slow", "merge", "vector", "stream", "filter",
+          "window")
+        val kwList = kws.map(k => s"'$k'").mkString(", ")
+        s"""WITH x AS (
+           |  SELECT kw,
+           |    (length(text) - length(replace(text, kw, '')))
+           |      // length(kw) AS occ
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest([$kwList]) AS kw)
+           |)
+           |SELECT kw, CAST(count(CASE WHEN occ > 0 THEN 1 END) AS BIGINT)
+           |    AS n_docs,
+           |  CAST(sum(occ) AS BIGINT) AS n_occ
+           |FROM x GROUP BY kw""".stripMargin
+      }
+    ) { (s, d) =>
+      val kws = Seq("slow", "merge", "vector", "stream", "filter",
+        "window")
+      Tables.documents(s, d)
+        .select(col("text"),
+          explode(array(kws.map(lit): _*)).as("kw"))
+        .select(col("kw"),
+          expr("(length(text) - length(replace(text, kw, '')))" +
+            " div length(kw)").as("occ"))
+        .groupBy(col("kw"))
+        .agg(count(when(col("occ") > 0, 1)).as("n_docs"),
+          sum(col("occ")).cast("long").as("n_occ"))
+    },
+
     // ---- Gopher-style repetition signals: the repetition dimension of
     //      quality filtering (q_quality_filter covers length/punct/
     //      stopword/uniq-token) — most-frequent-token fraction,

@@ -925,6 +925,96 @@ object ExtQueries {
     }.intendsNestedLoop(
       "broadcast side is the single-row min/max stats frame"),
 
+    // ---- Data-skipping effectiveness (the measurement that justifies
+    //      q_zorder/q_hilbert at 100 TB): simulate per-file zone maps
+    //      (min/max of each queried column, what parquet footers and
+    //      table-format manifests store) under TWO layouts of the same
+    //      events — natural insertion order (256-row files) vs z-order
+    //      prefix cells (top 9 Morton bits of the (user_id, value)
+    //      interleave) — and count the files a 2-D range predicate can
+    //      skip. Zone-map intersection on exact 16-bit cell integers;
+    //      one shared quantization frame feeds both layouts; the
+    //      predicate box is 1/8 of each dimension. Scale shape: two
+    //      bounded hash aggs (one per layout) + single-row rollups ----
+    QueryDef.sql(
+      "q_skip_stats", {
+        val (lo, hi) = (16384, 24575)
+        def layer(name: String, fileKey: String) =
+          s"""SELECT '$name' AS layout,
+             |  CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(CASE WHEN mxx >= $lo AND mnx <= $hi
+             |    AND mxy >= $lo AND mny <= $hi THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS files_scanned,
+             |  CAST(sum(CASE WHEN mxx >= $lo AND mnx <= $hi
+             |    AND mxy >= $lo AND mny <= $hi THEN nrows ELSE 0 END)
+             |    AS BIGINT) AS rows_scanned,
+             |  CAST(sum(nm) AS BIGINT) AS rows_matched
+             |FROM (
+             |  SELECT $fileKey AS f, min(xc) AS mnx, max(xc) AS mxx,
+             |    min(yc) AS mny, max(yc) AS mxy,
+             |    count(*) AS nrows,
+             |    sum(CASE WHEN xc BETWEEN $lo AND $hi
+             |      AND yc BETWEEN $lo AND $hi THEN 1 ELSE 0 END) AS nm
+             |  FROM z GROUP BY 1)""".stripMargin
+        s"""WITH st AS (
+           |  SELECT min(CAST(user_id AS DOUBLE)) AS xmn,
+           |         max(CAST(user_id AS DOUBLE)) AS xmx,
+           |         min(value) AS ymn, max(value) AS ymx
+           |  FROM events
+           |), c AS (
+           |  SELECT event_id,
+           |    CASE WHEN xmx = xmn THEN 0
+           |         ELSE least(65535, CAST(floor((CAST(user_id AS DOUBLE)
+           |           - xmn) * 65536e0 / (xmx - xmn)) AS BIGINT)) END AS xc,
+           |    CASE WHEN ymx = ymn THEN 0
+           |         ELSE least(65535, CAST(floor((value - ymn) * 65536e0
+           |           / (ymx - ymn)) AS BIGINT)) END AS yc
+           |  FROM events, st
+           |), z AS (
+           |  SELECT event_id, xc, yc,
+           |    ${graft.ops.ZOrder.zvalueSql("xc", "yc")} AS zv
+           |  FROM c
+           |)
+           |${layer("natural", "event_id // 256")}
+           |UNION ALL
+           |${layer("zorder", "zv >> 23")}""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.ops.ZOrder
+      val (lo, hi) = (16384, 24575)
+      val ev = Tables.events(s, d)
+      val stats = ev.agg(
+        min(col("user_id").cast("double")).as("xmn"),
+        max(col("user_id").cast("double")).as("xmx"),
+        min(col("value").cast("double")).as("ymn"),
+        max(col("value").cast("double")).as("ymx"))
+      val z = ev.select("event_id", "user_id", "value")
+        .crossJoin(broadcast(stats))
+        .withColumn("xc", ZOrder.cell16(col("user_id"), col("xmn"), col("xmx")))
+        .withColumn("yc", ZOrder.cell16(col("value"), col("ymn"), col("ymx")))
+        .withColumn("zv", expr(ZOrder.zvalueSql("xc", "yc")))
+      def layer(name: String, fileKey: org.apache.spark.sql.Column) =
+        z.groupBy(fileKey.as("f"))
+          .agg(min(col("xc")).as("mnx"), max(col("xc")).as("mxx"),
+            min(col("yc")).as("mny"), max(col("yc")).as("mxy"),
+            count(lit(1)).as("nrows"),
+            sum(when(col("xc").between(lo, hi)
+              && col("yc").between(lo, hi), 1).otherwise(0)).as("nm"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mxx") >= lo && col("mnx") <= hi
+              && col("mxy") >= lo && col("mny") <= hi, 1).otherwise(0))
+              .cast("long").as("files_scanned"),
+            sum(when(col("mxx") >= lo && col("mnx") <= hi
+              && col("mxy") >= lo && col("mny") <= hi, col("nrows"))
+              .otherwise(0)).cast("long").as("rows_scanned"),
+            sum(col("nm")).cast("long").as("rows_matched"))
+          .select(lit(name).as("layout"), col("n_files"),
+            col("files_scanned"), col("rows_scanned"), col("rows_matched"))
+      layer("natural", expr("event_id div 256"))
+        .unionByName(layer("zorder", expr("zv >> 23")))
+    }.intendsNestedLoop(
+      "broadcast side is the single-row min/max stats frame"),
+
     // ---- Hilbert-curve clustering key over the same (value, event_id)
     //      plane: the locality-BETTER layout sibling of q_zorder —
     //      adjacent curve positions are adjacent cells (unit steps, no

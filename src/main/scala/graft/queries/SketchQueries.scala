@@ -1229,6 +1229,71 @@ object SketchQueries {
         .orderBy("day")
     },
 
+    // ---- Simpson's-paradox detector: per-segment OLS slope vs the
+    //      pooled slope of extendedprice ~ quantity over lineitem — the
+    //      aggregation-bias diagnostic (a pooled trend can reverse
+    //      inside every segment; any experiment/mixture readout should
+    //      check before trusting a pooled slope). Money in exact cents,
+    //      one conditional-agg scan for all segments, pooled moments by
+    //      re-aggregating the SEGMENT moments (never a second scan);
+    //      slope chain through doubles (n·Sxy overflows int64), one
+    //      shared spelling, broadcast 1-row pooled frame ----
+    QueryDef.sql(
+      "q_simpson", {
+        val slope = "(n * 1e0 * sxy - sx * 1e0 * sy)" +
+          " / (n * 1e0 * sxx - sx * 1e0 * sx)"
+        val slopeAll = "(n_all * 1e0 * sxy_all - sx_all * 1e0 * sy_all)" +
+          " / (n_all * 1e0 * sxx_all - sx_all * 1e0 * sx_all)"
+        s"""WITH r AS (
+           |  SELECT l_returnflag AS seg,
+           |    CAST(l_quantity AS BIGINT) AS x,
+           |    CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS y
+           |  FROM lineitem
+           |), g AS (
+           |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy
+           |  FROM r GROUP BY seg
+           |), a AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+           |    CAST(sum(sx) AS BIGINT) AS sx_all,
+           |    CAST(sum(sy) AS BIGINT) AS sy_all,
+           |    CAST(sum(sxx) AS BIGINT) AS sxx_all,
+           |    CAST(sum(sxy) AS BIGINT) AS sxy_all
+           |  FROM g
+           |)
+           |SELECT seg, n,
+           |  CAST(floor($slope * 1e6) AS BIGINT) AS slope_fp,
+           |  CAST(floor($slopeAll * 1e6) AS BIGINT) AS pooled_slope_fp,
+           |  ($slope) * ($slopeAll) < 0e0 AS reversed
+           |FROM g, a""".stripMargin
+      }
+    ) { (s, d) =>
+      val slope = "(n * 1e0 * sxy - sx * 1e0 * sy)" +
+        " / (n * 1e0 * sxx - sx * 1e0 * sx)"
+      val slopeAll = "(n_all * 1e0 * sxy_all - sx_all * 1e0 * sy_all)" +
+        " / (n_all * 1e0 * sxx_all - sx_all * 1e0 * sx_all)"
+      val g = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("seg"),
+          col("l_quantity").cast("long").as("x"),
+          expr("CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)")
+            .as("y"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("x * y")).as("sxy"))
+      val a = g.agg(sum(col("n")).as("n_all"), sum(col("sx")).as("sx_all"),
+        sum(col("sy")).as("sy_all"), sum(col("sxx")).as("sxx_all"),
+        sum(col("sxy")).as("sxy_all"))
+      g.crossJoin(broadcast(a))
+        .selectExpr("seg", "n",
+          s"CAST(floor($slope * 1e6) AS BIGINT) AS slope_fp",
+          s"CAST(floor($slopeAll * 1e6) AS BIGINT) AS pooled_slope_fp",
+          s"($slope) * ($slopeAll) < 0e0 AS reversed")
+    }.intendsNestedLoop(
+      "broadcast side is the single-row pooled-moments frame"),
+
     // ---- Burstiness index per user (Goh & Barabási 2008,
     //      B = (σ−μ)/(σ+μ) of the inter-event gaps): −1 = periodic,
     //      0 = Poisson, →1 = bursty — the single-number arrival-
