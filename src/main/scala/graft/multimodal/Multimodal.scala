@@ -408,6 +408,93 @@ object Multimodal {
     bits
   }
 
+  /** 63-bit audio fingerprint — the audio twin of [[dHash]], built from
+    * real (if minimal) spectral analysis, no external deps:
+    *
+    *   1. mono-mix the decoded PCM plane and center it at 0;
+    *   2. split into 22 contiguous windows;
+    *   3. per window, spectral energy at 4 fixed normalized frequencies
+    *      via the Goertzel recurrence (an exact single-bin DFT — the
+    *      standard FFT-free tone detector);
+    *   4. Haitsma–Kalker sign bits (ISMIR 2002): bit(w, b) = 1 iff the
+    *      band-energy difference E(w,b) − E(w,b+1) INCREASED vs the
+    *      previous window — 21 windows × 3 band pairs = 63 bits.
+    *
+    * The double-difference makes the bits invariant to global gain
+    * (energies scale by gain², signs survive) and to slow loudness
+    * drift, which is why this family of fingerprints survives
+    * re-encoding. `StrictMath` trig keeps the plane → bits map
+    * bit-identical across JVMs/platforms. Hamming distance over the
+    * fingerprints measures audible change; [[nearDupPairs]] works on
+    * them unchanged (same 4×16-bit banding).
+    */
+  def audioFingerprint(d: Decoded): Long = {
+    val n = d.w
+    val ch = d.h
+    val mono = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      var s = 0.0
+      while (c < ch) { s += d.pixels(c * n + i); c += 1 }
+      mono(i) = s / ch - 128.0
+      i += 1
+    }
+    val W = 22
+    val win = math.max(1, n / W)
+    val freqs = Array(0.04, 0.08, 0.16, 0.32) // cycles per sample
+    val e = Array.ofDim[Double](W, 4)
+    var w0 = 0
+    while (w0 < W) {
+      val st = math.min(n, w0 * win)
+      val en = math.min(n, st + win)
+      var b = 0
+      while (b < 4) {
+        val coef = 2.0 * StrictMath.cos(2.0 * math.Pi * freqs(b))
+        var s1 = 0.0
+        var s2 = 0.0
+        var j = st
+        while (j < en) {
+          val s0 = mono(j) + coef * s1 - s2
+          s2 = s1; s1 = s0
+          j += 1
+        }
+        e(w0)(b) = s1 * s1 + s2 * s2 - coef * s1 * s2
+        b += 1
+      }
+      w0 += 1
+    }
+    var bits = 0L
+    var k = 0
+    var w1 = 1
+    while (w1 < W) {
+      var b = 0
+      while (b < 3) {
+        val d2 = (e(w1)(b) - e(w1)(b + 1)) - (e(w1 - 1)(b) - e(w1 - 1)(b + 1))
+        if (d2 > 0) bits |= 1L << k
+        k += 1
+        b += 1
+      }
+      w1 += 1
+    }
+    bits
+  }
+
+  /** (doc_id, fp) per audio row — one streaming decode pass per
+    * partition, same shape as [[imageSignatures]]; feed the result to
+    * [[nearDupPairs]] for banded audio near-dup.
+    */
+  def audioSignatures(
+      media: Dataset[MediaRecord],
+      codec: MediaCodec = SniffingCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map(rec =>
+        (rec.doc_id, audioFingerprint(codec.decode(rec.media_type, rec.blob))))
+    }.toDF("doc_id", "dhash")
+  }
+
   /** (doc_id, dhash) per media row — one streaming decode pass per
     * partition, same shape as [[extractFeatures]].
     */
