@@ -68,6 +68,10 @@ object Bench {
     // live Pareto-frontier maintenance over the part-table replay
     if (want("stream_skyline"))
       results("stream_skyline") = skylineStreamReplay(spark, sfDir)
+    // stateless stream-static near-dup gate: incoming docs vs a static
+    // corpus band index (the zero-state ingest-dedup path)
+    if (want("stream_cross_dedup"))
+      results("stream_cross_dedup") = crossDedupReplay(spark, sfDir)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => want(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -219,6 +223,62 @@ object Bench {
         secs
       } finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Replay the incoming tenth of the documents through the
+    * stream-static [[graft.streaming.CrossDedupGate]] against the
+    * other nine tenths' pre-built band index; returns wall seconds
+    * (docs/s to stderr). No state store, no watermark — the measured
+    * cost is 4 hash joins per micro-batch plus the one-time index
+    * build (reported separately, since at scale it is a persisted
+    * table refreshed by a batch job, not per-stream work).
+    */
+  def crossDedupReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val allDocs = graft.model.Tables.documents(spark, sfDir)
+    val tIdx = System.nanoTime()
+    val index = graft.streaming.CrossDedupGate
+      .corpusIndex(allDocs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      .persist()
+    val idxRows = index.count()
+    System.err.println(f"[bench] stream_cross_dedup: index $idxRows rows" +
+      f" built in ${(System.nanoTime() - tIdx) / 1e9}%.2f s (one-time)")
+    val docs = allDocs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"),
+        expr("timestamp_millis(1704067200000 + doc_id * 100)").as("ingest_ts"),
+        col("lang"), col("text"))
+      .as[graft.streaming.DocStream.DocEvent]
+      .orderBy("ingest_ts")
+      .collect()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.DocStream.DocEvent]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.CrossDedupGate.gate(input.toDS(), index)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bench_xdedup").start()
+      try {
+        docs.grouped(math.max(500, docs.length / batches)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val n = spark.table("bench_xdedup").count()
+        spark.catalog.dropTempView("bench_xdedup")
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_cross_dedup: ${docs.length} docs -> $n gated" +
+            f" in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
+        secs
+      } finally query.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      index.unpersist()
+    }
   }
 
   /** Replay the part table through the streaming Pareto-frontier

@@ -338,6 +338,53 @@ object DataPrepQueries {
           (count(col("corpus_id")) > 0).as("is_dup"))
     },
 
+    // ---- Cluster consensus labeling (weak supervision over near-dup
+    //      clusters): per multi-doc LSH connected component, the
+    //      plurality `lang` label and the agreement ratio — how
+    //      cluster-level metadata is assigned (and its reliability
+    //      scored) before propagating it to members. Plurality with
+    //      deterministic ties → lexicographic min label via a
+    //      cnt-equals-max self-join (no window); sits on the SAME
+    //      comp assignment as q_dedup_cc/q_cc_sizes so label and
+    //      cluster can never disagree ----
+    QueryDef.sql(
+      "q_cluster_consensus",
+      s"""WITH RECURSIVE ${minhashBandsSql.stripPrefix("WITH ")},
+         |$ccCompCtes, asg AS (
+         |  SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.lang
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |), cl AS (
+         |  SELECT cluster_id, lang, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM asg GROUP BY cluster_id, lang
+         |), cs AS (
+         |  SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS csize,
+         |    CAST(max(cnt) AS BIGINT) AS maxc
+         |  FROM cl GROUP BY cluster_id HAVING sum(cnt) >= 2
+         |)
+         |SELECT cs.cluster_id, cs.csize, min(cl.lang) AS label,
+         |  CAST(floor(cs.maxc * 1e0 / cs.csize * 1e6) AS BIGINT)
+         |    AS agreement_fp
+         |FROM cs JOIN cl ON cl.cluster_id = cs.cluster_id
+         |  AND cl.cnt = cs.maxc
+         |GROUP BY cs.cluster_id, cs.csize, cs.maxc""".stripMargin
+    ) { (s, d) =>
+      val asg = Tables.documents(s, d).select("doc_id", "lang")
+        .join(ccClusters(s, d), "doc_id")
+        .select(col("cluster_id"), col("lang"))
+      val cl = asg.groupBy(col("cluster_id"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val cs = cl.groupBy(col("cluster_id"))
+        .agg(sum(col("cnt")).as("csize"), max(col("cnt")).as("maxc"))
+        .filter(col("csize") >= 2)
+      cs.join(cl, Seq("cluster_id"))
+        .filter(col("cnt") === col("maxc"))
+        .groupBy(col("cluster_id"), col("csize"), col("maxc"))
+        .agg(min(col("lang")).as("label"))
+        .select(col("cluster_id"), col("csize"), col("label"),
+          floor(col("maxc") * lit(1e0) / col("csize") * 1e6).cast("long")
+            .as("agreement_fp"))
+    },
+
     // ---- Contrastive training triplets (anchor, positive, negative)
     //      for embedding-model training data: positives are mined from
     //      the MinHash band collisions (near-dup = semantically close),

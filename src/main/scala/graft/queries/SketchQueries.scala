@@ -106,6 +106,53 @@ object SketchQueries {
       " AS BIGINT) ELSE NULL END AS f_fp"
   }
 
+  // Partial-correlation chain — ONE spelling shared verbatim by both
+  // engines over the ten exact int64 minute-grid moments (x = views,
+  // y = clicks, z = purchases; all products promote through doubles).
+  private val partialCorrCols: Seq[String] = {
+    val vx = "(n * 1e0 * sxx - sx * 1e0 * sx)"
+    val vy = "(n * 1e0 * syy - sy * 1e0 * sy)"
+    val vz = "(n * 1e0 * szz - sz * 1e0 * sz)"
+    val cyx = s"((n * 1e0 * sxy - sx * 1e0 * sy) / sqrt($vx * $vy))"
+    val czx = s"((n * 1e0 * sxz - sx * 1e0 * sz) / sqrt($vx * $vz))"
+    val cyz = s"((n * 1e0 * syz - sy * 1e0 * sz) / sqrt($vy * $vz))"
+    val den = s"((1e0 - $cyx * $cyx) * (1e0 - $czx * $czx))"
+    Seq(
+      s"CASE WHEN $vx > 0e0 AND $vy > 0e0 THEN" +
+        s" CAST(floor($cyx * 1e6) AS BIGINT) ELSE NULL END" +
+        " AS r_click_view_fp",
+      s"CASE WHEN $vx > 0e0 AND $vz > 0e0 THEN" +
+        s" CAST(floor($czx * 1e6) AS BIGINT) ELSE NULL END" +
+        " AS r_purchase_view_fp",
+      s"CASE WHEN $vy > 0e0 AND $vz > 0e0 THEN" +
+        s" CAST(floor($cyz * 1e6) AS BIGINT) ELSE NULL END" +
+        " AS r_click_purchase_fp",
+      s"CASE WHEN $vx > 0e0 AND $vy > 0e0 AND $vz > 0e0 AND $den > 0e0" +
+        s" THEN CAST(floor(($cyz - $cyx * $czx) / sqrt($den) * 1e6)" +
+        " AS BIGINT) ELSE NULL END AS partial_fp")
+  }
+
+  // James–Stein chain over the quantized across-arm integer sums
+  // (mq = arm mean × 1e4, svq = arm sampling variance × 1e6; S below is
+  // in mean²×1e8 units, so σ̂²×1e6 scales by 1e2 to match). Int64
+  // headroom: Σmq² needs arm means < ~1.3e9/1e4 — the events value
+  // contract (|value| ≤ 1e6 centi-units) keeps it with 5 arms.
+  private val jsCFpCol: String = {
+    val sBig = "(sq2 * 1e0 - (smq * 1e0 * smq) / k)"
+    val cSh = s"greatest(0e0, 1e0 - (k - 3) * ((ssv * 1e0 / k) * 1e2)" +
+      s" / $sBig)"
+    s"CASE WHEN $sBig > 0e0 THEN CAST(floor($cSh * 1e6) AS BIGINT)" +
+      " ELSE NULL END AS c_fp"
+  }
+  private val jsShrunkFpCol: String = {
+    val sBig = "(sq2 * 1e0 - (smq * 1e0 * smq) / k)"
+    val cSh = s"greatest(0e0, 1e0 - (k - 3) * ((ssv * 1e0 / k) * 1e2)" +
+      s" / $sBig)"
+    s"CASE WHEN $sBig > 0e0 THEN CAST(floor(smq * 1e0 / k" +
+      s" + $cSh * (mq - smq * 1e0 / k)) AS BIGINT)" +
+      " ELSE mq END AS shrunk_fp"
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- KMV (k-minimum-values) distinct sketch per event type
@@ -1228,6 +1275,140 @@ object SketchQueries {
           grangerFCol)
         .orderBy("day")
     },
+
+    // ---- Partial correlation (confounder adjustment): r of clicks vs
+    //      purchases per minute CONTROLLING for views —
+    //      r_yz·x = (r_yz − r_yx·r_zx)/√((1−r_yx²)(1−r_zx²)). The
+    //      causal-reading sibling of q_pair_corr (raw r) and q_granger
+    //      (predictive direction): a click↔purchase correlation that
+    //      survives the view control is not just traffic volume. Built
+    //      on the same dense zero-filled minute grid as q_granger;
+    //      all ten cross-moments exact int64 from ONE hash agg (no
+    //      window at all); the r chain promotes through doubles with
+    //      one shared spelling ----
+    QueryDef.sql(
+      "q_partial_corr", {
+        s"""WITH u AS (
+           |  SELECT epoch_us(ts) // 1000000 AS es, event_type
+           |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+           |), b AS (
+           |  SELECT es // 86400 AS day, (es % 86400) // 60 AS mi,
+           |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS y,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS z
+           |  FROM u GROUP BY 1, 2
+           |), grid AS (
+           |  SELECT day, unnest(range(0, 1440)) AS mi
+           |  FROM (SELECT DISTINCT es // 86400 AS day FROM u)
+           |), g AS (
+           |  SELECT COALESCE(b.x, 0) AS x, COALESCE(b.y, 0) AS y,
+           |    COALESCE(b.z, 0) AS z
+           |  FROM grid LEFT JOIN b ON b.day = grid.day AND b.mi = grid.mi
+           |), sm AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(z) AS BIGINT) AS sz,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy,
+           |    CAST(sum(z * z) AS BIGINT) AS szz,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * z) AS BIGINT) AS sxz,
+           |    CAST(sum(y * z) AS BIGINT) AS syz
+           |  FROM g
+           |)
+           |SELECT n, ${partialCorrCols.mkString(",\n  ")}
+           |FROM sm""".stripMargin
+      }
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(expr("CAST(unix_micros(ts) AS BIGINT) div 1000000").as("es"),
+          col("event_type"))
+      val b = u.groupBy(expr("es div 86400").as("day"),
+          expr("(es % 86400) div 60").as("mi"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0))
+            .cast("long").as("x"),
+          sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("y"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("long").as("z"))
+      val grid = u.select(expr("es div 86400").as("day")).distinct()
+        .select(col("day"), explode(expr("sequence(0L, 1439L)")).as("mi"))
+      grid.join(b, Seq("day", "mi"), "left")
+        .select(coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"),
+          coalesce(col("z"), lit(0L)).as("z"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"), sum(expr("z * z")).as("szz"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * z")).as("sxz"),
+          sum(expr("y * z")).as("syz"))
+        .selectExpr(("n" +: partialCorrCols): _*)
+    },
+
+    // ---- James–Stein shrinkage of per-arm means (Efron & Morris
+    //      1975): the winner's-curse correction an experiment platform
+    //      applies before ranking arms — each arm's mean is pulled
+    //      toward the grand mean by c = max(0, 1 − (k−3)·σ̂²/S), where
+    //      S = Σ(mean_i − grand)² and σ̂² is the mean per-arm sampling
+    //      variance. Dominates the raw means for k ≥ 4 arms. One
+    //      conditional-agg scan for exact centi-unit arm moments; the
+    //      arm means/variances are QUANTIZED (1e4 / 1e6) before the
+    //      across-arm sums so those sums are exact integers
+    //      (order-independent — raw double sums across rows are not);
+    //      k-row second agg, broadcast back — the q_simpson shape ----
+    QueryDef.sql(
+      "q_james_stein", {
+        s"""WITH c AS (
+           |  SELECT event_type, CAST(floor(value * 1e2 + 5e-1) AS BIGINT)
+           |    AS c
+           |  FROM events
+           |), g AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+           |  FROM c GROUP BY event_type
+           |), m AS (
+           |  SELECT event_type, n,
+           |    CAST(floor(s * 1e4 / n) AS BIGINT) AS mq,
+           |    CAST(floor(((q * 1e0 - (s * 1e0 * s) / n) / (n - 1)) / n
+           |      * 1e6) AS BIGINT) AS svq
+           |  FROM g
+           |), a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS k,
+           |    CAST(sum(mq) AS BIGINT) AS smq,
+           |    CAST(sum(mq * mq) AS BIGINT) AS sq2,
+           |    CAST(sum(svq) AS BIGINT) AS ssv
+           |  FROM m
+           |)
+           |SELECT event_type, n, mq AS mean_fp,
+           |  $jsCFpCol,
+           |  $jsShrunkFpCol
+           |FROM m, a ORDER BY event_type""".stripMargin
+      }
+    ) { (s, d) =>
+      val m = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(expr("c * c")).as("q"))
+        .selectExpr("event_type", "n",
+          "CAST(floor(s * 1e4 / n) AS BIGINT) AS mq",
+          """CAST(floor(((q * 1e0 - (s * 1e0 * s) / n) / (n - 1)) / n
+            |  * 1e6) AS BIGINT)""".stripMargin + " AS svq")
+      val a = m.agg(count(lit(1)).as("k"),
+        sum(col("mq")).as("smq"), sum(expr("mq * mq")).as("sq2"),
+        sum(col("svq")).as("ssv"))
+      m.crossJoin(broadcast(a))
+        .selectExpr("event_type", "n", "mq AS mean_fp",
+          jsCFpCol, jsShrunkFpCol)
+        .orderBy("event_type")
+    }.intendsNestedLoop(
+      "broadcast side is the single-row across-arms frame"),
 
     // ---- Simpson's-paradox detector: per-segment OLS slope vs the
     //      pooled slope of extendedprice ~ quantity over lineitem — the
