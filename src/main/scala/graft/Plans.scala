@@ -58,6 +58,10 @@ object Plans {
     "q_winnow_pairs", // fingerprint equi-join + df cap, no all-pairs
     "q_skew_profile", // fan-out histogram window, never a corpus rank
     "q_kn_score", // partial-aggregable counts, 1-row broadcast total
+    "q_katz", // materialized symmetric edges, 1 join + groupBy sum per round
+    "q_theta_intersect", // K-row sketches via WindowGroupLimit, pairwise on <=K*types rows
+    "q_skip_stats", // shared quantize frame, two bounded file aggs, broadcast stats
+    "q_lsh_scurve", // band join + rare-shingle blocking, both linear in postings
     "q_robust_scaler", // ONE type exchange, broadcast quartiles back
     "q_table_checksum" // commutative mod-sum, pure scan+agg
   )

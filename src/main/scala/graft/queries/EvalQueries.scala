@@ -77,6 +77,82 @@ object EvalQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- Recommendation-list diversity & coverage (Ziegler et al.
+    //      2005 / Ge et al. 2010): the beyond-accuracy evals a
+    //      recommender ships with — top-8 co-occurrence neighbor lists
+    //      per part, then (a) aggregate CATALOG COVERAGE (what share of
+    //      the catalog ever gets recommended — popularity-bias check)
+    //      and (b) mean intra-list brand DIVERSITY (distinct brands /
+    //      list size, quantized per list before the exact integer
+    //      mean). Per-list rank rides WindowGroupLimit (partitioned by
+    //      the anchor part, never corpus-wide); both metrics are
+    //      bounded second-stage aggs ----
+    QueryDef.sql(
+      "q_rec_diversity",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), co AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    CAST(count(*) AS BIGINT) AS sup
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey <> y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), recs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b,
+        |      row_number() OVER (PARTITION BY a ORDER BY sup DESC, b) AS rn
+        |    FROM co) WHERE rn <= 8
+        |), lists AS (
+        |  SELECT r.a, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(count(DISTINCT p.p_brand) AS BIGINT) AS nbrand
+        |  FROM recs r JOIN part p ON p.p_partkey = r.b
+        |  GROUP BY r.a
+        |), cov AS (
+        |  SELECT CAST(count(DISTINCT b) AS BIGINT) AS covered FROM recs
+        |), cat AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS catalog FROM part
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lists, cat.catalog,
+        |  cov.covered,
+        |  CAST(floor(cov.covered * 1e0 / cat.catalog * 1e6) AS BIGINT)
+        |    AS coverage_fp,
+        |  CAST(sum(CAST(floor(nbrand * 1e0 / nb * 1e6) AS BIGINT))
+        |    AS BIGINT) // count(*) AS avg_intra_div_fp
+        |FROM lists, cov, cat
+        |GROUP BY cat.catalog, cov.covered""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val co = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+      val recs = co.withColumn("rn", row_number().over(
+          Window.partitionBy(col("a"))
+            .orderBy(col("sup").desc, col("b"))))
+        .filter(col("rn") <= 8).select("a", "b")
+      val lists = recs
+        .join(Tables.part(s, d).select(col("p_partkey").as("b"),
+          col("p_brand")), "b")
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("nb"),
+          countDistinct(col("p_brand")).as("nbrand"))
+      val cov = recs.agg(countDistinct(col("b")).as("covered"))
+      val cat = Tables.part(s, d).agg(count(lit(1)).as("catalog"))
+      lists
+        .agg(count(lit(1)).as("n_lists"),
+          sum(expr("CAST(floor(nbrand * 1e0 / nb * 1e6) AS BIGINT)"))
+            .as("divsum"))
+        .crossJoin(broadcast(cov)).crossJoin(broadcast(cat))
+        .selectExpr("n_lists", "catalog", "covered",
+          "CAST(floor(covered * 1e0 / catalog * 1e6) AS BIGINT)" +
+            " AS coverage_fp",
+          "CAST(divsum AS BIGINT) div n_lists AS avg_intra_div_fp")
+    }.intendsNestedLoop(
+      "broadcast sides are the single-row coverage/catalog frames"),
+
     // ---- ANN index evaluation: recall@5 and fixed-point MRR of the
     //      IVF(nprobe=2) search against the brute-force ground truth,
     //      per query. THE retrieval-quality gate: run it after every

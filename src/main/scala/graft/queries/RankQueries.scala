@@ -99,6 +99,61 @@ object RankQueries {
       s"WITH ${CoGraph.ctes},\n" + graft.ops.Katz.oracleSql
     ) { (s, d) => graft.ops.Katz.run(CoGraph.edges(s, d)) },
 
+    // ---- Rich-club coefficient (Colizza et al. 2006): for degree
+    //      thresholds k ∈ {2, 4, 8}, the density φ(k) = 2·E_k /
+    //      (n_k(n_k−1)) among nodes with degree ≥ k — do high-degree
+    //      parts preferentially co-occur with each other? The global
+    //      hub-structure diagnostic next to q_assortativity (which
+    //      correlates endpoint degrees edge-wise). One degree-decorated
+    //      edge frame crossed with the 3-row constant threshold grid;
+    //      exact integer counts, one guarded quantized division ----
+    QueryDef.sql(
+      "q_rich_club",
+      s"""WITH ${CoGraph.ctes}, er AS (
+         |  SELECT da.dg AS dga, db.dg AS dgb
+         |  FROM e JOIN deg da ON da.node = e.a
+         |         JOIN deg db ON db.node = e.b
+         |), ks AS (
+         |  SELECT unnest([2, 4, 8]) AS k
+         |), nr AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+         |  FROM deg CROSS JOIN ks WHERE dg >= k GROUP BY k
+         |), ek AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+         |  FROM er CROSS JOIN ks WHERE dga >= k AND dgb >= k GROUP BY k
+         |)
+         |SELECT nr.k, nr.n_rich, COALESCE(ek.e_rich, 0) AS e_rich,
+         |  CAST(floor(2e0 * COALESCE(ek.e_rich, 0)
+         |    / CAST(nullif(nr.n_rich * (nr.n_rich - 1), 0) AS DOUBLE)
+         |    * 1e6) AS BIGINT) AS phi_fp
+         |FROM nr LEFT JOIN ek ON ek.k = nr.k""".stripMargin
+    ) { (s, d) =>
+      val e = CoGraph.edges(s, d)
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val er = e
+        .join(deg.select(col("node").as("a"), col("dg").as("dga")), "a")
+        .join(deg.select(col("node").as("b"), col("dg").as("dgb")), "b")
+        .select("dga", "dgb")
+      val ks = e.sparkSession.range(0, 3)
+        .select(expr("element_at(array(2L, 4L, 8L), cast(id + 1 as int))")
+          .as("k"))
+      val nr = deg.crossJoin(broadcast(ks)).filter(col("dg") >= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+      val ek = er.crossJoin(broadcast(ks))
+        .filter(col("dga") >= col("k") && col("dgb") >= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_rich"))
+      nr.join(ek, Seq("k"), "left")
+        .select(col("k"), col("n_rich"),
+          coalesce(col("e_rich"), lit(0L)).as("e_rich"))
+        .selectExpr("k", "n_rich", "e_rich",
+          """CAST(floor(2e0 * e_rich
+            |  / CAST(nullif(n_rich * (n_rich - 1), 0) AS DOUBLE)
+            |  * 1e6) AS BIGINT)""".stripMargin + " AS phi_fp")
+    }.intendsNestedLoop(
+      "broadcast side is the constant 3-row threshold grid"),
+
     // ---- Label propagation with clamped seeds (see ops.LabelProp):
     //      supplier nation-group labels spread over the UNDIRECTED
     //      trade graph by synchronous integer majority vote — the
