@@ -233,6 +233,42 @@ object TpchQueries {
           count(lit(1)).as("n_lines"))
     },
 
+    // ---- TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    //      predicate (three brand/size/quantity bands) — the
+    //      disjunctive-pushdown case: the whole disjunction is
+    //      row-local, so it must reach the scan as one filter (no join,
+    //      no union of three scans). Catalyst folds the common
+    //      `p_partkey = l_partkey` conjunct out of the OR and pushes
+    //      the residual; the plan is scan → broadcast join on part →
+    //      single filter → agg ----
+    QueryDef.sql(
+      "q19_disjunctive",
+      s"""SELECT ${dsum2Sql("l_extendedprice * (1e0 - l_discount)")}
+         |    AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity >= 1e0 AND l_quantity <= 11e0)
+         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+         |        AND l_quantity >= 10e0 AND l_quantity <= 20e0)
+         |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+         |        AND l_quantity >= 20e0 AND l_quantity <= 30e0)"""
+        .stripMargin
+    ) { (s, d) =>
+      val band = (brand: String, szHi: Int, qLo: Double, qHi: Double) =>
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .filter(band("Brand#11", 15, 1.0, 11.0) ||
+          band("Brand#22", 25, 10.0, 20.0) ||
+          band("Brand#33", 35, 20.0, 30.0))
+        .agg(
+          dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // ---- TPC-H Q18 shape: large-quantity orders — grouped HAVING on the
     //      fact table first (shrinks before any join), then customer
     //      enrichment on the tiny survivor set ----
