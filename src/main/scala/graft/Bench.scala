@@ -118,12 +118,17 @@ object Bench {
     val timingsOut = sys.env.getOrElse(
       "SPARK_GRAFT_TIMINGS_OUT", "tools/bench_timings_latest.json")
     try {
+      // Locale.ROOT formatting: the f-interpolator uses the JVM default
+      // locale, and a comma-decimal locale would emit invalid JSON
+      def num(v: Double, digits: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${digits}f",
+          Double.box(v))
       val entries = results.map { case (k, cold) =>
-        val warm = warmRuns.get(k).map(w => f"$w%.4f").getOrElse("null")
-        f""""$k":{"cold":$cold%.4f,"warm":$warm}"""
+        val warm = warmRuns.get(k).map(w => num(w, 4)).getOrElse("null")
+        s""""$k":{"cold":${num(cold, 4)},"warm":$warm}"""
       }.mkString("{", ",", "}")
       val body =
-        f"""{"sf":"$sfDir","total_sec":$total%.2f,"entries":${results.size},"timings":$entries}"""
+        s"""{"sf":"$sfDir","total_sec":${num(total, 2)},"entries":${results.size},"timings":$entries}"""
       val p = java.nio.file.Paths.get(timingsOut)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, body.getBytes("UTF-8"))

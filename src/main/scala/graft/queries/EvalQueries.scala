@@ -142,9 +142,14 @@ object EvalQueries {
       val cov = recs.agg(countDistinct(col("b")).as("covered"))
       val cat = Tables.part(s, d).agg(count(lit(1)).as("catalog"))
       lists
+        // grouped (not global) aggregate: zero rows when `lists` is
+        // empty, matching the oracle's GROUP BY semantics — a global
+        // agg would emit a single (0, null) row only on the Spark side
+        .groupBy(lit(1).as("g"))
         .agg(count(lit(1)).as("n_lists"),
           sum(expr("CAST(floor(nbrand * 1e0 / nb * 1e6) AS BIGINT)"))
             .as("divsum"))
+        .drop("g")
         .crossJoin(broadcast(cov)).crossJoin(broadcast(cat))
         .selectExpr("n_lists", "catalog", "covered",
           "CAST(floor(covered * 1e0 / catalog * 1e6) AS BIGINT)" +

@@ -1370,7 +1370,7 @@ object SketchQueries {
            |), g AS (
            |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
-           |  FROM c GROUP BY event_type
+           |  FROM c GROUP BY event_type HAVING count(*) > 1
            |), m AS (
            |  SELECT event_type, n,
            |    CAST(floor(s * 1e4 / n) AS BIGINT) AS mq,
@@ -1396,6 +1396,10 @@ object SketchQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
           sum(expr("c * c")).as("q"))
+        // a 1-row arm has no sampling-variance estimate ((n-1) = 0 →
+        // NULL svq that sum() would silently skip while k counts the
+        // arm, corrupting σ̂²) — exclude it from the arm set entirely
+        .filter(col("n") > 1)
         .selectExpr("event_type", "n",
           "CAST(floor(s * 1e4 / n) AS BIGINT) AS mq",
           """CAST(floor(((q * 1e0 - (s * 1e0 * s) / n) / (n - 1)) / n

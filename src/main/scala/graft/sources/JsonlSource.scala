@@ -312,6 +312,10 @@ class JsonlMicroBatchStream(
     */
   private def writeBatch(i: Int, files: Array[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(logDir, f".$i%010d.tmp")
+    // a crash between create and rename leaves a stale tmp; the name is
+    // deterministic and the writer is single (the restarted driver), so
+    // clear it rather than wedging every restart on FileAlreadyExists
+    fs.delete(tmp, false)
     val out = fs.create(tmp, false)
     try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()

@@ -21,9 +21,12 @@ class SurveyCoverageSpec extends AnyFunSuite {
   }
 
   test("every registered query name appears in SURVEY.md §8") {
-    val sec = section8
+    // exact-token match, not substring: `sec.contains("q_kmv")` would be
+    // satisfied by an unrelated `q_kmv_err` citation and let the doc
+    // silently drop the real row
+    val tokens = "[a-z0-9_]+".r.findAllIn(section8).toSet
     val missing = SparkEntry.allQueries.map(_.name)
-      .filterNot(n => sec.contains(n))
+      .filterNot(tokens)
     assert(missing.isEmpty,
       s"queries registered in SparkEntry but absent from SURVEY §8: " +
         missing.mkString(", "))
@@ -33,7 +36,7 @@ class SurveyCoverageSpec extends AnyFunSuite {
     val registered = SparkEntry.allQueries.map(_.name).toSet ++
       // non-registry bench entries legitimately cited in §8
       Set("stream_indicators", "stream_indicators_bulk", "stream_docs",
-        "stream_sessions", "stream_skyline",
+        "stream_sessions", "stream_skyline", "stream_cross_dedup",
         "pipeline_curate", "pipeline_compact")
     val cited = "`(q_[a-z0-9_]+)`".r
       .findAllMatchIn(section8).map(_.group(1)).toSet
