@@ -94,6 +94,98 @@ object MlQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- Embedding-distribution drift between two dataset versions
+    //      (vec_id parity stands in for v1/v2): cosine between the two
+    //      mean vectors + mean squared-norm per half — the monitoring
+    //      readout for an embedding pipeline (q_dist_drift/q_psi watch
+    //      token/value distributions; this watches the VECTOR space a
+    //      re-run encoder feeds to dedup/ANN). Exactness: per-dim sums
+    //      are 1e6-quantized int64; the mean components are floor-
+    //      quantized integers BEFORE the dot products, so the dots are
+    //      exact int64 (≤ 128·1e12) and never an order-dependent double
+    //      sum; per-row squared norms fold row-locally at 1e3 (int64-
+    //      safe at any corpus size). Scale shape: one posexplode +
+    //      bounded (2·d)-key agg, d-row self-join, single-row outputs ----
+    QueryDef.sql(
+      "q_embedding_drift",
+      """WITH q AS (
+        |  SELECT vec_id % 2 AS h, unnest(embedding) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings
+        |), dm AS (
+        |  SELECT h, pos,
+        |    CAST(floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6)
+        |      AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS m
+        |  FROM q GROUP BY h, pos
+        |), ip AS (
+        |  SELECT CAST(sum(a.m * b.m) AS BIGINT) AS dot_ab,
+        |    CAST(sum(a.m * a.m) AS BIGINT) AS dot_aa,
+        |    CAST(sum(b.m * b.m) AS BIGINT) AS dot_bb
+        |  FROM dm a JOIN dm b ON b.pos = a.pos
+        |  WHERE a.h = 0 AND b.h = 1
+        |), nr AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS n_vec,
+        |    CAST(sum(sq2) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS msn_fp
+        |  FROM (
+        |    SELECT vec_id % 2 AS h, vec_id,
+        |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)
+        |        * CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT))
+        |        AS BIGINT) AS sq2
+        |    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |    GROUP BY 1, 2)
+        |  GROUP BY h
+        |)
+        |SELECT a.n_vec AS n_a, b.n_vec AS n_b,
+        |  CAST(floor(CAST(dot_ab AS DOUBLE)
+        |    / (sqrt(CAST(dot_aa AS DOUBLE)) * sqrt(CAST(dot_bb AS DOUBLE)))
+        |    * 1e6) AS BIGINT) AS cos_means_fp,
+        |  a.msn_fp AS msn_a_fp, b.msn_fp AS msn_b_fp,
+        |  a.msn_fp - b.msn_fp AS msn_diff_fp
+        |FROM ip, nr a, nr b WHERE a.h = 0 AND b.h = 1""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dm = emb
+        .select((col("vec_id") % 2).as("h"),
+          posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select(col("h"), (col("pos0") + 1).as("pos"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)").as("qx"))
+        .groupBy(col("h"), col("pos"))
+        .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+        .select(col("h"), col("pos"),
+          expr("CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))"
+            + " AS BIGINT)").as("m"))
+      val ip = dm.filter(col("h") === 0)
+        .select(col("pos"), col("m").as("ma"))
+        .join(dm.filter(col("h") === 1)
+          .select(col("pos"), col("m").as("mb")), "pos")
+        .agg(sum(expr("ma * mb")).as("dot_ab"),
+          sum(expr("ma * ma")).as("dot_aa"),
+          sum(expr("mb * mb")).as("dot_bb"))
+      val nr = emb
+        .select((col("vec_id") % 2).as("h"),
+          expr("""aggregate(embedding, 0L, (acc, x) -> acc
+            |  + CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)
+            |  * CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT))"""
+            .stripMargin).as("sq2"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_vec"),
+          expr("CAST(sum(sq2) AS BIGINT) div CAST(count(*) AS BIGINT)")
+            .as("msn_fp"))
+      ip
+        .crossJoin(broadcast(nr.filter(col("h") === 0)
+          .select(col("n_vec").as("n_a"), col("msn_fp").as("msn_a_fp"))))
+        .crossJoin(broadcast(nr.filter(col("h") === 1)
+          .select(col("n_vec").as("n_b"), col("msn_fp").as("msn_b_fp"))))
+        .selectExpr("n_a", "n_b",
+          """CAST(floor(CAST(dot_ab AS DOUBLE)
+            |  / (sqrt(CAST(dot_aa AS DOUBLE)) * sqrt(CAST(dot_bb AS DOUBLE)))
+            |  * 1e6) AS BIGINT)""".stripMargin + " AS cos_means_fp",
+          "msn_a_fp", "msn_b_fp", "msn_a_fp - msn_b_fp AS msn_diff_fp")
+    }.intendsNestedLoop(
+      "broadcast sides are the two single-row per-half norm frames"),
+
     // ---- Nearest-centroid classification (linear-probe sanity check of
     //      the embedding space): centroids from ONE posexplode agg
     //      (labels x dim groups), assignment via the broadcast argmax —
