@@ -820,6 +820,59 @@ object ExtQueries {
         .select("q_id", "c_id", "cosine", "rank")
     },
 
+    // ---- Multi-probe LSH ANN (Lv et al. 2007): same banded E2LSH
+    //      index as q_knn_lsh, but each query also probes the ±1
+    //      NEIGHBOR quantization cell of every band — the standard way
+    //      to buy recall without more hash tables (the index is built
+    //      once; only the query side fans out ×3). Scale shape
+    //      unchanged: the corpus band frame is never rebuilt or
+    //      reshuffled, the probe side stays a broadcast (3× a handful
+    //      of query rows), candidates remain bucket-bounded ----
+    QueryDef.sql(
+      "q_knn_mplsh", {
+        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+        s"""WITH ${OracleVec.bandsCte(EmbBands, EmbMaxBits)}, q AS (
+           |  SELECT b.vec_id AS q_id, e.embedding AS q_emb, b.band_id,
+           |    b.band_val + off.o AS band_val
+           |  FROM ebands b JOIN embeddings e USING (vec_id)
+           |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) off
+           |  WHERE b.vec_id < 10
+           |), c AS (
+           |  SELECT b.vec_id AS c_id, e.embedding AS c_emb, b.band_id, b.band_val
+           |  FROM ebands b JOIN embeddings e USING (vec_id)
+           |), p AS (
+           |  SELECT DISTINCT q_id, c_id,
+           |    ${cosDuck("q_emb", "c_emb")} AS cosine
+           |  FROM q JOIN c USING (band_id, band_val) WHERE q_id <> c_id
+           |)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VecOps
+      val banded = lshBanded(s, d)
+      val q = banded.filter(col("vec_id") < 10).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("band_id"), col("band_val"))
+        .select(col("q_id"), col("q_emb"), col("band_id"),
+          explode(array(col("band_val") - 1, col("band_val"),
+            col("band_val") + 1)).as("band_val"))
+      val c = banded.select(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("band_id"), col("band_val"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("c_id"))
+      c.join(broadcast(q), Seq("band_id", "band_val"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+        .select("q_id", "c_id", "cosine")
+        .distinct()
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "cosine", "rank")
+    },
+
     // ---- int8 scalar quantization of the embedding column: per-dim
     //      global [min,max] -> 256 uniform cells. 4x storage shrink for
     //      the ANN candidate store. Scale shape: dim stats are one
