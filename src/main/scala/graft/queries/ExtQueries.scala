@@ -63,6 +63,73 @@ object ExtQueries {
       posexplode(array(bands: _*)).as(Seq("band_id", "band_val")))
   }
 
+  /** Shared builder for the banded-LSH top-5 queries: `multiProbe =
+    * false` probes each query's own band bucket only (q_knn_lsh);
+    * `true` adds every Hamming-1 neighbor bucket — band_val XOR
+    * (1 << i), i < r — the Lv-et-al. multi-probe scheme for a sign-bit
+    * code (q_knn_mplsh). One definition, so the band CTE, the
+    * dedup-after-cosine rationale, and the (cosine DESC, c_id)
+    * tie-break cannot drift between the two variants.
+    */
+  private def knnLshSql(multiProbe: Boolean): String = {
+    def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
+    // probe offsets: o = 0 keeps the own bucket; o in 1..r flips sign
+    // bit o-1. Single-probe pins o = 0.
+    val oBound = if (multiProbe) "rq.r" else "0"
+    s"""WITH ${OracleVec.bandsCte(EmbBands, EmbMaxBits)}, q AS (
+       |  SELECT b.vec_id AS q_id, e.embedding AS q_emb, b.band_id,
+       |    CASE WHEN t.o = 0 THEN b.band_val
+       |         ELSE xor(b.band_val,
+       |           CAST(1 AS BIGINT) << CAST(t.o - 1 AS INT)) END AS band_val
+       |  FROM ebands b JOIN embeddings e USING (vec_id), rq,
+       |       range(0, ${EmbMaxBits + 1}) t(o)
+       |  WHERE b.vec_id < 10 AND t.o <= $oBound
+       |), c AS (
+       |  SELECT b.vec_id AS c_id, e.embedding AS c_emb, b.band_id, b.band_val
+       |  FROM ebands b JOIN embeddings e USING (vec_id)
+       |), p AS (
+       |  SELECT DISTINCT q_id, c_id,
+       |    ${cosDuck("q_emb", "c_emb")} AS cosine
+       |  FROM q JOIN c USING (band_id, band_val) WHERE q_id <> c_id
+       |)
+       |SELECT q_id, c_id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
+  }
+
+  private def knnLshDf(multiProbe: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VecOps
+    val banded = lshBanded(s, d)
+    val r = lshBandBits(Tables.embeddings(s, d).count())
+    val probeCols: Seq[org.apache.spark.sql.Column] =
+      if (!multiProbe) Seq(col("band_val"))
+      else col("band_val") +:
+        (0 until r).map(i => expr(s"band_val ^ ${1L << i}"))
+    val q = banded.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("band_id"), col("band_val"))
+      .select(col("q_id"), col("q_emb"), col("band_id"),
+        explode(array(probeCols: _*)).as("band_val"))
+    val c = banded.select(
+      col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("band_id"), col("band_val"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    // distinct AFTER the cosine: the pair may collide in several bands
+    // (and, multi-probe, in several probes), and (q_id, c_id) determines
+    // cosine, so distinct-on-3-cols == pair dedup without an extra
+    // shuffle of embeddings
+    c.join(broadcast(q), Seq("band_id", "band_val"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+      .select("q_id", "c_id", "cosine")
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "c_id", "cosine", "rank")
+  }
+
   /** SimHash width: 60 bits (15 hex chars of md5 per token = 60 unbiased
     * bits, and the signature stays positive in a signed int64 for both
     * engines). 4 bands x 15 bits drive the near-dup candidate join —
@@ -778,99 +845,25 @@ object ExtQueries {
 
     // ---- LSH-banded ANN (random-hyperplane signs), the scale path for
     //      similarity search: probes compare only within colliding band
-    //      buckets; band width adapts to corpus size (see lshBanded) ----
-    QueryDef.sql(
-      "q_knn_lsh", {
-        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
-        s"""WITH ${OracleVec.bandsCte(EmbBands, EmbMaxBits)}, q AS (
-           |  SELECT b.vec_id AS q_id, e.embedding AS q_emb, b.band_id, b.band_val
-           |  FROM ebands b JOIN embeddings e USING (vec_id) WHERE b.vec_id < 10
-           |), c AS (
-           |  SELECT b.vec_id AS c_id, e.embedding AS c_emb, b.band_id, b.band_val
-           |  FROM ebands b JOIN embeddings e USING (vec_id)
-           |), p AS (
-           |  SELECT DISTINCT q_id, c_id,
-           |    ${cosDuck("q_emb", "c_emb")} AS cosine
-           |  FROM q JOIN c USING (band_id, band_val) WHERE q_id <> c_id
-           |)
-           |SELECT q_id, c_id, cosine, rank FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
-      }
-    ) { (s, d) =>
-      import graft.functions.VecOps
-      val banded = lshBanded(s, d)
-      val q = banded.filter(col("vec_id") < 10).select(
-        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("band_id"), col("band_val"))
-      val c = banded.select(
-        col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("band_id"), col("band_val"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-      // distinct AFTER the cosine: the pair may collide in several bands,
-      // and (q_id, c_id) determines cosine, so distinct-on-3-cols == pair
-      // dedup without an extra shuffle of embeddings
-      c.join(broadcast(q), Seq("band_id", "band_val"))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
-        .select("q_id", "c_id", "cosine")
-        .distinct()
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("q_id", "c_id", "cosine", "rank")
+    //      buckets; band width adapts to corpus size (see lshBanded).
+    //      Single-probe and multi-probe share ONE builder (knnLsh) ----
+    QueryDef.sql("q_knn_lsh", knnLshSql(multiProbe = false)) {
+      knnLshDf(multiProbe = false)
     },
 
-    // ---- Multi-probe LSH ANN (Lv et al. 2007): same banded E2LSH
-    //      index as q_knn_lsh, but each query also probes the ±1
-    //      NEIGHBOR quantization cell of every band — the standard way
-    //      to buy recall without more hash tables (the index is built
-    //      once; only the query side fans out ×3). Scale shape
-    //      unchanged: the corpus band frame is never rebuilt or
-    //      reshuffled, the probe side stays a broadcast (3× a handful
-    //      of query rows), candidates remain bucket-bounded ----
-    QueryDef.sql(
-      "q_knn_mplsh", {
-        def cosDuck(a: String, b: String) = OracleVec.cos(a, b)
-        s"""WITH ${OracleVec.bandsCte(EmbBands, EmbMaxBits)}, q AS (
-           |  SELECT b.vec_id AS q_id, e.embedding AS q_emb, b.band_id,
-           |    b.band_val + off.o AS band_val
-           |  FROM ebands b JOIN embeddings e USING (vec_id)
-           |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) off
-           |  WHERE b.vec_id < 10
-           |), c AS (
-           |  SELECT b.vec_id AS c_id, e.embedding AS c_emb, b.band_id, b.band_val
-           |  FROM ebands b JOIN embeddings e USING (vec_id)
-           |), p AS (
-           |  SELECT DISTINCT q_id, c_id,
-           |    ${cosDuck("q_emb", "c_emb")} AS cosine
-           |  FROM q JOIN c USING (band_id, band_val) WHERE q_id <> c_id
-           |)
-           |SELECT q_id, c_id, cosine, rank FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cosine DESC, c_id) AS rank FROM p) WHERE rank <= 5""".stripMargin
-      }
-    ) { (s, d) =>
-      import graft.functions.VecOps
-      val banded = lshBanded(s, d)
-      val q = banded.filter(col("vec_id") < 10).select(
-          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("band_id"), col("band_val"))
-        .select(col("q_id"), col("q_emb"), col("band_id"),
-          explode(array(col("band_val") - 1, col("band_val"),
-            col("band_val") + 1)).as("band_val"))
-      val c = banded.select(
-        col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("band_id"), col("band_val"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("c_id"))
-      c.join(broadcast(q), Seq("band_id", "band_val"))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
-        .select("q_id", "c_id", "cosine")
-        .distinct()
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("q_id", "c_id", "cosine", "rank")
+    // ---- Multi-probe LSH ANN (Lv et al. 2007 applied to the sign-bit
+    //      family): each query also probes every HAMMING-1 neighbor
+    //      bucket of its band code — band_val XOR (1 << i) for each of
+    //      the r sign bits. Flipping one hyperplane sign is exactly the
+    //      most-likely single hash error for a near neighbor, so the
+    //      probe budget lands on the most-correlated buckets (for a
+    //      sign-bit code, arithmetic ±1 would jump to anti-correlated
+    //      cells — the bitmask is NOT a scalar quantization). Recall is
+    //      bought on the query side only: the corpus band frame is
+    //      untouched, probes stay a broadcast ((r+1)× a handful of
+    //      query rows), candidates remain bucket-bounded ----
+    QueryDef.sql("q_knn_mplsh", knnLshSql(multiProbe = true)) {
+      knnLshDf(multiProbe = true)
     },
 
     // ---- int8 scalar quantization of the embedding column: per-dim

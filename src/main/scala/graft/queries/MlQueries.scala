@@ -138,53 +138,64 @@ object MlQueries {
         |  GROUP BY h
         |)
         |SELECT a.n_vec AS n_a, b.n_vec AS n_b,
-        |  CAST(floor(CAST(dot_ab AS DOUBLE)
-        |    / (sqrt(CAST(dot_aa AS DOUBLE)) * sqrt(CAST(dot_bb AS DOUBLE)))
-        |    * 1e6) AS BIGINT) AS cos_means_fp,
+        |  CASE WHEN dot_aa > 0 AND dot_bb > 0
+        |    THEN CAST(floor(CAST(dot_ab AS DOUBLE)
+        |      / (sqrt(CAST(dot_aa AS DOUBLE)) * sqrt(CAST(dot_bb AS DOUBLE)))
+        |      * 1e6) AS BIGINT) ELSE NULL END AS cos_means_fp,
         |  a.msn_fp AS msn_a_fp, b.msn_fp AS msn_b_fp,
         |  a.msn_fp - b.msn_fp AS msn_diff_fp
         |FROM ip, nr a, nr b WHERE a.h = 0 AND b.h = 1""".stripMargin
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val dm = emb
+      // ONE posexplode scan: per-dim integer sums for both halves as
+      // conditional aggregates (Spark replans multiply-referenced
+      // frames, so a per-half filter + self-join would re-run the
+      // explode+agg; the pivot keeps it a single pass and drops the
+      // pos self-join entirely)
+      val ip = emb
         .select((col("vec_id") % 2).as("h"),
           posexplode(col("embedding")).as(Seq("pos0", "x")))
         .select(col("h"), (col("pos0") + 1).as("pos"),
           expr("CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)").as("qx"))
-        .groupBy(col("h"), col("pos"))
-        .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
-        .select(col("h"), col("pos"),
-          expr("CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))"
-            + " AS BIGINT)").as("m"))
-      val ip = dm.filter(col("h") === 0)
-        .select(col("pos"), col("m").as("ma"))
-        .join(dm.filter(col("h") === 1)
-          .select(col("pos"), col("m").as("mb")), "pos")
+        .groupBy(col("pos"))
+        .agg(
+          sum(when(col("h") === 0, col("qx")).otherwise(0L)).as("sqa"),
+          sum(when(col("h") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("h") === 1, col("qx")).otherwise(0L)).as("sqb"),
+          sum(when(col("h") === 1, 1L).otherwise(0L)).as("nb"))
+        .selectExpr(
+          "CAST(floor(CAST(sqa AS DOUBLE) / CAST(na AS DOUBLE)) AS BIGINT)"
+            + " AS ma",
+          "CAST(floor(CAST(sqb AS DOUBLE) / CAST(nb AS DOUBLE)) AS BIGINT)"
+            + " AS mb")
         .agg(sum(expr("ma * mb")).as("dot_ab"),
           sum(expr("ma * ma")).as("dot_aa"),
           sum(expr("mb * mb")).as("dot_bb"))
+      // ONE row-local fold scan for both halves' norm moments
       val nr = emb
         .select((col("vec_id") % 2).as("h"),
           expr("""aggregate(embedding, 0L, (acc, x) -> acc
             |  + CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)
             |  * CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT))"""
             .stripMargin).as("sq2"))
-        .groupBy(col("h"))
-        .agg(count(lit(1)).as("n_vec"),
-          expr("CAST(sum(sq2) AS BIGINT) div CAST(count(*) AS BIGINT)")
-            .as("msn_fp"))
-      ip
-        .crossJoin(broadcast(nr.filter(col("h") === 0)
-          .select(col("n_vec").as("n_a"), col("msn_fp").as("msn_a_fp"))))
-        .crossJoin(broadcast(nr.filter(col("h") === 1)
-          .select(col("n_vec").as("n_b"), col("msn_fp").as("msn_b_fp"))))
+        .agg(
+          sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("h") === 0, col("sq2")).otherwise(0L)).as("s2a"),
+          sum(when(col("h") === 1, col("sq2")).otherwise(0L)).as("s2b"))
         .selectExpr("n_a", "n_b",
-          """CAST(floor(CAST(dot_ab AS DOUBLE)
-            |  / (sqrt(CAST(dot_aa AS DOUBLE)) * sqrt(CAST(dot_bb AS DOUBLE)))
-            |  * 1e6) AS BIGINT)""".stripMargin + " AS cos_means_fp",
+          "CAST(s2a AS BIGINT) div n_a AS msn_a_fp",
+          "CAST(s2b AS BIGINT) div n_b AS msn_b_fp")
+      ip.crossJoin(broadcast(nr))
+        .selectExpr("n_a", "n_b",
+          """CASE WHEN dot_aa > 0 AND dot_bb > 0
+            |  THEN CAST(floor(CAST(dot_ab AS DOUBLE)
+            |    / (sqrt(CAST(dot_aa AS DOUBLE)) * sqrt(CAST(dot_bb AS DOUBLE)))
+            |    * 1e6) AS BIGINT) ELSE NULL END""".stripMargin
+            + " AS cos_means_fp",
           "msn_a_fp", "msn_b_fp", "msn_a_fp - msn_b_fp AS msn_diff_fp")
     }.intendsNestedLoop(
-      "broadcast sides are the two single-row per-half norm frames"),
+      "broadcast side is the single-row per-half norm frame"),
 
     // ---- Nearest-centroid classification (linear-probe sanity check of
     //      the embedding space): centroids from ONE posexplode agg
