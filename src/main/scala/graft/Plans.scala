@@ -62,6 +62,7 @@ object Plans {
     "q_theta_intersect", // K-row sketches via WindowGroupLimit, pairwise on <=K*types rows
     "q_skip_stats", // shared quantize frame, two bounded file aggs, broadcast stats
     "q_lsh_scurve", // band join + rare-shingle blocking, both linear in postings
+    "q_knn_mplsh", // Hamming-1 probe fan-out stays on the broadcast side
     "q_robust_scaler", // ONE type exchange, broadcast quartiles back
     "q_table_checksum" // commutative mod-sum, pure scan+agg
   )
