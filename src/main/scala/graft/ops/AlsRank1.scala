@@ -48,7 +48,10 @@ import org.apache.spark.sql.functions._
   * frames leave each groupBy already partitioned on the next join key).
   * Per half-step: one equi join + one grouped sum + a lazy 1-row max
   * broadcast into the rescale — no driver collect, no round-dependent
-  * lineage growth (checkpoint cadence every second round).
+  * lineage growth (each half-step's grouped sum is checkpointed: the
+  * rescale reads its input twice, so lazily-composed half-steps double
+  * the plan tree per step — measured 8.8 s planning+codegen for one
+  * composed 4-step job vs ~0.6 s per pinned step at sf0.1).
   */
 object AlsRank1 {
 
@@ -87,30 +90,51 @@ object AlsRank1 {
       // one alternating half-step: solve `outKey` factors against the
       // fixed `inKey` factors. The rating copy pinned on inKey feeds the
       // join; the grouped sums leave partitioned by outKey — which is
-      // exactly the key the NEXT half-step joins on.
-      def halfStep(fixed: DataFrame, inKey: String, outKey: String): DataFrame = {
+      // exactly the key the NEXT half-step joins on. The grouped sum is
+      // materialized BEFORE normalization: `normalized` references its
+      // input twice (max agg + rescale join), so letting half-steps
+      // compose lazily doubles the plan tree per half-step — 2^k copies
+      // of the deepest subtree after k steps. ReusedExchange dedups the
+      // shuffles at runtime but planning + codegen of the exponential
+      // tree dominated the measured cost (8.8 s for one composed 4-step
+      // job vs ~0.6 s per pinned step). The checkpoint is one factor
+      // frame (|users| or |items| rows), values bit-identical either way.
+      def halfStep(
+          fixed: DataFrame, inKey: String, outKey: String
+      ): (DataFrame, DataFrame) = {
         val rt = if (inKey == "item") rByItem else rByUser
-        normalized(
+        val raw = materialize(
           rt.join(fixed, rt(inKey) === fixed("id"))
             .groupBy(col(outKey).as("id"))
             .agg(sum(col("r") * col("f")).as("num"),
               sum(expr(s"(f * f) div ${scale}L")).as("den2"))
             .select(col("id"),
               expr(s"(num * ${scale}L) div (den2 + ${reg}L)").as("f")))
+        (raw, normalized(raw))
       }
 
-      var v = materialize(
+      // the returned u/v are lazy `normalized` views over the newest raw
+      // checkpoint of each side — keep the two most recent raws, release
+      // every older one as soon as the step that consumed it completes
+      val live = scala.collection.mutable.Queue.empty[DataFrame]
+      def track(raw: DataFrame): Unit = {
+        live.enqueue(raw)
+        while (live.size > 2) live.dequeue().unpersist()
+      }
+
+      val v0 = materialize(
         rByItem.select(col("item").as("id")).distinct()
           .select(col("id"), lit(scale).as("f")))
-      var u = v.limit(0)
-      val cadence = new Iterate.Cadence(v)
-      for (i <- 1 to iters) {
-        // the user half-step stays lazy inside the item job (exchange
-        // reuse collapses its repeated subtrees); v checkpoints on the
-        // cadence — two rounds compose into one job, same arithmetic
-        u = halfStep(v, "item", "user")
-        if (i == iters) u = materialize(u)
-        v = cadence.step(i, i == iters, halfStep(u, "user", "item"))
+      track(v0)
+      var v = v0
+      var u = v0.limit(0)
+      for (_ <- 1 to iters) {
+        val (uRaw, uNorm) = halfStep(v, "item", "user")
+        track(uRaw)
+        u = uNorm
+        val (vRaw, vNorm) = halfStep(u, "user", "item")
+        track(vRaw)
+        v = vNorm
       }
       u.select(lit("u").as("side"), col("id"), col("f").as("f_fp"))
         .union(v.select(lit("i").as("side"), col("id"), col("f").as("f_fp")))

@@ -76,25 +76,47 @@ object Hits {
     // zero-score nodes are DROPPED between rounds: they contribute
     // nothing to either the sums or the max, so the recurrence is
     // unchanged (the oracle keeps them with COALESCE 0 — same numbers);
-    // the full node set is restored once, at the end
-    def halfStep(scores: DataFrame, inKey: String, outKey: String): DataFrame = {
+    // the full node set is restored once, at the end.
+    //
+    // The grouped sum is materialized BEFORE normalization: `normalized`
+    // references its input twice (max agg + rescale join), so letting
+    // half-steps compose lazily doubles the plan tree per step — 2^k
+    // copies of the deepest subtree after k composed steps. The shuffles
+    // dedup via ReusedExchange at runtime but planning + codegen of the
+    // exponential tree dominated the measured cost (the AlsRank1 finding:
+    // 8.8 s for one composed 4-step job vs ~0.6 s per pinned step at
+    // sf0.1). The checkpoint is one score frame (|nodes| rows), values
+    // bit-identical either way.
+    def halfStep(
+        scores: DataFrame, inKey: String, outKey: String
+    ): (DataFrame, DataFrame) = {
       val e = if (inKey == "src") eBySrc else eByDst
-      normalized(
+      val raw = materialize(
         e.join(scores, e(inKey) === scores("node"))
           .groupBy(col(outKey).as("node")).agg(sum(col("v")).as("v")))
+      (raw, normalized(raw))
     }
 
-    var hub = materialize(nodes.select(col("node"), lit(scale).as("v")))
-    var auth = hub
-    val cadence = new Iterate.Cadence(hub)
-    for (i <- 1 to iters) {
-      // the authority half-step stays LAZY inside the hub job (its
-      // identical subtrees collapse via exchange reuse); hub itself
-      // checkpoints every SECOND iteration (and the last) — two full
-      // rounds compose into one job, same arithmetic
-      auth = halfStep(hub, "src", "dst") // a(v) = sum h(u) over u->v
-      if (i == iters) auth = materialize(auth)
-      hub = cadence.step(i, i == iters, halfStep(auth, "dst", "src"))
+    // the live hub/auth frames are lazy `normalized` views over the
+    // newest raw checkpoint of each side — keep the two most recent
+    // raws, release older ones as soon as the consuming step completes
+    val live = scala.collection.mutable.Queue.empty[DataFrame]
+    def track(raw: DataFrame): Unit = {
+      live.enqueue(raw)
+      while (live.size > 2) live.dequeue().unpersist()
+    }
+
+    val hub0 = materialize(nodes.select(col("node"), lit(scale).as("v")))
+    track(hub0)
+    var hub: DataFrame = hub0
+    var auth: DataFrame = hub0
+    for (_ <- 1 to iters) {
+      val (aRaw, aNorm) = halfStep(hub, "src", "dst") // a(v) = sum h(u), u->v
+      track(aRaw)
+      auth = aNorm
+      val (hRaw, hNorm) = halfStep(auth, "dst", "src")
+      track(hRaw)
+      hub = hNorm
     }
     nodes
       .join(hub.select(col("node"), col("v").as("hub_fp")), Seq("node"), "left")

@@ -111,7 +111,11 @@ object PageRank {
     }
 
     var ranks = materialize(nodes.select(col("node"), lit(scale).as("r")))
-    val cadence = new Iterate.Cadence(ranks)
+    // every=1: each round references `ranks` twice (dangling agg +
+    // inflow join), so two lazily-composed rounds carry 4 copies of the
+    // previous round's plan — planning/codegen outweighs the one saved
+    // materialization of a |nodes|-row frame (the AlsRank1/Hits finding)
+    val cadence = new Iterate.Cadence(ranks, every = 1)
     for (i <- 1 to iters) {
       val withDeg = ranks.join(
         outdeg, ranks("node") === outdeg("src"), "left")
@@ -134,9 +138,8 @@ object PageRank {
                  |  (case when is_seed then (dangling div ${nSeeds}L) else 0L end)))
                  |  div 100""".stripMargin)
             ).as("r"))
-      // materialize every SECOND round (and the last): two rounds of
-      // lineage compose into one job — same arithmetic, half the
-      // fixed materialization cost; plan depth stays bounded at 2
+      // materialize every round (see the cadence note above) — same
+      // arithmetic, plan depth bounded at one round
       ranks = cadence.step(i, i == iters, next)
     }
     ranks.select(col("node"), col("r").as("r_fp"))

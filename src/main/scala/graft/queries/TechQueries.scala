@@ -1634,6 +1634,39 @@ object TechQueries {
                  |  AS BIGINT)""".stripMargin).as("rho_fp"))
     }.intendsGlobalWindow(
       "the rank windows run on each side's distinct-value grid — " +
-        "value-range-bounded, never the joined series")
+        "value-range-bounded, never the joined series"),
+
+    // ---- Croston intermittent-demand forecast (see ops.Croston): the
+    //      sparse-series counterpart to q_holt — per-part daily demand
+    //      is mostly-zero (TPC-H parts order ~30 times over ~2400 days),
+    //      where plain EWMA decays to zero between demands. Croston
+    //      smooths demand SIZE and inter-arrival INTERVAL separately at
+    //      demand points only; forecast = size/interval rate. Exact
+    //      int64 (alpha = 1/4 as integer shifts); oracle replays the
+    //      recurrence as a recursive CTE. Scale shape: one shuffle on
+    //      the part key + an O(1)-state ordered fold — no window over
+    //      the dense calendar, the zero periods are never materialized ----
+    QueryDef.sql(
+      "q_croston",
+      s"""WITH RECURSIVE graft_demand AS (
+         |  SELECT l.l_partkey AS series,
+         |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         |      AS dd,
+         |    CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2
+         |),
+         |${graft.ops.Croston.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val demand = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_partkey").as("series"),
+          expr("datediff(to_date(o_orderdate), DATE '1970-01-01')")
+            .cast("long").as("dd"))
+        .agg(sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("q"))
+      graft.ops.Croston.forecast(demand)
+    }
   )
 }
