@@ -858,6 +858,81 @@ object EvalQueries {
         .select(col("event_type"), col("n_cal"), col("mean_fp"),
           col("qhat_fp"), col("n_test"),
           expr("(covered * 1000000L) div n_test").as("coverage_fp"))
-    }
+    },
+
+    // ---- Team-draft interleaving eval (see ops.Interleave): the online
+    //      ranker-comparison primitive — per query the cosine and
+    //      dot-product rankers' top-20 lists are interleaved by
+    //      alternating hash-coin drafts, hash-deterministic clicks
+    //      credit the drafting team, and the per-query click margin is
+    //      the paired preference verdict. Ranking stays in Catalyst
+    //      (broadcast 10-query batch, per-query rank windows); the
+    //      draft itself is a sequential two-pointer fold with state
+    //      bounded by 2x20 ids per query ----
+    QueryDef.sql(
+      "q_interleave", {
+        s"""WITH RECURSIVE p AS (
+           |  SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+           |    ${OracleVec.cos("q.embedding", "e.embedding")} AS cosine,
+           |    ${OracleVec.dot("q.embedding", "e.embedding")} AS dotp
+           |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10
+           |), ranked AS (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, c_id) AS rka,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY dotp DESC, c_id) AS rkb
+           |  FROM p
+           |), la_t AS (
+           |  SELECT q_id, list(c_id ORDER BY rka) AS la
+           |  FROM ranked WHERE rka <= 20 GROUP BY q_id
+           |), lb_t AS (
+           |  SELECT q_id, list(c_id ORDER BY rkb) AS lb
+           |  FROM ranked WHERE rkb <= 20 GROUP BY q_id
+           |), graft_il_lists AS (
+           |  SELECT q_id, la, lb FROM la_t JOIN lb_t USING (q_id)
+           |),
+           |${graft.ops.Interleave.oracleSql(rounds = 5)}""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val p = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          graft.functions.VecOps.cosine(col("q_emb"), col("embedding"))
+            .as("cosine"),
+          graft.functions.VecOps.vecDot(col("q_emb"), col("embedding"))
+            .as("dotp"))
+      val wa = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("c_id"))
+      val wb = Window.partitionBy(col("q_id"))
+        .orderBy(col("dotp").desc, col("c_id"))
+      val lists = p
+        .withColumn("rka", row_number().over(wa))
+        .withColumn("rkb", row_number().over(wb))
+        .filter(col("rka") <= 20 || col("rkb") <= 20)
+        .withColumn("k",
+          expr("md5p60(concat(cast(q_id AS string), ':', " +
+            "cast(c_id AS string))) % 4 = 0"))
+        .groupBy("q_id")
+        .agg(
+          expr("""transform(
+                 |  sort_array(collect_list(CASE WHEN rka <= 20
+                 |    THEN struct(rka AS r, c_id AS c, k AS k) END)),
+                 |  s -> struct(s.c AS c, s.k AS k))""".stripMargin).as("la"),
+          expr("""transform(
+                 |  sort_array(collect_list(CASE WHEN rkb <= 20
+                 |    THEN struct(rkb AS r, c_id AS c, k AS k) END)),
+                 |  s -> struct(s.c AS c, s.k AS k))""".stripMargin).as("lb"))
+        .withColumn("coins",
+          expr("transform(sequence(0, 4), r -> " +
+            "md5p60(concat(cast(q_id AS string), '#', " +
+            "cast(r AS string))) % 2 = 0)"))
+      graft.ops.Interleave.run(lists, rounds = 5)
+    }.intendsNestedLoop(
+      "broadcast side is the 10-row query batch")
   )
 }
