@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -1891,6 +1892,88 @@ object AnalyticsQueries {
                  |  AS BIGINT)""".stripMargin).as("z_fp"),
           expr("""CAST(floor((1e0 * (r2s1 - n1 * (n1 + 1)) / (n1 * n2)
                  |  - 1e0) * 1e6) AS BIGINT)""".stripMargin).as("rb_fp"))
-    }
+    },
+
+    // ---- Benjamini-Hochberg FDR control over an exact-p hypothesis
+    //      family: one paired sign test per (event_type, hour) cell —
+    //      daily variant-0 minus variant-1 value totals (exact cents),
+    //      the 40 most recent nonzero-diff days per cell so the
+    //      binomial stays in int64 — with the two-sided tail
+    //      probability computed EXACTLY (Sum C(n,i), i <= min(k, n-k),
+    //      over 2^n; C(n,i) threads through the fold as stepwise-exact
+    //      integer division), then the BH step-up rule as the pure
+    //      integer comparison p_fp * m <= 50000 * rank (alpha = 0.05).
+    //      No normal approximation anywhere, so both engines agree to
+    //      the bit. Scale shape: the data pass is one partial-agg
+    //      groupBy; everything after lives on the <= |types| x 24
+    //      hypothesis grid ----
+    QueryDef.sql(
+      "q_fdr",
+      """WITH RECURSIVE diffs AS (
+        |  SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END
+        |      * CAST(floor(value * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS d
+        |  FROM events GROUP BY 1, 2, 3
+        |), nz AS (
+        |  SELECT et, hr, d,
+        |    row_number() OVER (PARTITION BY et, hr ORDER BY day DESC) AS rkd
+        |  FROM diffs WHERE d <> 0
+        |), cells AS (
+        |  SELECT et, hr, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |    least(CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |      CAST(count(*) AS BIGINT)
+        |        - CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |      AS j
+        |  FROM nz WHERE rkd <= 40 GROUP BY et, hr
+        |), bc(et, hr, i, c, s) AS (
+        |  SELECT et, hr, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(1 AS BIGINT)
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT b.et, b.hr, b.i + 1,
+        |    (b.c * (t.n - b.i)) // (b.i + 1),
+        |    b.s + (b.c * (t.n - b.i)) // (b.i + 1)
+        |  FROM bc b JOIN cells t ON t.et = b.et AND t.hr = b.hr
+        |  WHERE b.i < t.j
+        |), pv AS (
+        |  SELECT t.et, t.hr, t.n, t.k,
+        |    least(1000000, (2 * b.s * 1000000) // (CAST(1 AS BIGINT) << t.n))
+        |      AS p_fp
+        |  FROM cells t JOIN bc b ON b.et = t.et AND b.hr = t.hr
+        |    AND b.i = t.j
+        |), bh AS (
+        |  SELECT et, hr, n, k, p_fp,
+        |    row_number() OVER (ORDER BY p_fp, et, hr) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pv
+        |)
+        |SELECT et AS event_type, hr, n, k, p_fp, rk,
+        |  CASE WHEN rk <= COALESCE(max(CASE WHEN p_fp * m <= 50000 * rk
+        |    THEN rk END) OVER (), 0) THEN 1 ELSE 0 END AS reject
+        |FROM bh""".stripMargin
+    ) { (s, d) =>
+      val diffs = Tables.events(s, d)
+        .groupBy(col("event_type").as("et"),
+          hour(col("ts")).cast("long").as("hr"),
+          to_date(col("ts")).as("day"))
+        .agg(sum(
+          when(pmod(col("user_id"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L))
+            * expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)")).as("d"))
+      val wRecent = Window.partitionBy(col("et"), col("hr"))
+        .orderBy(col("day").desc)
+      val cells = diffs.filter(col("d") =!= 0)
+        .withColumn("rkd", row_number().over(wRecent))
+        .filter(col("rkd") <= 40)
+        .groupBy(col("et").as("k1"), col("hr").as("k2"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("k"))
+      graft.ops.Fdr.bh(cells)
+        .select(col("k1").as("event_type"), col("k2").as("hr"),
+          col("n"), col("k"), col("p_fp"), col("rk"), col("reject"))
+    }.intendsGlobalWindow(
+      "the BH rank/step-up windows run over the hypothesis grid — " +
+        "bounded by |event_types| x 24 cells, never the event data")
   )
 }
