@@ -51,6 +51,20 @@ object Scc {
   def run(
       spark: SparkSession, nodes: DataFrame,
       succOf: (org.apache.spark.sql.Column, Long) =>
+        org.apache.spark.sql.Column): DataFrame =
+    runFull(spark, nodes, succOf).drop("term_id")
+
+  /** [[run]] plus the TERMINAL-cycle id of every node (`term_id`): the
+    * canonical id of the unique cycle the node's successor chain ends
+    * on — equal to scc_id for cyclic nodes, and for tail nodes the id
+    * of the cycle downstream. Falls out of the doubling state for free
+    * (c(v) = M(F(v)) is already computed for every node; [[run]] keeps
+    * it only for cyclic ones), and is what reachability-structure
+    * queries (bow-tie decomposition) need.
+    */
+  def runFull(
+      spark: SparkSession, nodes: DataFrame,
+      succOf: (org.apache.spark.sql.Column, Long) =>
         org.apache.spark.sql.Column): DataFrame = {
     val n = nodes.count() // sizes K (and the modular succ map)
     val k = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
@@ -90,7 +104,8 @@ object Scc {
           .select(col("v").as("node"),
             when(col("on_cycle"), col("c")).otherwise(col("v")).as("scc_id"),
             col("on_cycle"),
-            when(col("on_cycle"), col("clen")).otherwise(1L).as("scc_size")))
+            when(col("on_cycle"), col("clen")).otherwise(1L).as("scc_size"),
+            col("c").as("term_id")))
       val got = out.count()
       require(got == n,
         s"successor map is not closed over the node set: $got of $n nodes " +
@@ -105,7 +120,7 @@ object Scc {
     * reachability set (which always contains v), on_cycle(v) =
     * reach(succ(v), v), scc_size = |mutual set|.
     */
-  val oracleSql: String =
+  val oracleCtes: String =
     """reach AS (
       |  SELECT v AS root, v AS node FROM graft_fn
       |  UNION
@@ -117,10 +132,13 @@ object Scc {
       |  SELECT v, CAST(min(u) AS BIGINT) AS scc_id,
       |    CAST(count(*) AS BIGINT) AS scc_size
       |  FROM mutual GROUP BY v
-      |)
-      |SELECT agg.v AS node, agg.scc_id,
-      |  EXISTS (SELECT 1 FROM reach r JOIN graft_fn e ON e.v = agg.v
-      |          WHERE r.root = e.s AND r.node = agg.v) AS on_cycle,
-      |  agg.scc_size
-      |FROM agg""".stripMargin
+      |)""".stripMargin
+
+  val oracleSql: String =
+    oracleCtes + "\n" +
+      """SELECT agg.v AS node, agg.scc_id,
+        |  EXISTS (SELECT 1 FROM reach r JOIN graft_fn e ON e.v = agg.v
+        |          WHERE r.root = e.s AND r.node = agg.v) AS on_cycle,
+        |  agg.scc_size
+        |FROM agg""".stripMargin
 }

@@ -1339,6 +1339,93 @@ object RankQueries {
       Scc.run(s, nodes, (k, n) => (k * k + lit(1L)) % lit(n))
     },
 
+    // ---- Bow-tie decomposition of a functional graph (Broder et al.
+    //      2000's web-structure map, on rho-shaped successor graphs):
+    //      every node classifies against the LARGEST cycle ("core") —
+    //      on it, on a tail flowing INTO it ("in"), on another cycle
+    //      ("other_core"), or on a tail into another cycle ("tendril").
+    //      (A functional graph has no OUT set: out-degree 1 means the
+    //      core is never left.) The map runs an INDEPENDENT rho
+    //      (q^2+1 mod m_r) inside each k-mod-4 residue class, so the
+    //      graph has >= 4 attractor cycles and all four classes
+    //      populate — q_scc's single-attractor map would leave
+    //      other_core/tendril vacuously empty. Spark side rides
+    //      ops.Scc's pointer doubling — the terminal-cycle id c(v) =
+    //      M(F(v)) is already in the doubling state for every node
+    //      (runFull); the largest cycle is a lazy 1-row argmax
+    //      broadcast. Oracle: the reachability DEFINITION over the
+    //      recursive closure — two independent algorithms again ----
+    QueryDef.sql(
+      "q_bowtie",
+      s"""WITH RECURSIVE nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m FROM customer
+         |), graft_fn AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS v,
+         |    (((CAST(c_custkey AS BIGINT) // 4)
+         |        * (CAST(c_custkey AS BIGINT) // 4) + 1)
+         |      % ((m - 1 - CAST(c_custkey AS BIGINT) % 4) // 4 + 1)) * 4
+         |      + CAST(c_custkey AS BIGINT) % 4 AS s
+         |  FROM customer CROSS JOIN nn
+         |),
+         |${Scc.oracleCtes},
+         |cyc AS (
+         |  SELECT f.v FROM graft_fn f WHERE EXISTS (
+         |    SELECT 1 FROM reach r WHERE r.root = f.s AND r.node = f.v)
+         |), term AS (
+         |  SELECT r.root AS v, CAST(min(r.node) AS BIGINT) AS term_id
+         |  FROM reach r JOIN cyc c ON c.v = r.node
+         |  GROUP BY r.root
+         |), csize AS (
+         |  SELECT a.scc_id, CAST(max(a.scc_size) AS BIGINT) AS sz
+         |  FROM agg a JOIN cyc c ON c.v = a.v GROUP BY a.scc_id
+         |), big AS (
+         |  SELECT scc_id AS core_id FROM csize ORDER BY sz DESC, scc_id
+         |  LIMIT 1
+         |), lab AS (
+         |  SELECT f.v,
+         |    CASE WHEN c.v IS NOT NULL AND t.term_id = b.core_id
+         |           THEN 'core'
+         |         WHEN c.v IS NULL AND t.term_id = b.core_id THEN 'in'
+         |         WHEN c.v IS NOT NULL THEN 'other_core'
+         |         ELSE 'tendril' END AS clazz,
+         |    t.term_id
+         |  FROM graft_fn f
+         |  JOIN term t ON t.v = f.v
+         |  LEFT JOIN cyc c ON c.v = f.v
+         |  CROSS JOIN big b
+         |)
+         |SELECT clazz, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(count(DISTINCT term_id) AS BIGINT) AS n_comps
+         |FROM lab GROUP BY clazz""".stripMargin
+    ) { (s, d) =>
+      val nodes = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("v"))
+      // per-residue rho: r = k mod 4, q = k div 4, class size
+      // m_r = (n-1-r) div 4 + 1 (keys contiguous 0..n-1, so the image
+      // ((q^2+1) mod m_r)*4 + r < n and the map is closed)
+      val full = Scc.runFull(s, nodes, { (k, n) =>
+        val r = pmod(k, lit(4L))
+        val q = shiftright(k, 2)
+        val mr = shiftright(lit(n - 1) - r, 2) + lit(1L)
+        pmod(q * q + lit(1L), mr) * lit(4L) + r
+      })
+      // largest cycle: 1-row argmax (size desc, id asc) broadcast
+      val big = full.filter(col("on_cycle"))
+        .agg(max(struct(col("scc_size"), (-col("scc_id")).as("nid"))).as("mx"))
+        .select((-col("mx.nid")).as("core_id"))
+      full.crossJoin(broadcast(big))
+        .select(
+          when(col("on_cycle") && col("term_id") === col("core_id"), "core")
+            .when(!col("on_cycle") && col("term_id") === col("core_id"), "in")
+            .when(col("on_cycle"), "other_core")
+            .otherwise("tendril").as("clazz"),
+          col("term_id"))
+        .groupBy(col("clazz"))
+        .agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("term_id")).as("n_comps"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row largest-cycle argmax"),
+
     // ---- Rank-1 ALS matrix factorization over the customer x part
     //      purchase matrix (see ops.AlsRank1): the collaborative-
     //      filtering training primitive next to q_item_cf's neighbor

@@ -78,4 +78,30 @@ class SccSpec extends AnyFunSuite with Matchers {
       size shouldBe 1L
     }
   }
+
+  test("runFull: term_id is the downstream cycle's id for every node") {
+    import spark.implicits._
+    val n = 300L
+    def succ(k: Long): Long = (k * k + 1) % n
+    // serial terminal id: walk n steps (lands on the cycle), then take
+    // the min over that cycle
+    def termOf(v: Long): Long = {
+      var x = v
+      (0L until n).foreach(_ => x = succ(x))
+      var mn = x
+      var y = succ(x)
+      while (y != x) { mn = math.min(mn, y); y = succ(y) }
+      mn
+    }
+    val nodes = (0L until n).toDF("v")
+    val got = Scc.runFull(spark, nodes,
+      (k, m) => (k * k + org.apache.spark.sql.functions.lit(1L)) %
+        org.apache.spark.sql.functions.lit(m))
+      .select("node", "on_cycle", "scc_id", "term_id")
+      .as[(Long, Boolean, Long, Long)].collect()
+    got.foreach { case (v, onCycle, sccId, termId) =>
+      termId shouldBe termOf(v)
+      if (onCycle) termId shouldBe sccId
+    }
+  }
 }
