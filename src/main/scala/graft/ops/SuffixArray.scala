@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generalized suffix array over a document corpus by parallel prefix
+  * doubling (Manber/Myers 1990) — the index behind exact
+  * substring-level training-data dedup (Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better": repeated spans are
+  * adjacent in suffix order, so corpus-scale repeated-substring
+  * detection is a suffix sort plus a neighbor scan).
+  *
+  * Rank semantics: `sfx_rank(id, pos)` = DENSE rank of the suffix
+  * `text[pos..]` in the corpus-wide lexicographic order — equal
+  * suffixes (duplicate documents, shared tails) share a rank. Suffixes
+  * never cross document boundaries, and a proper prefix sorts BEFORE
+  * any extension ("ab" < "abc"), matching plain string comparison.
+  *
+  * Algorithm: O(log maxlen) rounds. Round state is (id, pos, r) with r
+  * the dense rank of the length-h prefix of each suffix; one self
+  * equi-join on (id, pos+h) pairs each rank with the rank h positions
+  * ahead (0 beyond the end — the before-everything sentinel that makes
+  * prefixes sort first), and the pairs re-rank densely. Convergence:
+  * when a round's distinct-pair count equals the previous rank-class
+  * count the refinement is a fixed point (r_2h is a function of r_h
+  * pairs), so later rounds cannot split further — duplicate suffixes
+  * keep equal ranks forever, which is exactly the dense contract.
+  *
+  * Scale shape: every step is an equi-join / distinct / range-sort —
+  * no window with an empty partitionSpec anywhere (a global
+  * single-partition window is precisely what this op exists to avoid).
+  * Dense rank assignment over the distinct pair set is the one
+  * RDD-assisted step: repartitionByRange + in-partition sort, then
+  * ordinals from per-partition counts (a #partitions-row collect —
+  * metadata, not data). Equal keys land in one range partition, so the
+  * assignment is deterministic at any width. The per-round driver
+  * values (pair counts) size the convergence check only — structural,
+  * not data-plane (the Scc/BPE precedent).
+  */
+object SuffixArray {
+
+  /** Dense-rank assignment in place: range-sort `paired` (id, pos, r1,
+    * r2) by (r1, r2), then assign each row the dense rank of its pair —
+    * one pass collects per-partition (first pair, last pair, distinct
+    * count) (a #partitions-row metadata collect), the driver chains the
+    * rank offsets (merging groups that straddle a partition boundary,
+    * so correctness does not even rely on the range partitioner keeping
+    * equal keys together), a second pass assigns. Returns ((id, pos,
+    * r = dense rank), total distinct pairs). Avoids the
+    * distinct + rank + join-back round-trip: one shuffle per round
+    * instead of three.
+    */
+  private def rankAssign(
+      paired: DataFrame, width: Int): (DataFrame, Long) = {
+    val spark = paired.sparkSession
+    import spark.implicits._
+    val sorted = paired
+      .repartitionByRange(width, col("r1"), col("r2"))
+      .sortWithinPartitions(col("r1"), col("r2"))
+      .select(col("id"), col("pos"), col("r1"), col("r2"))
+    val rdd = sorted.rdd
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rdd.persist()
+    val infos = rdd.mapPartitionsWithIndex { (i, it) =>
+      var d = 0L
+      var first: (Long, Long) = null
+      var last: (Long, Long) = null
+      it.foreach { case (_, _, a, b) =>
+        if (first == null) first = (a, b)
+        if (last == null || last != ((a, b))) d += 1
+        last = (a, b)
+      }
+      if (first == null) Iterator.empty else Iterator((i, d, first, last))
+    }.collect().sortBy(_._1)
+    var off = 0L
+    var prevLast: (Long, Long) = null
+    val offsets = Map.newBuilder[Int, Long]
+    infos.foreach { case (i, d, first, last) =>
+      val o = off - (if (prevLast != null && prevLast == first) 1L else 0L)
+      offsets += i -> o
+      off = o + d
+      prevLast = last
+    }
+    val total = off
+    val bc = spark.sparkContext.broadcast(offsets.result())
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = bc.value.getOrElse(i, 0L)
+      var last: (Long, Long) = null
+      it.map { case (id, pos, a, b) =>
+        if (last == null || last != ((a, b))) { rank += 1; last = (a, b) }
+        (id, pos, rank)
+      }
+    }
+    val out = Iterate.materialize(ranked.toDF("id", "pos", "r"))
+    rdd.unpersist()
+    (out, total)
+  }
+
+  /** Build the suffix array of `docs` (columns: id, text; empty texts
+    * contribute nothing). Output: (id, pos, sfx_rank) — pos 1-based,
+    * one row per suffix, sfx_rank the corpus-wide dense rank.
+    */
+  def build(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("id"), col("text"))
+      .filter(length(col("text")) >= 1)
+    val maxLen = base.agg(coalesce(max(length(col("text"))), lit(0)))
+      .head().getInt(0)
+    val sfxCh = base
+      .select(col("id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"))
+      .select(col("id"), col("text"), col("pos").cast("long").as("pos"),
+        expr("substring(text, pos, 1)").as("ch"))
+    if (maxLen == 0) {
+      return sfxCh.select(col("id"), col("pos"), lit(0L).as("sfx_rank"))
+    }
+    // the alphabet is bounded (distinct single chars), so the
+    // char -> dense-rank map is a literal expression, not a join
+    val alphabet = sfxCh.select(col("ch")).distinct()
+      .orderBy(col("ch")).as[String].collect()
+    val a1 = alphabet.length + 1L
+    val rankMap = typedLit(
+      alphabet.zipWithIndex.map { case (c, i) => c -> (i + 1L) }.toMap)
+    def chRank(off: Int) = coalesce(
+      element_at(rankMap, expr(s"substring(text, pos + $off, 1)")), lit(0L))
+
+    Iterate.withWidth(spark, sfxCh.count()) { p =>
+      // seed from the first FOUR characters packed into the (r1, r2)
+      // pair ("" ranks 0 — the before-everything sentinel, so shorter
+      // prefixes sort first exactly like string comparison): the loop
+      // starts at h = 4, saving two full rounds
+      val (sfx0, classes0) = rankAssign(
+        sfxCh.select(col("id"), col("pos"),
+          (chRank(0) * a1 + chRank(1)).as("r1"),
+          (chRank(2) * a1 + chRank(3)).as("r2")), p)
+      var sfx = sfx0
+      var classes = classes0
+      var h = 4L
+      var done = false
+      while (h < maxLen && !done) {
+        val b = sfx.select(col("id").as("bid"), col("pos").as("bpos"),
+          col("r").as("br"))
+        val paired = sfx.join(b,
+            sfx("id") === col("bid") && (sfx("pos") + h) === col("bpos"),
+            "left")
+          .select(col("id"), col("pos"), col("r").as("r1"),
+            coalesce(col("br"), lit(0L)).as("r2"))
+        val (next, total) = rankAssign(paired, p)
+        if (total == classes) {
+          // fixed point: this round refined nothing (and the relabel is
+          // the identity — the old ranks were already dense), so later
+          // rounds cannot split further
+          next.unpersist()
+          done = true
+        } else {
+          sfx.unpersist()
+          sfx = next
+          classes = total
+          h = h * 2
+        }
+      }
+      sfx.select(col("id"), col("pos"), col("r").as("sfx_rank"))
+    }
+  }
+}

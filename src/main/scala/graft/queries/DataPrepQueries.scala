@@ -2476,6 +2476,42 @@ object DataPrepQueries {
         .select(col("doc_id"), col("n_words"), col("n_syllables"),
           expr("39 * n_words + (1180 * n_syllables) div n_words - 1559")
             .as("fk_grade_fp"))
+    },
+
+    // ---- Generalized suffix array by prefix doubling (see
+    //      ops.SuffixArray): the exact substring-dedup index of Lee et
+    //      al. 2021 — repeated spans are ADJACENT in suffix order, so
+    //      corpus-scale repeated-substring detection reduces to this
+    //      sort plus a neighbor scan. Spark side: O(log maxlen) rounds
+    //      of equi-join + distinct + range-sort dense rank — NO
+    //      single-partition window anywhere (that is the op's whole
+    //      point); oracle side: DuckDB literally sorts the suffix
+    //      STRINGS — two independent algorithms, rank-for-rank. 25%
+    //      deterministic doc sample keeps the naive oracle feasible at
+    //      sf1 ----
+    QueryDef.sql(
+      "q_suffix_array",
+      """WITH sample AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 4 = 0
+        |), pos_t AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(generate_series(1, length(text))) AS BIGINT) AS pos
+        |  FROM sample
+        |), sfx AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT)) AS s
+        |  FROM pos_t
+        |)
+        |SELECT doc_id, pos,
+        |  CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS sfx_rank
+        |FROM sfx""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(expr("md5p60(cast(doc_id AS string)) % 4 = 0"))
+        .select(col("doc_id").as("id"), col("text"))
+      graft.ops.SuffixArray.build(docs)
+        .select(col("id").as("doc_id"), col("pos"), col("sfx_rank"))
     }
   )
 }
