@@ -2512,6 +2512,57 @@ object DataPrepQueries {
         .select(col("doc_id").as("id"), col("text"))
       graft.ops.SuffixArray.build(docs)
         .select(col("id").as("doc_id"), col("pos"), col("sfx_rank"))
+    },
+
+    // ---- Repeated-span detection (see ops.RepeatedSpans): the suffix-
+    //      array NEIGHBOR SCAN that makes q_suffix_array a dedup tool —
+    //      every substring occurring twice in the corpus puts its two
+    //      occurrences adjacent somewhere in suffix order, so adjacent
+    //      pairs with a long common prefix enumerate ALL >= 16-char
+    //      repeats (within or across docs) without an all-pairs
+    //      comparison. span_len capped at 64 (a truncated report of an
+    //      arbitrarily long repeat). Adjacency = distributed lead():
+    //      range-sort + in-partition sliding pairs + boundary stitching
+    //      via a metadata-row collect — no single-partition window ----
+    QueryDef.sql(
+      "q_repeated_spans",
+      """WITH sample AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 8 = 0
+        |), pos_t AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(generate_series(1, length(text))) AS BIGINT) AS pos
+        |  FROM sample
+        |), sfx AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT)) AS s
+        |  FROM pos_t
+        |), ord AS (
+        |  SELECT doc_id, pos, s,
+        |    row_number() OVER (ORDER BY s, doc_id, pos) AS rn
+        |  FROM sfx
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |    b.doc_id AS doc_b, b.pos AS pos_b, a.s AS sa_, b.s AS sb_
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+        |  WHERE substr(a.s, 1, 16) = substr(b.s, 1, 16)
+        |    AND length(a.s) >= 16
+        |), lc AS (
+        |  SELECT doc_a, pos_a, doc_b, pos_b, sa_,
+        |    (SELECT COALESCE(max(l), 0) FROM range(1, 65) t(l)
+        |     WHERE CAST(l AS BIGINT) <= least(length(sa_), length(sb_))
+        |       AND substr(sa_, 1, CAST(l AS INT))
+        |         = substr(sb_, 1, CAST(l AS INT))) AS span_len
+        |  FROM pr
+        |)
+        |SELECT doc_a, pos_a, doc_b, pos_b, span_len,
+        |  substr(sa_, 1, CAST(span_len AS INT)) AS span
+        |FROM lc WHERE span_len >= 16""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(expr("md5p60(cast(doc_id AS string)) % 8 = 0"))
+        .select(col("doc_id").as("id"), col("text"))
+      graft.ops.RepeatedSpans.find(docs, minLen = 16, cap = 64)
     }
   )
 }
