@@ -64,5 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.size == 1, "md5s60(str) takes 1 argument")
         graft.functions.Md5Suffix60(exprs.head)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_fp"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinklerFp].getName, "jaro_winkler_fp"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "jaro_winkler_fp(a, b) takes 2 arguments")
+        graft.functions.JaroWinklerFp(exprs.head, exprs(1))
+      }))
   }
 }

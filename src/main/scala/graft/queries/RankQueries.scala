@@ -208,7 +208,8 @@ object RankQueries {
         concat(lit("C"), col("o_custkey")).as("src"),
         concat(lit("S"), col("l_suppkey")).as("dst"))
       Hits.run(fwd.union(rev))
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row per-half-step max-normalization frame"),
 
     // ---- Multi-source BFS hop distance (see ops.Bfs): shortest
     //      directed-hop distance from the nation-0-4 supplier seed set
@@ -1453,7 +1454,8 @@ object RankQueries {
         .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
           expr("CAST(floor(l_quantity) AS BIGINT)").as("r"))
       graft.ops.AlsRank1.run(ratings)
-    },
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row per-half-step max-normalization frame"),
 
     // ---- Locally-dominant greedy matching over the trade graph (see
     //      ops.Matching): the graph-coarsening primitive — pairs nodes
