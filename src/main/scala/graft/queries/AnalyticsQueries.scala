@@ -1974,6 +1974,99 @@ object AnalyticsQueries {
           col("n"), col("k"), col("p_fp"), col("rk"), col("reject"))
     }.intendsGlobalWindow(
       "the BH rank/step-up windows run over the hypothesis grid — " +
-        "bounded by |event_types| x 24 cells, never the event data")
+        "bounded by |event_types| x 24 cells, never the event data"),
+
+    // ---- Difference-in-differences estimator per event_type: the
+    //      quasi-experimental workhorse when treatment wasn't randomized
+    //      over time — treated (user-hash variant 1) vs control value
+    //      means, before vs after the midpoint day of the observed
+    //      range; DiD = (T_post - T_pre) - (C_post - C_pre) cancels both
+    //      the group baseline and the common time trend. Exact integer
+    //      cents; means in 1e6 fixed point with the sign.abs-div
+    //      spelling; pre_gap_fp (the pre-period group gap) is the
+    //      parallel-trends diagnostic reviewers ask for first. One
+    //      partial-agg pass + a 1-row cutoff broadcast ----
+    QueryDef.sql(
+      "q_did",
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    user_id % 2 AS grp,
+        |    CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS cents
+        |  FROM events
+        |), cut AS (
+        |  SELECT (min(dd) + max(dd)) // 2 AS cutoff FROM b
+        |), cells AS (
+        |  SELECT event_type, grp,
+        |    CASE WHEN dd > cutoff THEN 1 ELSE 0 END AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s
+        |  FROM b CROSS JOIN cut GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT event_type, grp, post, n,
+        |    CASE WHEN s < 0 THEN -((-s * 1000000) // n)
+        |         ELSE (s * 1000000) // n END AS mean_fp
+        |  FROM cells
+        |), w AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN grp = 1 AND post = 1 THEN mean_fp END) AS mtp,
+        |    max(CASE WHEN grp = 1 AND post = 0 THEN mean_fp END) AS mtr,
+        |    max(CASE WHEN grp = 0 AND post = 1 THEN mean_fp END) AS mcp,
+        |    max(CASE WHEN grp = 0 AND post = 0 THEN mean_fp END) AS mcr,
+        |    max(CASE WHEN grp = 1 AND post = 1 THEN n END) AS n_t_post,
+        |    max(CASE WHEN grp = 1 AND post = 0 THEN n END) AS n_t_pre,
+        |    max(CASE WHEN grp = 0 AND post = 1 THEN n END) AS n_c_post,
+        |    max(CASE WHEN grp = 0 AND post = 0 THEN n END) AS n_c_pre
+        |  FROM m GROUP BY event_type
+        |)
+        |SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  (mtp - mtr) - (mcp - mcr) AS did_fp,
+        |  mtr - mcr AS pre_gap_fp
+        |FROM w
+        |WHERE mtp IS NOT NULL AND mtr IS NOT NULL
+        |  AND mcp IS NOT NULL AND mcr IS NOT NULL""".stripMargin
+    ) { (s, d) =>
+      val b = Tables.events(s, d).select(
+        col("event_type"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)")
+          .as("dd"),
+        pmod(col("user_id"), lit(2)).as("grp"),
+        expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("cents"))
+      val cut = b.agg(expr("(min(dd) + max(dd)) div 2").as("cutoff"))
+      val m = b.crossJoin(broadcast(cut))
+        .groupBy(col("event_type"), col("grp"),
+          when(col("dd") > col("cutoff"), 1).otherwise(0).as("post"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .select(col("event_type"), col("grp"), col("post"), col("n"),
+          expr("""CASE WHEN s < 0 THEN -((-s * 1000000L) div n)
+                 |     ELSE (s * 1000000L) div n END""".stripMargin)
+            .as("mean_fp"))
+      m.groupBy(col("event_type"))
+        .agg(
+          max(when(col("grp") === 1 && col("post") === 1, col("mean_fp")))
+            .as("mtp"),
+          max(when(col("grp") === 1 && col("post") === 0, col("mean_fp")))
+            .as("mtr"),
+          max(when(col("grp") === 0 && col("post") === 1, col("mean_fp")))
+            .as("mcp"),
+          max(when(col("grp") === 0 && col("post") === 0, col("mean_fp")))
+            .as("mcr"),
+          max(when(col("grp") === 1 && col("post") === 1, col("n")))
+            .as("n_t_post"),
+          max(when(col("grp") === 1 && col("post") === 0, col("n")))
+            .as("n_t_pre"),
+          max(when(col("grp") === 0 && col("post") === 1, col("n")))
+            .as("n_c_post"),
+          max(when(col("grp") === 0 && col("post") === 0, col("n")))
+            .as("n_c_pre"))
+        .filter(col("mtp").isNotNull && col("mtr").isNotNull &&
+          col("mcp").isNotNull && col("mcr").isNotNull)
+        .select(col("event_type"), col("n_t_pre"), col("n_t_post"),
+          col("n_c_pre"), col("n_c_post"),
+          ((col("mtp") - col("mtr")) - (col("mcp") - col("mcr")))
+            .as("did_fp"),
+          (col("mtr") - col("mcr")).as("pre_gap_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row midpoint-cutoff frame")
   )
 }
