@@ -2563,6 +2563,121 @@ object DataPrepQueries {
         .filter(expr("md5p60(cast(doc_id AS string)) % 8 = 0"))
         .select(col("doc_id").as("id"), col("text"))
       graft.ops.RepeatedSpans.find(docs, minLen = 16, cap = 64)
+    },
+
+    // ---- Per-document duplication coverage: the dedup DECISION metric
+    //      on top of q_repeated_spans — what fraction of each doc's
+    //      characters sits inside a >= 16-char span that occurs
+    //      elsewhere in the corpus (the SA neighbor has the longest
+    //      common prefix of ALL suffixes, so neighbor spans mark every
+    //      repeated position exactly). Both occurrence sides contribute
+    //      intervals; classic gaps-and-islands union per doc (window
+    //      partitioned BY DOC, never global), coverage = merged/len.
+    //      Smaller 1/16 sample than q_repeated_spans bounds the second
+    //      suffix-sort in the bench ----
+    QueryDef.sql(
+      "q_dup_coverage",
+      """WITH sample AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 16 = 0
+        |), pos_t AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(generate_series(1, length(text))) AS BIGINT) AS pos
+        |  FROM sample
+        |), sfx AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT)) AS s
+        |  FROM pos_t
+        |), ord AS (
+        |  SELECT doc_id, pos, s,
+        |    row_number() OVER (ORDER BY s, doc_id, pos) AS rn
+        |  FROM sfx
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |    b.doc_id AS doc_b, b.pos AS pos_b, a.s AS sa_, b.s AS sb_
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+        |  WHERE substr(a.s, 1, 16) = substr(b.s, 1, 16)
+        |    AND length(a.s) >= 16
+        |), spans AS (
+        |  SELECT doc_a, pos_a, doc_b, pos_b,
+        |    (SELECT COALESCE(max(l), 0) FROM range(1, 65) t(l)
+        |     WHERE CAST(l AS BIGINT) <= least(length(sa_), length(sb_))
+        |       AND substr(sa_, 1, CAST(l AS INT))
+        |         = substr(sb_, 1, CAST(l AS INT))) AS span_len
+        |  FROM pr
+        |), iv AS (
+        |  -- DISTINCT is load-bearing: duplicate (st, en) rows make the
+        |  -- (st, en) window order non-total, and the brk/isl windows are
+        |  -- SEPARATE evaluations whose tie orders can disagree under a
+        |  -- parallel sort - a duplicate pair then splits across islands
+        |  -- and the overlap double-counts (found as a nondeterministic
+        |  -- DuckDB result at sf1)
+        |  SELECT DISTINCT doc_id, st, en FROM (
+        |    SELECT doc_a AS doc_id, pos_a AS st, pos_a + span_len AS en
+        |    FROM spans WHERE span_len >= 16
+        |    UNION ALL
+        |    SELECT doc_b, pos_b, pos_b + span_len
+        |    FROM spans WHERE span_len >= 16)
+        |), brk AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc_id
+        |      ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM iv
+        |), isl AS (
+        |  SELECT doc_id, st, en,
+        |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM brk
+        |), merged AS (
+        |  SELECT doc_id,
+        |    CAST(sum(mx - mn) AS BIGINT) AS covered
+        |  FROM (SELECT doc_id, island, min(st) AS mn, max(en) AS mx
+        |        FROM isl GROUP BY doc_id, island)
+        |  GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, CAST(length(s.text) AS BIGINT) AS n_chars,
+        |  COALESCE(m.covered, 0) AS covered,
+        |  (COALESCE(m.covered, 0) * 1000000)
+        |    // CAST(length(s.text) AS BIGINT) AS cov_fp
+        |FROM sample s LEFT JOIN merged m ON m.doc_id = s.doc_id
+        |WHERE length(s.text) >= 1""".stripMargin
+    ) { (s, d) =>
+      val sample = Tables.documents(s, d)
+        .filter(expr("md5p60(cast(doc_id AS string)) % 16 = 0"))
+        .select(col("doc_id").as("id"), col("text"))
+      val spans = graft.ops.RepeatedSpans.find(sample, minLen = 16, cap = 64)
+      // DISTINCT is load-bearing: see the oracle's iv comment — tied
+      // (st, en) rows make the two island windows' orders non-total
+      val iv = spans.select(col("doc_a").as("doc_id"), col("pos_a").as("st"),
+          (col("pos_a") + col("span_len")).as("en"))
+        .union(spans.select(col("doc_b"), col("pos_b"),
+          col("pos_b") + col("span_len")))
+        .distinct()
+      val wPrev = Window.partitionBy(col("doc_id"))
+        .orderBy(col("st"), col("en"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("doc_id"))
+        .orderBy(col("st"), col("en"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val merged = iv
+        .withColumn("b",
+          when(col("st") > coalesce(max(col("en")).over(wPrev), lit(-1L)),
+            1L).otherwise(0L))
+        .withColumn("island", sum(col("b")).over(wCum))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("st")).as("mn"), max(col("en")).as("mx"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("mx") - col("mn")).as("covered"))
+      sample.filter(length(col("text")) >= 1)
+        .join(merged, sample("id") === merged("doc_id"), "left")
+        .select(sample("id").as("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          coalesce(col("covered"), lit(0L)).as("covered"),
+          expr("(coalesce(covered, 0L) * 1000000L) div CAST(length(text) AS BIGINT)")
+            .as("cov_fp"))
     }
   )
 }
