@@ -20,9 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * over the common denominator 6*|a|*|b|*m in int64 — NO floating point
   * anywhere, so results are bit-stable across JVMs and partitionings.
   * Winkler boost: jw = jaro + L*(1e6 - jaro)/10 with L = common-prefix
-  * length capped at 4 (exact integers again). Headroom:
-  * 1e6 * 4m^2 * max(|a|,|b|) < 2^63 bounds inputs at ~50k chars —
-  * far beyond any name field; longer inputs raise.
+  * length capped at 4 (exact integers again). Headroom: the numerator
+  * is bounded by 6e6 * L^3 with L = max(|a|,|b|) (m <= L and each of
+  * the three terms is <= 2e6 * L^3), so L <= 11,000 keeps it under
+  * 2^63 — far beyond any name field; longer inputs raise loudly
+  * instead of wrapping (JVM arithmetic would NOT raise on its own).
   *
   * Cross-engine note: DuckDB exposes jaro_winkler_similarity, but its
   * edge conventions (empty strings, the m=0 case, boost threshold)
@@ -74,8 +76,9 @@ object JaroWinkler {
     val lb = b.length.toLong
     if (la == 0 && lb == 0) return 1000000L
     if (la == 0 || lb == 0) return 0L
-    require(la <= 50000 && lb <= 50000,
-      "jaro_winkler_fp headroom bound: inputs must be <= 50k chars")
+    require(la <= 11000 && lb <= 11000,
+      "jaro_winkler_fp headroom bound: inputs must be <= 11k chars " +
+        "(the 1e6-scaled numerator is ~6e6 * maxlen^3)")
     val window = math.max(0L, math.max(la, lb) / 2 - 1).toInt
     val aMatch = new Array[Boolean](a.length)
     val bMatch = new Array[Boolean](b.length)

@@ -114,13 +114,10 @@ object AlsRank1 {
       }
 
       // the returned u/v are lazy `normalized` views over the newest raw
-      // checkpoint of each side — keep the two most recent raws, release
-      // every older one as soon as the step that consumed it completes
-      val live = scala.collection.mutable.Queue.empty[DataFrame]
-      def track(raw: DataFrame): Unit = {
-        live.enqueue(raw)
-        while (live.size > 2) live.dequeue().unpersist()
-      }
+      // checkpoint of each side — Iterate.RawQueue keeps the two most
+      // recent, releasing older ones as their consuming step completes
+      val live = new Iterate.RawQueue(keep = 2)
+      def track(raw: DataFrame): Unit = live.track(raw)
 
       val v0 = materialize(
         rByItem.select(col("item").as("id")).distinct()

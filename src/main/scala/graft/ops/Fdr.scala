@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * integer both engines compute identically; no normal approximation.
   * Headroom: the tail sum is < 2^n, so `2 * 2^n * 1e6 < 2^63` requires
   * n <= 40 — callers cap trials per cell at 40 (the cap also bounds the
-  * fold at 20 steps/row).
+  * fold at 20 steps/row), and the plan enforces it per row with
+  * assert_true (n = 63 would wrap shiftleft to Long.MIN_VALUE, which
+  * ANSI mode does not catch).
   *
   * BH at level alpha: reject the rank-ordered p_(1..m) up to the
   * largest j with p_(j) <= alpha * j / m — as the integer comparison
@@ -33,8 +35,15 @@ object Fdr {
   def bh(cells: DataFrame, alphaFp: Long = 50000L): DataFrame = {
     val pv = cells
       .withColumn("j", least(col("k"), col("n") - col("k")))
+      // the n <= 40 headroom precondition is enforced IN the plan
+      // (assert_true raises per row): n = 63 would hit
+      // shiftleft(1L, 63) = Long.MIN_VALUE — a bit-shift wrap that ANSI
+      // mode does NOT catch — making p_fp negative and rank-1, silently
+      // inflating the BH rejection set
       .select(col("k1"), col("k2"), col("n"), col("k"),
-        expr("""least(1000000L,
+        expr("""CASE WHEN assert_true(n >= 1 AND n <= 40,
+               |  'Fdr.bh: n must be in [1, 40] (int64 headroom)') IS NULL
+               |THEN least(1000000L,
                |  (2 * (CASE WHEN j = 0 THEN 1L ELSE
                |     aggregate(sequence(1, CAST(j AS INT)),
                |       named_struct('c', 1L, 's', 1L),
@@ -42,7 +51,7 @@ object Fdr {
                |         'c', (acc.c * (n - i + 1)) div i,
                |         's', acc.s + (acc.c * (n - i + 1)) div i),
                |       acc -> acc.s) END) * 1000000L)
-               |  div shiftleft(1L, CAST(n AS INT)))""".stripMargin)
+               |  div shiftleft(1L, CAST(n AS INT))) END""".stripMargin)
           .as("p_fp"))
     val wRank = Window.orderBy(col("p_fp"), col("k1"), col("k2"))
     val all = Window.partitionBy()

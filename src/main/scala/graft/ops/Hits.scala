@@ -98,13 +98,10 @@ object Hits {
     }
 
     // the live hub/auth frames are lazy `normalized` views over the
-    // newest raw checkpoint of each side — keep the two most recent
-    // raws, release older ones as soon as the consuming step completes
-    val live = scala.collection.mutable.Queue.empty[DataFrame]
-    def track(raw: DataFrame): Unit = {
-      live.enqueue(raw)
-      while (live.size > 2) live.dequeue().unpersist()
-    }
+    // newest raw checkpoint of each side — Iterate.RawQueue keeps the
+    // two most recent, releasing older ones as their step completes
+    val live = new Iterate.RawQueue(keep = 2)
+    def track(raw: DataFrame): Unit = live.track(raw)
 
     val hub0 = materialize(nodes.select(col("node"), lit(scale).as("v")))
     track(hub0)

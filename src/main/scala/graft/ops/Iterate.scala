@@ -77,4 +77,20 @@ private[graft] object Iterate {
         m
       } else next
   }
+
+  /** Retention for raw checkpoints that live BEHIND lazily-derived
+    * views (the AlsRank1/Hits pattern: each half-step checkpoints its
+    * grouped sum and hands out a lazy max-normalized view over it):
+    * `track` each new checkpoint; everything but the newest `keep` is
+    * unpersisted — the live views only ever reference the most recent
+    * checkpoint of each side, so keep = 2 covers an alternating pair.
+    */
+  final class RawQueue(keep: Int = 2) {
+    require(keep >= 1)
+    private val live = scala.collection.mutable.Queue.empty[DataFrame]
+    def track(raw: DataFrame): Unit = {
+      live.enqueue(raw)
+      while (live.size > keep) live.dequeue().unpersist()
+    }
+  }
 }

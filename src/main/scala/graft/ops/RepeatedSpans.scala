@@ -32,8 +32,7 @@ object RepeatedSpans {
     require(minLen >= 1 && cap >= minLen)
     val spark = docs.sparkSession
     import spark.implicits._
-    val sa = SuffixArray.build(docs) // (id, pos, sfx_rank)
-    val n = sa.count()
+    val (sa, n) = SuffixArray.buildWithCount(docs) // (id, pos, sfx_rank)
     val p = Iterate.width(spark, n)
     val sorted = sa
       .repartitionByRange(p, col("sfx_rank"), col("id"), col("pos"))
@@ -93,6 +92,9 @@ object RepeatedSpans {
         expr("substring(a64, 1, CAST(span_len AS INT))").as("span"))
     val mat = Iterate.materialize(out)
     rdd.unpersist()
+    // the suffix-array checkpoint is fully consumed once `mat` exists —
+    // without this it would pin |suffixes| rows for the session
+    sa.unpersist()
     mat
   }
 }

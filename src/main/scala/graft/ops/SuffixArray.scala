@@ -100,20 +100,34 @@ object SuffixArray {
     * contribute nothing). Output: (id, pos, sfx_rank) — pos 1-based,
     * one row per suffix, sfx_rank the corpus-wide dense rank.
     */
-  def build(docs: DataFrame): DataFrame = {
+  def build(docs: DataFrame): DataFrame = buildWithCount(docs)._1
+
+  /** [[build]] plus the suffix count (one driver scalar the builder
+    * already knows — callers like [[RepeatedSpans]] need it to size
+    * their own stages and should not re-scan 3.7M rows to recount).
+    * The returned frame is the loop's own checkpoint (projected), so
+    * `unpersist()` on it releases the storage when a caller derives
+    * and materializes something else from it.
+    */
+  def buildWithCount(docs: DataFrame): (DataFrame, Long) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col("id"), col("text"))
       .filter(length(col("text")) >= 1)
-    val maxLen = base.agg(coalesce(max(length(col("text"))), lit(0)))
-      .head().getInt(0)
+    // ONE stats pass: max doc length (sizes the doubling loop) and the
+    // total char count = suffix count (sizes the shuffle width)
+    val (maxLen, nSfx) = base
+      .agg(coalesce(max(length(col("text"))), lit(0)),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)))
+      .as[(Int, Long)].head()
     val sfxCh = base
       .select(col("id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("pos"))
       .select(col("id"), col("text"), col("pos").cast("long").as("pos"),
         expr("substring(text, pos, 1)").as("ch"))
     if (maxLen == 0) {
-      return sfxCh.select(col("id"), col("pos"), lit(0L).as("sfx_rank"))
+      return (sfxCh.select(col("id"), col("pos"), lit(0L).as("sfx_rank")),
+        0L)
     }
     // the alphabet is bounded (distinct single chars), so the
     // char -> dense-rank map is a literal expression, not a join
@@ -125,7 +139,7 @@ object SuffixArray {
     def chRank(off: Int) = coalesce(
       element_at(rankMap, expr(s"substring(text, pos + $off, 1)")), lit(0L))
 
-    Iterate.withWidth(spark, sfxCh.count()) { p =>
+    Iterate.withWidth(spark, nSfx) { p =>
       // seed from the first FOUR characters packed into the (r1, r2)
       // pair ("" ranks 0 — the before-everything sentinel, so shorter
       // prefixes sort first exactly like string comparison): the loop
@@ -160,7 +174,14 @@ object SuffixArray {
           h = h * 2
         }
       }
-      sfx.select(col("id"), col("pos"), col("r").as("sfx_rank"))
+      // materialize under the output names and release the loop's last
+      // checkpoint: the returned frame is then itself the persisted one,
+      // so a caller's unpersist() actually frees the storage (unpersist
+      // on a select-VIEW of a checkpoint is a no-op)
+      val out = Iterate.materialize(
+        sfx.select(col("id"), col("pos"), col("r").as("sfx_rank")))
+      sfx.unpersist()
+      (out, nSfx)
     }
   }
 }

@@ -22,6 +22,13 @@ import graft.ops.{IvfIndex, Perceptron, RandomWalk}
   */
 object EvalQueries {
 
+  /** q_interleave draft rounds — shared by the coin array, the Scala
+    * draft fold, and the oracle recursion (they must agree: the fold
+    * indexes coins(r) for r < rounds).
+    */
+  private val interleaveRounds = 5
+
+
   /** nDCG discount weights floor(1e9/log2(i+1)), i = 1..10, and their
     * prefix sums — INTEGER LITERALS shared by the Spark side and the
     * DuckDB oracle of q_ndcg so the two cannot drift.
@@ -871,6 +878,10 @@ object EvalQueries {
     //      bounded by 2x20 ids per query ----
     QueryDef.sql(
       "q_interleave", {
+        // ONE source of truth for the round count: the coin array, the
+        // Scala draft, and the oracle recursion must all agree or the
+        // draft fold indexes past the coins
+        val rounds = interleaveRounds
         s"""WITH RECURSIVE p AS (
            |  SELECT q.vec_id AS q_id, e.vec_id AS c_id,
            |    ${OracleVec.cos("q.embedding", "e.embedding")} AS cosine,
@@ -893,7 +904,7 @@ object EvalQueries {
            |), graft_il_lists AS (
            |  SELECT q_id, la, lb FROM la_t JOIN lb_t USING (q_id)
            |),
-           |${graft.ops.Interleave.oracleSql(rounds = 5)}""".stripMargin
+           |${graft.ops.Interleave.oracleSql(rounds)}""".stripMargin
       }
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -928,10 +939,10 @@ object EvalQueries {
                  |    THEN struct(rkb AS r, c_id AS c, k AS k) END)),
                  |  s -> struct(s.c AS c, s.k AS k))""".stripMargin).as("lb"))
         .withColumn("coins",
-          expr("transform(sequence(0, 4), r -> " +
+          expr(s"transform(sequence(0, ${interleaveRounds - 1}), r -> " +
             "md5p60(concat(cast(q_id AS string), '#', " +
             "cast(r AS string))) % 2 = 0)"))
-      graft.ops.Interleave.run(lists, rounds = 5)
+      graft.ops.Interleave.run(lists, interleaveRounds)
     }.intendsNestedLoop(
       "broadcast side is the 10-row query batch")
   )

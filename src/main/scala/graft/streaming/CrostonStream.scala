@@ -46,6 +46,13 @@ object CrostonStream {
       rows.toSeq.sortBy(_.dd).foreach { e =>
         val rn = s.rn + 1
         val gap = if (rn == 1) 1L else e.dd - s.prev
+        // loud contract failure instead of silent state corruption: a
+        // demand for an already-folded period arriving in a LATER
+        // micro-batch would drive p toward zero and poison f_fp
+        require(rn == 1 || gap > 0,
+          s"CrostonStream: out-of-order delivery for series $key — " +
+            s"period ${e.dd} arrived after ${s.prev} was folded " +
+            "(delivery must be in period order per key)")
         s = if (rn == 1) CState(e.q * S, gap * S, e.dd, rn)
         else CState(
           (e.q * S + 3 * s.z) / 4, (gap * S + 3 * s.p) / 4, e.dd, rn)
