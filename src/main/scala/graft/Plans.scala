@@ -64,7 +64,14 @@ object Plans {
     "q_lsh_scurve", // band join + rare-shingle blocking, both linear in postings
     "q_knn_mplsh", // Hamming-1 probe fan-out stays on the broadcast side
     "q_robust_scaler", // ONE type exchange, broadcast quartiles back
-    "q_table_checksum" // commutative mod-sum, pure scan+agg
+    "q_table_checksum", // commutative mod-sum, pure scan+agg
+    "q_croston", // part-key exchange, typed O(1)-state fold
+    "q_fdr", // one partial-agg data pass, BH on the hypothesis grid
+    "q_did", // one partial-agg pass + 1-row cutoff broadcast
+    "q_interleave", // broadcast query batch, rank windows, per-query fold
+    "q_bowtie", // Scc doubling + 1-row largest-cycle argmax broadcast
+    "q_repeated_spans", // SA + distributed lead + row-local bounded LCP
+    "q_dup_coverage" // span intervals, DISTINCT + per-doc island windows
   )
 
   def main(args: Array[String]): Unit = {
