@@ -217,6 +217,71 @@ object AssocQueries {
         .orderBy(col("event_type"))
     },
 
+    // ---- 1-D Wasserstein (earth-mover) drift per event_type: the
+    //      MAGNITUDE-sensitive companion to q_ks_drift's max-gap D —
+    //      KS says whether distributions differ, W1 = ∫|F_A − F_B| dv
+    //      says by how much VALUE mass moved (the metric that ranks
+    //      "prices shifted 2 cents" below "prices doubled"). Same
+    //      even/odd split and tie-free distinct-cents grid as KS; the
+    //      CDF gap is the q_ks_drift fixed-point rational, weighted by
+    //      the grid gap to the next value (lead, last row contributes
+    //      nothing). emd_fp / 1e6 = W1 in cents. Headroom: the KS bound
+    //      (side counts ≤ ~3e6) times Σdv = value range in cents —
+    //      terms ≤ 1e6·range, safe to ~9e9 total cents of range ----
+    QueryDef.sql(
+      "q_emd_drift",
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 1e2 + 5e-1) AS BIGINT) AS v,
+        |    event_id % 2 AS side
+        |  FROM events
+        |), pv AS (
+        |  SELECT event_type, v,
+        |    CAST(count(*) FILTER (side = 0) AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (side = 1) AS BIGINT) AS nb
+        |  FROM ev GROUP BY event_type, v
+        |), cum AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(na) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER w AS BIGINT) AS cb,
+        |    CAST(sum(na) OVER (PARTITION BY event_type) AS BIGINT) AS nat,
+        |    CAST(sum(nb) OVER (PARTITION BY event_type) AS BIGINT) AS nbt,
+        |    lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY v)
+        |)
+        |SELECT event_type, max(nat) AS n_a, max(nbt) AS n_b,
+        |  CAST(sum(CASE WHEN nv IS NULL THEN 0
+        |    ELSE ((abs(ca * nbt - cb * nat) * 1000000)
+        |      // greatest(nat * nbt, 1)) * (nv - v) END) AS BIGINT)
+        |    AS emd_fp
+        |FROM cum GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val pv = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("v"),
+          pmod(col("event_id"), lit(2)).as("side"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("event_type"))
+      pv
+        .withColumn("ca", sum(col("na")).over(wCum))
+        .withColumn("cb", sum(col("nb")).over(wCum))
+        .withColumn("nat", sum(col("na")).over(wAll))
+        .withColumn("nbt", sum(col("nb")).over(wAll))
+        .withColumn("nv", lead(col("v"), 1).over(wCum))
+        .groupBy(col("event_type"))
+        .agg(max(col("nat")).as("n_a"), max(col("nbt")).as("n_b"),
+          sum(expr("""CASE WHEN nv IS NULL THEN 0L
+                     |ELSE ((abs(ca * nbt - cb * nat) * 1000000)
+                     |  div greatest(nat * nbt, 1L)) * (nv - v) END"""
+            .stripMargin)).as("emd_fp"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Population stability index (PSI): the production ML-
     //      monitoring drift metric next to q_ks_drift's KS statistic —
     //      decile bins learned from the BASELINE half (even event ids,
