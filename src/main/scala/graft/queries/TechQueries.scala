@@ -31,6 +31,61 @@ import graft.model.Tables
   */
 object TechQueries {
 
+  /** Sign-safe truncating integer division spelling (the Holt/PcaPower
+    * convention), templated on the engine's integer-divide token
+    * ("div" for Spark, "//" for DuckDB) so q_pacf's recursion is
+    * single-sourced across both.
+    */
+  private[queries] def sdiv(num: String, den: String, idiv: String): String =
+    s"(CASE WHEN ($num) < 0 THEN -((-($num)) $idiv ($den)) " +
+      s"ELSE ($num) $idiv ($den) END)"
+
+  /** 1e6-fp product of two fp values. */
+  private[queries] def mulFp(a: String, b: String, idiv: String): String =
+    sdiv(s"$a * $b", "1000000", idiv)
+
+  /** ACF lag moment -> 1e6-fp correlation (den > 0 enforced upstream). */
+  private[queries] def rFp(q: String, idiv: String): String =
+    sdiv(s"($q) * 1000000", "den", idiv)
+
+  /** The Durbin-Levinson recursion at lags 1..5, unrolled as named
+    * steps over fp columns r1..r5 — consumed as lateral aliases by the
+    * q_pacf oracle and as sequential projections by the Spark side
+    * (Spark selectExpr has no lateral aliases). phi_{k,k} is the PACF
+    * at lag k; inner coefficients update as
+    * phi_{k,j} = phi_{k-1,j} - phi_{k,k} * phi_{k-1,k-j}.
+    */
+  private[queries] def durbinLevinson(idiv: String): Seq[(String, String)] = {
+    def m(a: String, b: String) = mulFp(a, b, idiv)
+    def d(num: String, den: String) =
+      sdiv(s"($num) * 1000000", s"nullif($den, 0)", idiv)
+    Seq(
+      "p11" -> "r1",
+      "num2" -> s"r2 - ${m("p11", "r1")}",
+      "den2" -> s"1000000 - ${m("p11", "r1")}",
+      "p22" -> d("num2", "den2"),
+      "p21" -> s"p11 - ${m("p22", "p11")}",
+      "num3" -> s"r3 - ${m("p21", "r2")} - ${m("p22", "r1")}",
+      "den3" -> s"1000000 - ${m("p21", "r1")} - ${m("p22", "r2")}",
+      "p33" -> d("num3", "den3"),
+      "p31" -> s"p21 - ${m("p33", "p22")}",
+      "p32" -> s"p22 - ${m("p33", "p21")}",
+      "num4" -> (s"r4 - ${m("p31", "r3")} - ${m("p32", "r2")} - " +
+        m("p33", "r1")),
+      "den4" -> (s"1000000 - ${m("p31", "r1")} - ${m("p32", "r2")} - " +
+        m("p33", "r3")),
+      "p44" -> d("num4", "den4"),
+      "p41" -> s"p31 - ${m("p44", "p33")}",
+      "p42" -> s"p32 - ${m("p44", "p32")}",
+      "p43" -> s"p33 - ${m("p44", "p31")}",
+      "num5" -> (s"r5 - ${m("p41", "r4")} - ${m("p42", "r3")} - " +
+        s"${m("p43", "r2")} - ${m("p44", "r1")}"),
+      "den5" -> (s"1000000 - ${m("p41", "r1")} - ${m("p42", "r2")} - " +
+        s"${m("p43", "r3")} - ${m("p44", "r4")}"),
+      "p55" -> d("num5", "den5"))
+  }
+
+
   import Num.{dsum, dsumSql}
 
   private def ev(s: SparkSession, d: String): DataFrame =
@@ -912,6 +967,122 @@ object TechQueries {
                    |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END"""
               .stripMargin)).as("acf"))
     },
+
+    // ---- Partial autocorrelation (Durbin-Levinson) at lags 1..5 per
+    //      symbol: the AR-order diagnostic q_acf can't give (ACF decays
+    //      geometrically for ANY AR process; PACF cuts off exactly at
+    //      the true order — the Box-Jenkins identification tool, and
+    //      the general-m companion to q_ar2's fixed order). Standard
+    //      biased ACF estimator on the mean-centered dollar series
+    //      (integer moments: num_k = sum d_t*d_(t-k), den = sum d^2,
+    //      r_k = num*1e6 div den), then the Durbin-Levinson recursion
+    //      unrolled in 1e6 fixed point — every step is generated from
+    //      ONE spelling shared verbatim by the Spark projections and
+    //      the oracle's lateral-alias chain, so the engines cannot
+    //      drift. Headroom: n * dmax^2 * 1e6 < 2^63 admits ~3.6e5 rows
+    //      per symbol at dollar scale (dmax ~ 5e3); re-quantize coarser
+    //      for longer series. Shape: ONE symbol exchange carries the
+    //      lag windows and the moment groupBy; the recursion runs on
+    //      the |symbols|-row pivoted frame ----
+    QueryDef.sql(
+      "q_pacf", {
+        // one CTE per recursion LEVEL: a single lateral-alias chain
+        // would inline each alias once per reference, and the
+        // sign-dance spelling references its operand three times — the
+        // expression tree then grows ~3^depth and the oracle never
+        // finishes (the AlsRank1 exponential-composition finding, at
+        // the SQL-expression level). Per-level CTEs keep every inline
+        // depth-2: within a level, aliases reference only columns of
+        // the previous CTE.
+        val levels = TechQueries.durbinLevinson("//")
+          .groupBy { case (n, _) => n.find(_.isDigit).get }
+          .toSeq.sortBy(_._1)
+        val dlCtes = levels.zipWithIndex.map { case ((_, steps), i) =>
+          val prev = if (i == 0) "rr" else s"dl$i"
+          val cols = steps.map { case (n, e) => s"    $e AS $n" }
+            .mkString(",\n")
+          s"dl${i + 1} AS (\n  SELECT *,\n$cols\n  FROM $prev\n)"
+        }.mkString(", ")
+        s"""WITH r0 AS (
+           |  SELECT event_type AS symbol,
+           |    CAST(floor(value) AS BIGINT) AS y,
+           |    ts, event_id
+           |  FROM events
+           |), st AS (
+           |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+           |  FROM r0 GROUP BY symbol
+           |), d AS (
+           |  SELECT r0.symbol, st.n, r0.y - st.m AS dd,
+           |    lag(r0.y - st.m, 1) OVER w AS d1,
+           |    lag(r0.y - st.m, 2) OVER w AS d2,
+           |    lag(r0.y - st.m, 3) OVER w AS d3,
+           |    lag(r0.y - st.m, 4) OVER w AS d4,
+           |    lag(r0.y - st.m, 5) OVER w AS d5
+           |  FROM r0 JOIN st ON st.symbol = r0.symbol
+           |  WINDOW w AS (PARTITION BY r0.symbol ORDER BY ts, event_id)
+           |), mo AS (
+           |  SELECT symbol, max(n) AS n,
+           |    CAST(sum(dd * dd) AS BIGINT) AS den,
+           |    CAST(sum(CASE WHEN d1 IS NULL THEN 0 ELSE dd * d1 END)
+           |      AS BIGINT) AS q1,
+           |    CAST(sum(CASE WHEN d2 IS NULL THEN 0 ELSE dd * d2 END)
+           |      AS BIGINT) AS q2,
+           |    CAST(sum(CASE WHEN d3 IS NULL THEN 0 ELSE dd * d3 END)
+           |      AS BIGINT) AS q3,
+           |    CAST(sum(CASE WHEN d4 IS NULL THEN 0 ELSE dd * d4 END)
+           |      AS BIGINT) AS q4,
+           |    CAST(sum(CASE WHEN d5 IS NULL THEN 0 ELSE dd * d5 END)
+           |      AS BIGINT) AS q5
+           |  FROM d GROUP BY symbol
+           |), rr AS (
+           |  SELECT symbol, n,
+           |    ${TechQueries.rFp("q1", "//")} AS r1, ${TechQueries.rFp("q2", "//")} AS r2,
+           |    ${TechQueries.rFp("q3", "//")} AS r3, ${TechQueries.rFp("q4", "//")} AS r4,
+           |    ${TechQueries.rFp("q5", "//")} AS r5
+           |  FROM mo WHERE den > 0
+           |), $dlCtes
+           |SELECT symbol, n, r1, r2, r3, r4, r5,
+           |  p11 AS pacf1_fp, p22 AS pacf2_fp, p33 AS pacf3_fp,
+           |  p44 AS pacf4_fp, p55 AS pacf5_fp
+           |FROM dl${levels.size}""".stripMargin
+      }
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("symbol"))
+        .orderBy(col("ts"), col("event_id"))
+      val r0 = Tables.events(s, d).select(
+        col("event_type").as("symbol"),
+        expr("CAST(floor(value) AS BIGINT)").as("y"),
+        col("ts"), col("event_id"))
+      val st = r0.groupBy(col("symbol").as("st_symbol"))
+        .agg(count(lit(1)).as("n"), expr("sum(y) div count(1)").as("m"))
+      val dd = r0.join(broadcast(st), col("symbol") === col("st_symbol"))
+        .withColumn("dd", col("y") - col("m"))
+      val lagged = (1 to 5).foldLeft(dd) { (f, k) =>
+        f.withColumn(s"d$k", lag(col("dd"), k).over(w))
+      }
+      val mo = lagged.groupBy(col("symbol"))
+        .agg(max(col("n")).as("n"),
+          sum(col("dd") * col("dd")).as("den"),
+          sum(expr("CASE WHEN d1 IS NULL THEN 0L ELSE dd * d1 END")).as("q1"),
+          sum(expr("CASE WHEN d2 IS NULL THEN 0L ELSE dd * d2 END")).as("q2"),
+          sum(expr("CASE WHEN d3 IS NULL THEN 0L ELSE dd * d3 END")).as("q3"),
+          sum(expr("CASE WHEN d4 IS NULL THEN 0L ELSE dd * d4 END")).as("q4"),
+          sum(expr("CASE WHEN d5 IS NULL THEN 0L ELSE dd * d5 END")).as("q5"))
+        .filter(col("den") > 0)
+      val rr = mo.select(col("symbol") +: col("n") +:
+        (1 to 5).map(k =>
+          expr(TechQueries.rFp(s"q$k", "div")).as(s"r$k")): _*)
+      val dl = TechQueries.durbinLevinson("div").foldLeft(rr) { case (f, (n, e)) =>
+        f.withColumn(n, expr(e))
+      }
+      dl.select(col("symbol"), col("n"),
+        col("r1"), col("r2"), col("r3"), col("r4"), col("r5"),
+        col("p11").as("pacf1_fp"), col("p22").as("pacf2_fp"),
+        col("p33").as("pacf3_fp"), col("p44").as("pacf4_fp"),
+        col("p55").as("pacf5_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the |symbols|-row mean/count frame"),
 
     // ---- CUSUM single-changepoint location: per symbol, the index
     //      maximizing |n*cum_t - t*total| — the integer-cleared form of
