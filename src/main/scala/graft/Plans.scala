@@ -71,7 +71,9 @@ object Plans {
     "q_interleave", // broadcast query batch, rank windows, per-query fold
     "q_bowtie", // Scc doubling + 1-row largest-cycle argmax broadcast
     "q_repeated_spans", // SA + distributed lead + row-local bounded LCP
-    "q_dup_coverage" // span intervals, DISTINCT + per-doc island windows
+    "q_dup_coverage", // span intervals, DISTINCT + per-doc island windows
+    "q_emd_drift", // type-partitioned CDF windows, no global sort
+    "q_pacf" // one symbol exchange + lag windows, DL on the 5-row frame
   )
 
   def main(args: Array[String]): Unit = {

@@ -1081,8 +1081,7 @@ object TechQueries {
         col("p11").as("pacf1_fp"), col("p22").as("pacf2_fp"),
         col("p33").as("pacf3_fp"), col("p44").as("pacf4_fp"),
         col("p55").as("pacf5_fp"))
-    }.intendsNestedLoop(
-      "broadcast side is the |symbols|-row mean/count frame"),
+    },
 
     // ---- CUSUM single-changepoint location: per symbol, the index
     //      maximizing |n*cum_t - t*total| — the integer-cleared form of
