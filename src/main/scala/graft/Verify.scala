@@ -22,12 +22,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val t0 = System.nanoTime()
+    var nOk, nFail = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+      }
       catch { case e: Throwable =>
+        nFail += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,6 +53,14 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val nOracles = SparkEntry.oracleSql
+      .count { case (k, _) => only.isEmpty || only(k) }
+    // self-evidencing summary (VERDICT r7 item 2): if a driver-side
+    // correctness artifact ever comes back empty again, this line in the
+    // driver's log attributes it — the dump either completed or it didn't
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[verify] done: ${nOk + nFail}%d queries ($nOk%d ok, " +
+      f"$nFail%d failed), $nOracles%d oracles, $secs%.1f s")
     spark.stop()
   }
 }

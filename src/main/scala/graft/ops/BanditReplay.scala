@@ -108,7 +108,7 @@ object BanditReplay {
       idx.map(i => s"n$i") ++ idx.map(i => s"s$i")).mkString(", ")
     val finals = Arms.zipWithIndex.map { case (a, i) =>
       s"""SELECT u.user_id, '$a' AS arm, u.n$i AS pulls, u.s$i AS rewards
-         |FROM ucb u JOIN mx ON mx.user_id = u.user_id AND mx.mrn = u.rn"""
+         |FROM ucbm u JOIN mx ON mx.user_id = u.user_id AND mx.mrn = u.rn"""
         .stripMargin
     }.mkString("\nUNION ALL ")
     s"""ucb(user_id, rn, $cols) AS (
@@ -125,8 +125,10 @@ object BanditReplay {
        |$sUpd
        |  FROM ucb b JOIN graft_bandit_ev e
        |    ON e.user_id = b.user_id AND e.rn = b.rn + 1
+       |), ucbm AS MATERIALIZED (
+       |  SELECT * FROM ucb
        |), mx AS (
-       |  SELECT user_id, max(rn) AS mrn FROM ucb GROUP BY user_id
+       |  SELECT user_id, max(rn) AS mrn FROM ucbm GROUP BY user_id
        |)
        |$finals""".stripMargin
   }

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * fold is bit-identical at any parallelism. Headroom: z is bounded by
   * max(q)*S by induction (the update is a convex combination before
   * truncation), so the forecast numerator needs `max(q) * S * 1e6 <
-  * 2^63` — S = 1e4 admits demands to ~9e4 units per period; intervals
-  * bounded by the series span in periods.
+  * 2^63` — S = 1e4 admits demands to ~9e8 units per period (2^63 /
+  * 1e10); intervals bounded by the series span in periods.
   *
   * Scale shape ([[Holt]]): ONE shuffle on the series key, then an
   * O(1)-state ordered fold per group (`flatMapSortedGroups`) — no

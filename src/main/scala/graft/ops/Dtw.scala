@@ -48,6 +48,21 @@ object Dtw {
       (s"d_${i}_$j", s"($cost + $best)")
     }
 
+  /** [[cellExprs]] grouped by DP row `i`, for engines whose optimizer
+    * textually expands lateral column aliases (DuckDB): one flat SELECT
+    * of all 38 band cells re-expands each alias into its full
+    * predecessor tree — ~3^depth expression blowup (measured ~85 s at
+    * sf0.01). Emitting one MATERIALIZED CTE level per DP row caps the
+    * expansion depth at the within-row band width (<= 2r+1). Arithmetic
+    * and evaluation order of every cell are unchanged, so results stay
+    * bit-identical to the flat form.
+    */
+  def cellLevels(aAt: Int => String, bAt: Int => String, m: Int, r: Int)
+      : Seq[Seq[(String, String)]] =
+    cellExprs(aAt, bAt, m, r)
+      .groupBy { case (a, _) => a.split("_")(1).toInt }
+      .toSeq.sortBy(_._1).map(_._2)
+
   /** Reference implementation (plain Scala DP) for specs: banded DTW with
     * squared point cost, same semantics as [[cellExprs]].
     */

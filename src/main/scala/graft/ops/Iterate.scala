@@ -88,6 +88,18 @@ private[graft] object Iterate {
   final class RawQueue(keep: Int = 2) {
     require(keep >= 1)
     private val live = scala.collection.mutable.Queue.empty[DataFrame]
+
+    /** CALLER CONTRACT (ordering, not just counting): `track(raw)` may
+      * evict the oldest tracked checkpoint, and evicting a
+      * localCheckpoint'd frame that a still-live LAZY view references
+      * fails at runtime (blocks dropped under a truncated lineage). So
+      * call `track` only once every consumer of the view over the
+      * `keep`-th-previous same-side checkpoint has been MATERIALIZED —
+      * i.e. for the alternating-pair pattern (keep = 2): checkpoint
+      * side A, materialize the next side-B checkpoint FROM A's view,
+      * then track A's replacement. Hits/AlsRank1 follow this order;
+      * new callers must too, the class cannot detect misuse.
+      */
     def track(raw: DataFrame): Unit = {
       live.enqueue(raw)
       while (live.size > keep) live.dequeue().unpersist()

@@ -89,6 +89,15 @@ object Viterbi {
     * (user_id, rn, event_id, e0, e1) relation: forward scores up,
     * backtrack down (the backpointer is RECOMPUTED from the forward
     * scores with the same tie rule — identical to storing it).
+    *
+    * The forward result is re-materialized (`fwdm`) before the backtrack
+    * consumes it: DuckDB inlines plain CTE references, so a backtrack
+    * recursion referencing `fwd` directly re-runs the ENTIRE forward
+    * recursion at every backward step — O(maxlen²) full-table passes
+    * (measured 106 s on q_bursts at sf0.01; 0.6 s with the
+    * materialization). Callers must likewise declare `graft_hmm_ev`
+    * `AS MATERIALIZED`, or each forward step re-runs its window + md5
+    * scan.
     */
   def oracleSql(stay: Long = -1L, switch: Long = -4L): String =
     s"""fwd(user_id, rn, v0, v1) AS (
@@ -99,19 +108,21 @@ object Viterbi {
        |    e.e1 + greatest(fwd.v0 + $switch, fwd.v1 + $stay)
        |  FROM fwd JOIN graft_hmm_ev e
        |    ON e.user_id = fwd.user_id AND e.rn = fwd.rn + 1
+       |), fwdm AS MATERIALIZED (
+       |  SELECT * FROM fwd
        |), lastrn AS (
        |  SELECT user_id, max(rn) AS t FROM graft_hmm_ev GROUP BY user_id
        |), bwd(user_id, rn, state) AS (
        |  SELECT f.user_id, f.rn,
        |    CASE WHEN f.v0 >= f.v1 THEN 0 ELSE 1 END
-       |  FROM fwd f JOIN lastrn l ON l.user_id = f.user_id AND f.rn = l.t
+       |  FROM fwdm f JOIN lastrn l ON l.user_id = f.user_id AND f.rn = l.t
        |  UNION ALL
        |  SELECT f.user_id, f.rn,
        |    CASE WHEN bwd.state = 0
        |      THEN CASE WHEN f.v0 + $stay >= f.v1 + $switch THEN 0 ELSE 1 END
        |      ELSE CASE WHEN f.v0 + $switch >= f.v1 + $stay THEN 0 ELSE 1 END
        |    END
-       |  FROM bwd JOIN fwd f
+       |  FROM bwd JOIN fwdm f
        |    ON f.user_id = bwd.user_id AND f.rn = bwd.rn - 1
        |)
        |SELECT e.user_id, e.rn, e.event_id, bwd.state

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ConnectedComponents, Curation, NearDup, Sharding, TextPrep}
+import graft.ops.{ConnectedComponents, Curation, NearDup, SaDedup, Sharding, TextPrep}
 
 /** The operators composed as one corpus-curation pipeline — what a user
   * of the reference would actually run end-to-end over a raw document
@@ -35,7 +35,8 @@ object CorpusPipeline {
     */
   def docStages(
       docs: DataFrame,
-      evalSet: Option[DataFrame]): Seq[(String, DataFrame)] = {
+      evalSet: Option[DataFrame],
+      saSpans: Option[(Int, Int)] = None): Seq[(String, DataFrame)] = {
     val base = docs.select("doc_id", "text", "lang", "source")
 
     val keepExact = base
@@ -51,7 +52,24 @@ object CorpusPipeline {
       .select(col("id").as("doc_id"))
     val nearDeduped = exact.join(members, Seq("doc_id"), "left_anti")
 
-    val quality = nearDeduped.filter(TextPrep.verdict === "keep")
+    // optional ExactSubstr span removal (Lee et al. 2021, ops.SaDedup):
+    // runs AFTER document-level dedup (fewer suffixes to sort) and
+    // BEFORE the quality gate (a doc gutted to boilerplate should be
+    // judged on what remains). Docs scrubbed to nothing drop out.
+    val spanClean = saSpans match {
+      case Some((minLen, cap)) =>
+        val cleaned = SaDedup
+          .clean(nearDeduped.select(col("doc_id").as("id"), col("text")),
+            minLen, cap)
+          .select(col("doc_id"), col("clean_text"))
+        nearDeduped.drop("text")
+          .join(cleaned.withColumnRenamed("clean_text", "text"), Seq("doc_id"))
+          .filter(length(col("text")) > 0)
+          .select("doc_id", "text", "lang", "source")
+      case None => nearDeduped
+    }
+
+    val quality = spanClean.filter(TextPrep.verdict === "keep")
 
     val scrubbed = Curation.piiScrub(quality)
       .withColumn("text", col("redacted"))
@@ -65,10 +83,13 @@ object CorpusPipeline {
       case None => scrubbed
     }
 
-    Seq(
+    val head = Seq(
       "input" -> base,
       "exact_dedup" -> exact,
-      "near_dedup" -> nearDeduped,
+      "near_dedup" -> nearDeduped)
+    val spanStage =
+      if (saSpans.isDefined) Seq("sa_span_dedup" -> spanClean) else Nil
+    head ++ spanStage ++ Seq(
       "quality" -> quality,
       "decontaminated" -> clean)
   }
@@ -83,8 +104,9 @@ object CorpusPipeline {
       chunkSize: Int = 32,
       chunkStride: Int = 24,
       packShards: Int = 8,
-      packBudget: Long = 2048L): DataFrame = {
-    val curated = docStages(docs, evalSet).last._2
+      packBudget: Long = 2048L,
+      saSpans: Option[(Int, Int)] = None): DataFrame = {
+    val curated = docStages(docs, evalSet, saSpans).last._2
     val chunks = TextPrep
       .chunkDocs(curated, chunkSize, chunkStride)
       .withColumn("chunk_key",

@@ -621,7 +621,7 @@ object AnalyticsQueries {
     //      cross-engine ----
     QueryDef.sql(
       "q_bandit_replay",
-      s"""WITH RECURSIVE graft_bandit_ev AS (
+      s"""WITH RECURSIVE graft_bandit_ev AS MATERIALIZED (
          |  SELECT user_id,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY ts, event_id) AS rn,
@@ -1387,7 +1387,7 @@ object AnalyticsQueries {
     //      (the documented exact-decoding bound) ----
     QueryDef.sql(
       "q_viterbi",
-      s"""WITH RECURSIVE graft_hmm_ev AS (
+      s"""WITH RECURSIVE graft_hmm_ev AS MATERIALIZED (
          |  SELECT user_id, event_id,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY ts, event_id) AS rn,
@@ -1425,7 +1425,7 @@ object AnalyticsQueries {
          |      - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
          |          ORDER BY ts, event_id) AS gap
          |  FROM events
-         |), graft_hmm_ev AS (
+         |), graft_hmm_ev AS MATERIALIZED (
          |  SELECT user_id, event_id, rn,
          |    CASE WHEN gap IS NULL OR gap >= 3600
          |      THEN CAST(0 AS BIGINT) ELSE -3 END AS e0,
@@ -1459,7 +1459,7 @@ object AnalyticsQueries {
     //      convention), transitions pStay = 0.8 ----
     QueryDef.sql(
       "q_hmm_forward",
-      s"""WITH RECURSIVE graft_hmm_ev AS (
+      s"""WITH RECURSIVE graft_hmm_ev AS MATERIALIZED (
          |  SELECT user_id, event_id,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY ts, event_id) AS rn,

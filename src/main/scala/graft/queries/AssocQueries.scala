@@ -225,9 +225,13 @@ object AssocQueries {
     //      even/odd split and tie-free distinct-cents grid as KS; the
     //      CDF gap is the q_ks_drift fixed-point rational, weighted by
     //      the grid gap to the next value (lead, last row contributes
-    //      nothing). emd_fp / 1e6 = W1 in cents. Headroom: the KS bound
-    //      (side counts ≤ ~3e6) times Σdv = value range in cents —
-    //      terms ≤ 1e6·range, safe to ~9e9 total cents of range ----
+    //      nothing). emd_fp / 1e6 = W1 in cents. Headroom: the gap
+    //      rational (x*1e6)//g is evaluated by the exact split-division
+    //      identity (x//g)*1e6 + ((x%g)*1e3//g)*1e3 + ((x%g)*1e3%g)*1e3//g
+    //      — same value, but the largest intermediate is g*1e3 instead
+    //      of g*1e6, so sides are safe to ~9.6e7 rows per event_type
+    //      (g = nat*nbt ≤ 9.2e15) instead of ~3e6; terms ≤ 1e6·range,
+    //      safe to ~9e9 total cents of range ----
     QueryDef.sql(
       "q_emd_drift",
       """WITH ev AS (
@@ -248,13 +252,19 @@ object AssocQueries {
         |    lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
         |  FROM pv
         |  WINDOW w AS (PARTITION BY event_type ORDER BY v)
+        |), xg AS (
+        |  SELECT event_type, v, nat, nbt, nv,
+        |    abs(ca * nbt - cb * nat) AS x,
+        |    greatest(nat * nbt, 1) AS g
+        |  FROM cum
         |)
         |SELECT event_type, max(nat) AS n_a, max(nbt) AS n_b,
         |  CAST(sum(CASE WHEN nv IS NULL THEN 0
-        |    ELSE ((abs(ca * nbt - cb * nat) * 1000000)
-        |      // greatest(nat * nbt, 1)) * (nv - v) END) AS BIGINT)
-        |    AS emd_fp
-        |FROM cum GROUP BY event_type
+        |    ELSE ((x // g) * 1000000
+        |      + (((x % g) * 1000) // g) * 1000
+        |      + ((((x % g) * 1000) % g) * 1000) // g) * (nv - v) END)
+        |    AS BIGINT) AS emd_fp
+        |FROM xg GROUP BY event_type
         |ORDER BY event_type""".stripMargin
     ) { (s, d) =>
       val pv = Tables.events(s, d)
@@ -273,11 +283,15 @@ object AssocQueries {
         .withColumn("nat", sum(col("na")).over(wAll))
         .withColumn("nbt", sum(col("nb")).over(wAll))
         .withColumn("nv", lead(col("v"), 1).over(wCum))
+        .withColumn("x", expr("abs(ca * nbt - cb * nat)"))
+        .withColumn("g", expr("greatest(nat * nbt, 1L)"))
         .groupBy(col("event_type"))
         .agg(max(col("nat")).as("n_a"), max(col("nbt")).as("n_b"),
           sum(expr("""CASE WHEN nv IS NULL THEN 0L
-                     |ELSE ((abs(ca * nbt - cb * nat) * 1000000)
-                     |  div greatest(nat * nbt, 1L)) * (nv - v) END"""
+                     |ELSE ((x div g) * 1000000
+                     |  + (((x % g) * 1000) div g) * 1000
+                     |  + ((((x % g) * 1000) % g) * 1000) div g)
+                     |  * (nv - v) END"""
             .stripMargin)).as("emd_fp"))
         .orderBy(col("event_type"))
     },

@@ -2678,6 +2678,109 @@ object DataPrepQueries {
           coalesce(col("covered"), lit(0L)).as("covered"),
           expr("(coalesce(covered, 0L) * 1000000L) div CAST(length(text) AS BIGINT)")
             .as("cov_fp"))
+    },
+
+    // ---- SA-span REMOVAL end-to-end (see ops.SaDedup): the apply step
+    //      on the suffix-array tier — Lee et al. 2021's ExactSubstr
+    //      dedup at character granularity. Every adjacent-suffix pair
+    //      with a >= 16-char common prefix marks its doc-order-LATER
+    //      occurrence for removal of the common prefix; intervals
+    //      DISTINCTed (the q_dup_coverage tie lesson), merged per doc
+    //      (gaps-and-islands), surviving segments reassembled in
+    //      position order (string_agg / sorted-collect — both engines
+    //      deterministic: segment starts are unique per doc). Same 1/16
+    //      doc sample as q_dup_coverage bounds the bench's suffix sort ----
+    QueryDef.sql(
+      "q_sa_dedup",
+      """WITH sample AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 16 = 0
+        |), pos_t AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(generate_series(1, length(text))) AS BIGINT) AS pos
+        |  FROM sample
+        |), sfx AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT)) AS s
+        |  FROM pos_t
+        |), ord AS (
+        |  SELECT doc_id, pos, s,
+        |    row_number() OVER (ORDER BY s, doc_id, pos) AS rn
+        |  FROM sfx
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |    b.doc_id AS doc_b, b.pos AS pos_b, a.s AS sa_, b.s AS sb_
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+        |  WHERE substr(a.s, 1, 16) = substr(b.s, 1, 16)
+        |    AND length(a.s) >= 16
+        |), spans AS (
+        |  SELECT doc_a, pos_a, doc_b, pos_b,
+        |    (SELECT COALESCE(max(l), 0) FROM range(1, 65) t(l)
+        |     WHERE CAST(l AS BIGINT) <= least(length(sa_), length(sb_))
+        |       AND substr(sa_, 1, CAST(l AS INT))
+        |         = substr(sb_, 1, CAST(l AS INT))) AS span_len
+        |  FROM pr
+        |), victims AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN doc_a > doc_b OR (doc_a = doc_b AND pos_a > pos_b)
+        |      THEN doc_a ELSE doc_b END AS doc_id,
+        |    CASE WHEN doc_a > doc_b OR (doc_a = doc_b AND pos_a > pos_b)
+        |      THEN pos_a ELSE pos_b END AS st,
+        |    CASE WHEN doc_a > doc_b OR (doc_a = doc_b AND pos_a > pos_b)
+        |      THEN pos_a ELSE pos_b END + span_len AS en
+        |  FROM spans WHERE span_len >= 16
+        |), brk AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc_id
+        |      ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM victims
+        |), isl AS (
+        |  SELECT doc_id, st, en,
+        |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM brk
+        |), mi AS (
+        |  SELECT doc_id, island, min(st) AS mn, max(en) AS mx
+        |  FROM isl GROUP BY doc_id, island
+        |), gaps AS (
+        |  SELECT doc_id,
+        |    COALESCE(lag(mx) OVER (PARTITION BY doc_id ORDER BY mn), 1)
+        |      AS s,
+        |    mn AS e
+        |  FROM mi
+        |), term AS (
+        |  SELECT m.doc_id, max(m.mx) AS s,
+        |    CAST(length(d.text) AS BIGINT) + 1 AS e,
+        |    CAST(sum(m.mx - m.mn) AS BIGINT) AS n_removed
+        |  FROM mi m JOIN sample d ON d.doc_id = m.doc_id
+        |  GROUP BY m.doc_id, length(d.text)
+        |), segs AS (
+        |  SELECT doc_id, s, e FROM gaps WHERE e > s
+        |  UNION ALL
+        |  SELECT doc_id, s, e FROM term WHERE e > s
+        |), kept AS (
+        |  SELECT g.doc_id, g.s,
+        |    substr(d.text, CAST(g.s AS INT), CAST(g.e - g.s AS INT)) AS seg
+        |  FROM segs g JOIN sample d ON d.doc_id = g.doc_id
+        |), ct AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY s) AS ct
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(t.n_removed, 0) AS n_removed,
+        |  CASE WHEN t.doc_id IS NULL THEN d.text
+        |       ELSE COALESCE(ct.ct, '') END AS clean_text
+        |FROM sample d
+        |LEFT JOIN term t ON t.doc_id = d.doc_id
+        |LEFT JOIN ct ON ct.doc_id = d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val sample = Tables.documents(s, d)
+        .filter(expr("md5p60(cast(doc_id AS string)) % 16 = 0"))
+        .select(col("doc_id").as("id"), col("text"))
+      graft.ops.SaDedup.clean(sample, minLen = 16, cap = 64)
     }
   )
 }

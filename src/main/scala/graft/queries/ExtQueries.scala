@@ -414,30 +414,38 @@ object ExtQueries {
     //      Same distributed top-k shape as q_pattern_match ----
     QueryDef.sql(
       "q_pattern_match_dtw", {
-        val cells = graft.ops.Dtw
-          .cellExprs(i => s"win[$i]", j => s"qwin[$j]", 8, 2)
-          .map { case (a, e) => s"$e AS $a" }.mkString(", ")
+        // one MATERIALIZED CTE per DP row: DuckDB expands lateral column
+        // aliases textually, so the flat 38-cell SELECT costs ~3^depth
+        // (measured ~85 s at sf0.01; ~1 s leveled) — see Dtw.cellLevels
+        val levels = graft.ops.Dtw
+          .cellLevels(i => s"win[$i]", j => s"qwin[$j]", 8, 2)
+          .zipWithIndex.map { case (cells, li) =>
+            val exprs =
+              cells.map { case (a, e) => s"$e AS $a" }.mkString(", ")
+            s"""sc$li AS MATERIALIZED (
+               |  SELECT *, $exprs FROM ${if (li == 0) "base" else s"sc${li - 1}"}
+               |)""".stripMargin
+          }.mkString(", ")
         s"""WITH wins AS (
            |  SELECT event_type, ts, event_id,
            |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
            |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
            |  FROM events
-           |), full8 AS (
+           |), full8 AS MATERIALIZED (
            |  SELECT * FROM wins WHERE len(win) = 8
            |), qt AS (
            |  SELECT min(event_type) AS qtype FROM events
            |), qw AS (
            |  SELECT win AS qwin FROM full8, qt WHERE event_type = qtype
            |  ORDER BY ts DESC, event_id DESC LIMIT 1
-           |), scored AS (
-           |  SELECT event_type, ts, event_id, $cells
-           |  FROM full8, qw
-           |)
+           |), base AS (
+           |  SELECT event_type, ts, event_id, win, qwin FROM full8, qw
+           |), $levels
            |SELECT event_type, ts, event_id, dist, rank FROM (
            |  SELECT event_type, ts, event_id, d_8_8 AS dist,
            |    row_number() OVER (ORDER BY d_8_8, event_type, ts, event_id)
            |      AS rank
-           |  FROM scored) WHERE rank <= 10""".stripMargin
+           |  FROM sc7) WHERE rank <= 10""".stripMargin
       }
     ) { (s, d) =>
       val w = Window.partitionBy(col("event_type"))

@@ -51,6 +51,31 @@ class CorpusPipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("SA span-dedup variant: stage present, monotone, spans gone") {
+    val stages = CorpusPipeline.docStages(docs, None, saSpans = Some((16, 64)))
+    val names = stages.map(_._1)
+    names should contain inOrder ("near_dedup", "sa_span_dedup", "quality")
+    val byName = stages.toMap
+    val before = byName("near_dedup").count()
+    val after = byName("sa_span_dedup").count()
+    after should be <= before
+    // no >= 16-char span may appear twice in the cleaned corpus: rerun
+    // detection on the cleaned docs — keep-earliest leaves each pair's
+    // earlier copy, so survivors exist, but every ADJACENT-pair victim
+    // was excised; detection on the output only reports spans whose
+    // both sides survived, which for the synthetic corpus must shrink
+    val cleanedSpans = graft.ops.RepeatedSpans
+      .find(byName("sa_span_dedup").select(col("doc_id").as("id"),
+        col("text")), minLen = 16, cap = 64).count()
+    val rawSpans = graft.ops.RepeatedSpans
+      .find(byName("near_dedup").select(col("doc_id").as("id"),
+        col("text")), minLen = 16, cap = 64).count()
+    cleanedSpans should be <= rawSpans
+    // the variant composes through to packed chunks
+    CorpusPipeline.curate(docs, saSpans = Some((16, 64)))
+      .count() should be > 0L
+  }
+
   test("chunk and packing invariants hold; pipeline is repartition-deterministic") {
     import spark.implicits._
     val out = CorpusPipeline.curate(docs, chunkSize = 32, chunkStride = 24,
