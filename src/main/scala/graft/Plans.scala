@@ -73,7 +73,11 @@ object Plans {
     "q_repeated_spans", // SA + distributed lead + row-local bounded LCP
     "q_dup_coverage", // span intervals, DISTINCT + per-doc island windows
     "q_emd_drift", // type-partitioned CDF windows, no global sort
-    "q_pacf" // one symbol exchange + lag windows, DL on the 5-row frame
+    "q_pacf", // one symbol exchange + lag windows, DL on the 5-row frame
+    "q_sa_dedup", // shared SA spans, per-doc islands, ordered reassembly
+    "q_neg_samples", // bucketed equi-join searchsorted, vocab-only window
+    "q_phrase_segment", // 3 inventory aggs + equi-joins, O(1)/doc fold
+    "q_good_turing" // vocab agg -> spectrum agg -> spectrum self-join
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,9 +34,21 @@ object SaDedup {
   /** Clean `docs` (columns: id, text). Returns one row per input doc:
     * (doc_id, n_chars, n_removed, clean_text) — untouched docs pass
     * through whole; fully-repeated docs come back as the empty string.
+    *
+    * `shareKey` (a caller-owned identity for `docs`) opts into
+    * [[RepeatedSpans.findShared]]'s session memo — q_sa_dedup and
+    * q_dup_coverage consume the identical spans frame, so a bench or
+    * verify session pays for ONE suffix sort instead of two.
     */
-  def clean(docs: DataFrame, minLen: Int = 16, cap: Int = 64): DataFrame = {
-    val spans = RepeatedSpans.find(docs, minLen, cap)
+  def clean(
+      docs: DataFrame,
+      minLen: Int = 16,
+      cap: Int = 64,
+      shareKey: Option[String] = None): DataFrame = {
+    val spans = shareKey match {
+      case Some(k) => RepeatedSpans.findShared(docs, k, minLen, cap)
+      case None => RepeatedSpans.find(docs, minLen, cap)
+    }
 
     // one victim interval per pair: the doc-order-later occurrence,
     // covering [st, en) in 1-based character positions

@@ -184,6 +184,276 @@ object LmQueries {
         .limit(100)
         .select("doc_id", "w_fp")
     }.intendsNestedLoop(
-      "cross join against the broadcast 1-row token-total scalar frame")
+      "cross join against the broadcast 1-row token-total scalar frame"),
+
+    // ---- Good-Turing frequency re-estimation over the corpus unigram
+    //      distribution: counts-of-counts S(r), the Turing estimate
+    //      r* = (r+1)·S(r+1)/S(r), per-count-class probability mass
+    //      r·S(r)/N, and the unseen-event mass P0 = S(1)/N — the
+    //      smoothing foundation under Katz backoff and the standard
+    //      "how much probability should the LM reserve for words it
+    //      has never seen" diagnostic next to q_kn_score's KN model.
+    //      S(r+1) = 0 (a gap in the count-of-count spectrum) yields
+    //      rstar_fp = 0, the classic raw-GT artifact smoothed variants
+    //      interpolate over — reported raw, as the diagnostic should.
+    //      All integer: counts, counts-of-counts, and 1e6-fp ratios by
+    //      truncating division. Headroom: r·S(r) ≤ N, so the worst
+    //      numerator is ~2N·1e6 — safe to ~4.6e12 corpus tokens.
+    //      Scale shape: token explode → ONE hash agg (vocab-bounded
+    //      output) → ONE hash agg (count-spectrum-bounded output, at
+    //      most max-count rows) → a self equi-join on r+1 over that
+    //      tiny spectrum + a broadcast 1-row total. Nothing after the
+    //      first agg is corpus-sized ----
+    QueryDef.sql(
+      "q_good_turing",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS r
+        |  FROM toks WHERE tok <> '' GROUP BY tok
+        |), coc AS (
+        |  SELECT r, CAST(count(*) AS BIGINT) AS s_r FROM tc GROUP BY r
+        |), tot AS (
+        |  SELECT CAST(sum(r * s_r) AS BIGINT) AS n,
+        |    CAST(COALESCE(sum(CASE WHEN r = 1 THEN s_r END), 0) AS BIGINT)
+        |      AS s1
+        |  FROM coc
+        |)
+        |SELECT a.r, a.s_r, COALESCE(b.s_r, 0) AS s_r1,
+        |  ((a.r + 1) * COALESCE(b.s_r, 0) * 1000000) // a.s_r AS rstar_fp,
+        |  (a.r * a.s_r * 1000000) // t.n AS mass_fp,
+        |  (t.s1 * 1000000) // t.n AS p0_fp
+        |FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+        |CROSS JOIN tot t""".stripMargin
+    ) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+      val coc = tc.groupBy(col("r")).agg(count(lit(1)).as("s_r"))
+      val tot = coc.agg(
+        sum(col("r") * col("s_r")).as("n"),
+        coalesce(sum(when(col("r") === 1, col("s_r"))), lit(0L)).as("s1"))
+      coc
+        .join(broadcast(coc.select(col("r").as("rn"), col("s_r").as("s_r1"))),
+          col("rn") === col("r") + 1, "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("s_r"),
+          coalesce(col("s_r1"), lit(0L)).as("s_r1"),
+          expr("((r + 1) * coalesce(s_r1, 0L) * 1000000L) div s_r")
+            .as("rstar_fp"),
+          expr("(r * s_r * 1000000L) div n").as("mass_fp"),
+          expr("(s1 * 1000000L) div n").as("p0_fp"))
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row corpus-total scalar frame"),
+
+    // ---- Negative-sampling table (word2vec/SGNS training-data prep):
+    //      k deterministic negatives per sampled center-token
+    //      occurrence, drawn from the unigram^(3/4) distribution
+    //      (Mikolov et al. 2013's noise distribution). EXACT integer
+    //      weights: w = floor((c^3)^(1/4)) computed as a float-pow
+    //      first guess corrected over ±2 by exact int64 fourth-power
+    //      compares — identical cross-engine even when pow() differs by
+    //      an ulp; counts clamped at 2e6 for the weight (the frequent-
+    //      word damping role of word2vec's subsampling; keeps c^3 and
+    //      (r+2)^4 inside int64). Draw u = md5p60(doc:pos:slot:try) %
+    //      W inverted against the cumulative weight ranges by a
+    //      BUCKETED EQUI-JOIN searchsorted: ranges explode to the
+    //      ~(V + B) bucket rows they overlap, probes join on their
+    //      single bucket — never a range/nested-loop join, no global
+    //      probe-side window. A draw landing on its own center is
+    //      re-drawn once (try 1, kept either way — the word2vec
+    //      resample loop truncated at one deterministic retry).
+    //      Scale shape: vocab agg (bounded), cumulative window over
+    //      the VOCAB only, probe explode is (sampled centers × k × 2)
+    //      rows — linear, equi-join only ----
+    QueryDef.sql(
+      "q_neg_samples",
+      """WITH tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) WHERE tok <> '' GROUP BY tok
+        |), wt AS (
+        |  SELECT tok,
+        |    CASE
+        |      WHEN (r0+2)*(r0+2)*(r0+2)*(r0+2) <= cc*cc*cc THEN r0+2
+        |      WHEN (r0+1)*(r0+1)*(r0+1)*(r0+1) <= cc*cc*cc THEN r0+1
+        |      WHEN r0*r0*r0*r0 <= cc*cc*cc THEN r0
+        |      WHEN (r0-1)*(r0-1)*(r0-1)*(r0-1) <= cc*cc*cc THEN r0-1
+        |      ELSE r0-2 END AS w
+        |  FROM (SELECT tok, least(c, 2000000) AS cc,
+        |          CAST(floor(pow(CAST(least(c, 2000000) AS DOUBLE), 75e-2))
+        |            AS BIGINT) AS r0
+        |        FROM tc)
+        |), cum AS (
+        |  SELECT tok, w,
+        |    CAST(COALESCE(sum(w) OVER (ORDER BY tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS lo
+        |  FROM wt
+        |), tot AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS bigw FROM wt
+        |), centers AS (
+        |  SELECT doc_id, pos, tok AS center
+        |  FROM (SELECT doc_id,
+        |          CAST(unnest(range(len(string_split(text, ' '))))
+        |            AS BIGINT) AS pos,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''
+        |    AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 64 = 0
+        |), draws AS (
+        |  SELECT c.doc_id, c.pos, c.center,
+        |    CAST(s.slot AS BIGINT) AS slot, CAST(t.tr AS BIGINT) AS tr,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(c.doc_id AS VARCHAR) || ':' || CAST(c.pos AS VARCHAR)
+        |      || ':' || CAST(s.slot AS VARCHAR) || ':'
+        |      || CAST(t.tr AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % tot.bigw AS u
+        |  FROM centers c
+        |  CROSS JOIN range(0, 4) s(slot)
+        |  CROSS JOIN range(0, 2) t(tr)
+        |  CROSS JOIN tot
+        |), hit AS (
+        |  SELECT d.doc_id, d.pos, d.center, d.slot, d.tr, m.tok AS neg
+        |  FROM draws d JOIN cum m ON d.u >= m.lo AND d.u < m.lo + m.w
+        |)
+        |SELECT a.doc_id, a.pos, a.center, a.slot,
+        |  CASE WHEN a.neg = a.center THEN b.neg ELSE a.neg END AS neg_tok
+        |FROM hit a JOIN hit b
+        |  ON b.doc_id = a.doc_id AND b.pos = a.pos AND b.slot = a.slot
+        | AND a.tr = 0 AND b.tr = 1""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val B = 1024L // searchsorted buckets
+      val tc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val wt = tc
+        .select(col("tok"), least(col("c"), lit(2000000L)).as("cc"))
+        .withColumn("r0",
+          expr("CAST(floor(pow(CAST(cc AS DOUBLE), 75e-2)) AS BIGINT)"))
+        .withColumn("w", expr(
+          """CASE
+            |  WHEN (r0+2)*(r0+2)*(r0+2)*(r0+2) <= cc*cc*cc THEN r0+2
+            |  WHEN (r0+1)*(r0+1)*(r0+1)*(r0+1) <= cc*cc*cc THEN r0+1
+            |  WHEN r0*r0*r0*r0 <= cc*cc*cc THEN r0
+            |  WHEN (r0-1)*(r0-1)*(r0-1)*(r0-1) <= cc*cc*cc THEN r0-1
+            |  ELSE r0-2 END""".stripMargin))
+        .select("tok", "w")
+      val cum = wt
+        .withColumn("lo", coalesce(
+          sum(col("w")).over(Window.orderBy(col("tok"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = wt.agg(sum(col("w")).as("bigw"))
+      // each weight range covers contiguous buckets of width bw; the
+      // total bucket-row expansion is <= V + B (metadata-sized)
+      val ranges = cum.crossJoin(broadcast(tot))
+        .withColumn("bw", expr(s"(bigw + ${B - 1}) div $B"))
+        .select(col("tok").as("neg"), col("lo"), col("w"),
+          explode(expr("sequence(lo div bw, (lo + w - 1) div bw)"))
+            .as("bucket"))
+      val centers = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "center")))
+        .filter(col("center") =!= "")
+        .withColumn("pos", col("pos").cast("long"))
+        .filter(expr(
+          "md5p60(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING)))" +
+            " % 64 = 0"))
+      val draws = centers
+        .select(col("doc_id"), col("pos"), col("center"),
+          explode(expr("sequence(0L, 3L)")).as("slot"))
+        .select(col("*"), explode(expr("sequence(0L, 1L)")).as("tr"))
+        .crossJoin(broadcast(tot))
+        .withColumn("u", expr(
+          "md5p60(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING)," +
+            " ':', CAST(slot AS STRING), ':', CAST(tr AS STRING))) % bigw"))
+        .withColumn("bucket", expr(s"u div ((bigw + ${B - 1}) div $B)"))
+      val hit = draws
+        .join(ranges, Seq("bucket"))
+        .filter(col("u") >= col("lo") && col("u") < col("lo") + col("w"))
+        .select(col("doc_id"), col("pos"), col("center"), col("slot"),
+          col("tr"), col("neg"))
+      val a = hit.filter(col("tr") === 0)
+        .select(col("doc_id"), col("pos"), col("center"), col("slot"),
+          col("neg").as("neg0"))
+      val b = hit.filter(col("tr") === 1)
+        .select(col("doc_id").as("bd"), col("pos").as("bp"),
+          col("slot").as("bs"), col("neg").as("neg1"))
+      a.join(b, col("bd") === col("doc_id") && col("bp") === col("pos")
+          && col("bs") === col("slot"))
+        .select(col("doc_id"), col("pos"), col("center"), col("slot"),
+          when(col("neg0") === col("center"), col("neg1"))
+            .otherwise(col("neg0")).as("neg_tok"))
+    }.intendsGlobalWindow(
+      "the cumulative-weight window runs over the VOCABULARY frame " +
+        "only — vocab-bounded, never the corpus")
+      .intendsNestedLoop(
+        "cross joins against broadcast 1-row scalar total frames"),
+
+    // ---- Optimal phrase segmentation (see ops.PhraseSegment): the
+    //      Viterbi step of SentencePiece's unigram tokenizer at token
+    //      granularity — inventory = unigrams + (>= 2×) bi/trigrams,
+    //      cost = 1e6-fp -ln(c/T), per-doc lattice DP minimizing total
+    //      cost with the packed cost*2^20+pieces int64 (one integer min
+    //      = cost minimum + deterministic piece-count tiebreak). One
+    //      doc_id shuffle, O(1)/key fold state; oracle = recursive CTE
+    //      over a MATERIALIZED per-position cost table ----
+    QueryDef.sql(
+      "q_phrase_segment",
+      s"""WITH RECURSIVE p0 AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT)
+         |      AS p0,
+         |    unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), p1 AS (
+         |  SELECT doc_id, tok,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p0)
+         |      AS BIGINT) AS rn,
+         |    lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY p0) AS t1,
+         |    lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY p0) AS t2
+         |  FROM p0 WHERE tok <> ''
+         |), pos AS (
+         |  SELECT doc_id, rn, tok,
+         |    CASE WHEN rn >= 2 THEN t1 || ' ' || tok END AS g2,
+         |    CASE WHEN rn >= 3 THEN t2 || ' ' || t1 || ' ' || tok END AS g3
+         |  FROM p1
+         |), u AS (
+         |  SELECT tok AS g, CAST(count(*) AS BIGINT) AS c
+         |  FROM pos GROUP BY tok
+         |), bg2 AS (
+         |  SELECT g2 AS g, CAST(count(*) AS BIGINT) AS c
+         |  FROM pos WHERE rn >= 2 GROUP BY g2 HAVING count(*) >= 2
+         |), bg3 AS (
+         |  SELECT g3 AS g, CAST(count(*) AS BIGINT) AS c
+         |  FROM pos WHERE rn >= 3 GROUP BY g3 HAVING count(*) >= 2
+         |), inv AS (
+         |  SELECT * FROM u UNION ALL SELECT * FROM bg2
+         |  UNION ALL SELECT * FROM bg3
+         |), tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS t FROM inv
+         |), costs AS (
+         |  SELECT g, CAST(floor(-ln(c * 1e0 / t) * 1e6) AS BIGINT) AS cost
+         |  FROM inv, tot
+         |), graft_seg_pos AS MATERIALIZED (
+         |  SELECT p.doc_id, p.rn,
+         |    COALESCE(c1.cost, -1) AS pc1,
+         |    COALESCE(c2.cost, -1) AS pc2,
+         |    COALESCE(c3.cost, -1) AS pc3
+         |  FROM pos p
+         |  LEFT JOIN costs c1 ON c1.g = p.tok
+         |  LEFT JOIN costs c2 ON c2.g = p.g2
+         |  LEFT JOIN costs c3 ON c3.g = p.g3
+         |),
+         |${graft.ops.PhraseSegment.oracleSql}""".stripMargin
+    ) { (s, d) =>
+      graft.ops.PhraseSegment.segment(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+    }.intendsNestedLoop(
+      "cross join against the broadcast 1-row inventory-total frame")
   )
 }
