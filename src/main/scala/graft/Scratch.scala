@@ -95,17 +95,29 @@ object Scratch {
     val idx = IvfPq.build(raw, norm)
     val cells = idx.coarse.count()
     println(f"[scratch] ann_recall: index built (cells=$cells) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val t1 = System.nanoTime()
+    // residual twin shares the coarse chain (the expensive Lloyd)
+    val ridx = IvfPq.buildResidual(raw, norm,
+      reuse = Some((idx.coarse, idx.cells)))
+    ridx.cellCodes.count() // force the residual codebook build inside the timer
+    println(f"[scratch] ann_recall: residual index built in ${(System.nanoTime() - t1) / 1e9}%.1f s")
 
-    for (nprobe <- Seq(4, 16, 64)) {
-      val got = IvfPq.search(idx, raw, Pq.M, qPred,
-        nprobe = nprobe, topK = topK, shortlist = 8 * topK)
+    def measure(tag: String, nprobe: Int, shortlist: Int,
+        run: (Int, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val got = run(nprobe, shortlist)
         .select("q_id", "c_id").collect()
         .groupBy(_.getLong(0))
         .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
       val recall = truth.keys.toSeq
         .map(qid => (truth(qid) & got.getOrElse(qid, Set.empty)).size.toDouble / topK)
         .sum / truth.size
-      println(f"[scratch] ann_recall: nprobe=$nprobe%2d (scan ~${100.0 * nprobe / cells}%.1f%% of corpus) recall@10 = $recall%.3f")
+      println(f"[scratch] ann_recall[$tag]: nprobe=$nprobe%2d shortlist=$shortlist%4d (scan ~${100.0 * nprobe / cells}%.1f%%) recall@10 = $recall%.3f")
+    }
+    for (shortlist <- Seq(8 * topK, 64 * topK); nprobe <- Seq(4, 16, 64)) {
+      measure("plain", nprobe, shortlist, (np, sl) =>
+        IvfPq.search(idx, raw, Pq.M, qPred, nprobe = np, topK = topK, shortlist = sl))
+      measure("resid", nprobe, shortlist, (np, sl) =>
+        IvfPq.searchResidual(ridx, raw, Pq.M, qPred, nprobe = np, topK = topK, shortlist = sl))
     }
   }
 }

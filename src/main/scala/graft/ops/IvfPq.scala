@@ -52,6 +52,118 @@ object IvfPq {
     Index(coarse, cells, pqCb, codes, cellCodes)
   }
 
+  /** RESIDUAL index: coarse cells as in [[build]], plus the per-cell
+    * fixed-point mean of the NORMALIZED vectors (`cmeans`, index
+    * metadata) and PQ codebooks/codes trained on the RESIDUALS
+    * x_norm − c(cell). For any per-cell constant c,
+    * q·x = q·(x−c) + q·c, so ADC over residual codes plus the exact
+    * per-(query, probed-cell) scalar q·c reconstructs the dot — with
+    * quantization error at the WITHIN-CELL scale instead of the global
+    * scale. This is the variant that holds up on clustered corpora,
+    * where plain-PQ codes of same-cluster members are nearly identical
+    * and the ADC shortlist degenerates (measured: recall@10 0.08 plain
+    * vs see BASELINE.md r8 residual record on the 131k mixture corpus).
+    */
+  final case class ResIndex(
+      coarse: DataFrame, cells: DataFrame, cmeans: DataFrame,
+      pqCb: DataFrame, cellCodes: DataFrame)
+
+  /** Build the residual index (same coarse chain as [[build]];
+    * `reuse` lets a caller that already built the plain index share its
+    * (coarse, cells) pair instead of re-running the coarse Lloyd).
+    */
+  def buildResidual(
+      raw: DataFrame,
+      norm: DataFrame,
+      m: Int = Pq.M,
+      reuse: Option[(DataFrame, DataFrame)] = None): ResIndex = {
+    import graft.queries.Num
+    val n = raw.count()
+    val (coarse, cells) = reuse.getOrElse {
+      val cb = IvfIndex.materialize(
+        IvfIndex.codebook(raw, IvfIndex.chooseK(n)))
+      (cb, IvfIndex.assign(raw, cb).select(col("vec_id"), col("cent_id")))
+    }
+    // per-cell exact fixed-point mean of the normalized vectors — the
+    // residual origin; cells-count rows of index metadata
+    val cmeans = IvfIndex.materialize(
+      norm.join(cells, "vec_id")
+        .select(col("cent_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((Num.dsum(col("x")) / count(lit(1))).as("val"))
+        .groupBy(col("cent_id"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
+          .as("cent_mean")))
+    val resid = norm.join(cells, "vec_id")
+      .join(broadcast(cmeans), "cent_id")
+      .select(col("vec_id"),
+        expr("zip_with(embedding, cent_mean, (a, b) -> a - b)")
+          .as("embedding"))
+    val pqCb = Pq.codebooks(resid, m, Pq.chooseKsub(n))
+    val codes = Pq.encode(resid, pqCb, m)
+    val cellCodes = cells.join(codes, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+    ResIndex(coarse, cells, cmeans, pqCb, cellCodes)
+  }
+
+  /** Residual-ADC top-`topK` search (twin of [[searchWith]]; same probe
+    * chain, ADC against the residual codebooks, the exact q·c correction
+    * joined from the broadcast probe frame, then exact re-rank).
+    * Output: (q_id, c_id, score_pq, cosine, rank).
+    */
+  def searchResidual(
+      idx: ResIndex,
+      raw: DataFrame,
+      m: Int,
+      queryPred: Column,
+      nprobe: Int,
+      topK: Int,
+      shortlist: Int): DataFrame = {
+    val queries = raw.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    val probes = queries
+      .crossJoin(broadcast(idx.coarse))
+      .withColumn("cs", VecOps.cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("probe_cent"))
+    val qNorm = queries.select(col("q_id"),
+      Pq.normalized(col("q_emb")).as("embedding"))
+    // exact correction scalar per (query, probed cell): q·c — bounded by
+    // the probe set (queries x nprobe rows), travels by broadcast
+    val corr = probes
+      .join(broadcast(idx.cmeans), col("probe_cent") === col("cent_id"))
+      .join(qNorm, "q_id")
+      .select(col("q_id"), col("probe_cent"),
+        VecOps.vecDot(col("embedding"),
+          col("cent_mean").cast("array<double>")).as("qc"))
+    val tbl = Pq.adcTableFor(qNorm, idx.pqCb, m)
+    val scored = idx.cellCodes
+      .join(broadcast(probes), col("cent_id") === col("probe_cent"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(tbl),
+        col("q_id") === col("t_q") && col("sub_id") === col("t_sub") &&
+          col("code") === col("t_cent"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cent_id"),
+        col("sub_id"), col("pdot"))
+      .groupBy(col("q_id"), col("c_id"), col("cent_id"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(sub_id, pdot)))," +
+          " s -> s.pdot), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+        .as("score_res"))
+    val withCorr = scored
+      .join(broadcast(corr.withColumnRenamed("q_id", "cq")),
+        col("cq") === col("q_id") && col("probe_cent") === col("cent_id"))
+      .select(col("q_id"), col("c_id"),
+        (col("score_res") + col("qc")).as("score_pq"))
+    Pq.rerankExact(Pq.keepShortlist(withCorr, shortlist), raw, queries, topK)
+  }
+
   /** Top-`topK` neighbours for RAW query vectors `queries` ((q_id,
     * q_emb) — corpus members or external; a candidate with c_id == q_id
     * is excluded, so external id spaces should not reuse corpus ids):

@@ -111,6 +111,32 @@ object PqQueries {
       "broadcast sides are the sqrt(n) coarse codebook and the " +
         "(queries x m x k) ADC table"),
 
+    // ---- RESIDUAL IVF-PQ: the clustered-corpus variant — PQ codebooks
+    //      trained on x_norm − c(cell) (c = the cell's exact fixed-point
+    //      mean of the normalized members), ADC reconstructs q·x as
+    //      q·(x−c)̂ + the EXACT per-(query, probed-cell) scalar q·c.
+    //      Quantization error drops to the within-cell scale — on the
+    //      131k mixture corpus plain-PQ recall@10 collapses to 0.08
+    //      (same-cluster codes indistinguishable) where this variant
+    //      recovers it (BASELINE.md r8). Oracle replays the coarse
+    //      chain, the residual Lloyd chain, the correction term and the
+    //      re-rank end-to-end ----
+    QueryDef.sql(
+      "q_knn_ivfpq_res",
+      s"""WITH ${OraclePq.ivfpqResSearchCtes("vec_id < 10", nprobe = 4, shortlist = 32)}
+         |SELECT q_id, c_id, score_pq, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    ) { (s, d) =>
+      import graft.ops.IvfPq
+      val raw = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val norm = normalizedEmb(s, d)
+      val idx = IvfPq.buildResidual(raw, norm)
+      IvfPq.searchResidual(idx, raw, Pq.M, col("vec_id") < 10,
+        nprobe = 4, topK = 5, shortlist = 32)
+    }.intendsNestedLoop(
+      "broadcast sides are the sqrt(n) coarse codebook, the cell-mean " +
+        "frame, the probe set, and the (queries x m x k) ADC table"),
+
     // ---- Johnson-Lindenstrauss random projection: 64 -> 16 dims via the
     //      deterministic hyperplane family of the LSH bucketer (offset
     //      j+64 so the projection planes are disjoint from the LSH

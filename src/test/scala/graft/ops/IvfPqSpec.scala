@@ -84,6 +84,38 @@ class IvfPqSpec extends AnyFunSuite with Matchers {
     recall should be >= 0.9
   }
 
+  test("residual search: exhaustive probe + full shortlist = exact brute force") {
+    val raw = clusteredCorpus()
+    val norm = raw.select(col("vec_id"),
+      Pq.normalized(col("embedding")).as("embedding"))
+    val idx = IvfPq.buildResidual(raw, norm)
+    val nCells = idx.coarse.count().toInt
+    // probing every cell with a corpus-wide shortlist leaves only the
+    // exact re-rank: the residual chain must reproduce brute force
+    val truth = bruteTop5(raw.select(col("vec_id"), col("embedding").as("q_emb")))
+    val got = IvfPq.searchResidual(idx, raw, Pq.M, col("vec_id") < 10,
+      nprobe = nCells, topK = 5, shortlist = 400)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    got shouldBe truth
+  }
+
+  test("residual search: narrow probe + narrow shortlist keeps recall@5 >= 0.9 on clusters") {
+    val raw = clusteredCorpus()
+    val norm = raw.select(col("vec_id"),
+      Pq.normalized(col("embedding")).as("embedding"))
+    val truth = bruteTop5(raw.select(col("vec_id"), col("embedding").as("q_emb")))
+    val idx = IvfPq.buildResidual(raw, norm)
+    val got = IvfPq.searchResidual(idx, raw, Pq.M, col("vec_id") < 10,
+      nprobe = 2, topK = 5, shortlist = 32)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val qs = truth.keys.toSeq
+    val recall = qs.map(q => (truth(q) & got.getOrElse(q, Set.empty)).size / 5.0)
+      .sum / qs.size
+    recall should be >= 0.9
+  }
+
   test("clustered corpus: 2-of-8-cell probe over 16-byte codes keeps recall@5 >= 0.9") {
     val raw = clusteredCorpus()
     val norm = raw.select(col("vec_id"),
