@@ -66,6 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("lcs_len"),
+      new ExpressionInfo(classOf[graft.functions.LcsLen].getName, "lcs_len"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "lcs_len(a, b) takes 2 arguments")
+        graft.functions.LcsLen(exprs.head, exprs(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler_fp"),
       new ExpressionInfo(
         classOf[graft.functions.JaroWinklerFp].getName, "jaro_winkler_fp"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, AssocQueries, CurationQueries, DataPrepQueries, EvalQueries, ExtQueries, FinanceQueries, GeoQueries, GrafanaQueries, HierQueries, LmQueries, MediaQueries, MlQueries, PqQueries, QueryDef, RankQueries, SamplingQueries, SketchQueries, TechQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, AssocQueries, CurationQueries, DataPrepQueries, EvalQueries, ExtQueries, FinanceQueries, GenEvalQueries, GeoQueries, GrafanaQueries, HierQueries, LmQueries, MediaQueries, MlQueries, PqQueries, QueryDef, RankQueries, SamplingQueries, SketchQueries, TechQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
       CurationQueries.all ++ TechQueries.all ++ AnalyticsQueries.all ++
       PqQueries.all ++ MlQueries.all ++ RankQueries.all ++ LmQueries.all ++
       SamplingQueries.all ++ EvalQueries.all ++ HierQueries.all ++
-      GeoQueries.all ++ SketchQueries.all
+      GeoQueries.all ++ SketchQueries.all ++ GenEvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
