@@ -757,7 +757,92 @@ object MlQueries {
       // per-round broadcast nested-loops against 1-row pick frames run
       // EAGERLY inside the round checkpoints; the returned plan is a
       // union of materialized 1-row frames, so no intent declaration
-    }
+    },
+
+    // ---- quadratic-kernel MMD^2 between embedding populations (vec_id
+    //      parity = v1/v2): the SECOND-moment drift readout —
+    //      q_embedding_drift watches the mean vector; this one catches a
+    //      covariance change with equal means (an encoder re-run that
+    //      rotates or collapses directions). For k(x,y) = (x·y)^2,
+    //      MMD^2 = ||E_A[xx^T] − E_B[xx^T]||_F^2 exactly, so the kernel
+    //      statistic needs NO pairwise pass: per-vector outer products
+    //      (1e3-quantized int64), one (h, idx)-agg, exact floor-div
+    //      means via the pmod identity (DuckDB // truncates where a
+    //      plain floor-div would round toward −inf — subtracting the
+    //      positive mod first makes the division exact on both engines),
+    //      then one d^2-bounded diff. trace_sq_fp = the diagonal
+    //      (per-dimension variance) share. Headroom: sums <= n·2.8e5
+    //      (n to ~3e13 rows); the final sum <= d^2·(2·2.8e5)^2 ~ 1.3e15.
+    //      Scale: ONE posexplode scan (n·d^2 rows — inherent to exact
+    //      second moments), partial-aggable, everything after is
+    //      d^2-bounded ----
+    QueryDef.sql(
+      "q_mmd_drift",
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, vec_id % 2 AS h,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT h,
+        |    unnest(flatten(list_transform(qv,
+        |      xi -> list_transform(qv, xj -> xi * xj)))) AS pv,
+        |    unnest(range(0, len(qv) * len(qv))) AS idx,
+        |    len(qv) AS dlen
+        |  FROM q
+        |), nh AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS nv FROM q GROUP BY h
+        |), sums AS (
+        |  SELECT h, idx, CAST(max(dlen) AS BIGINT) AS dlen,
+        |    CAST(sum(pv) AS BIGINT) AS sp
+        |  FROM p GROUP BY h, idx
+        |), means AS (
+        |  SELECT h, idx, dlen,
+        |    (sp - ((sp % nv) + nv) % nv) // nv AS mq
+        |  FROM sums JOIN nh USING (h)
+        |)
+        |SELECT
+        |  (SELECT nv FROM nh WHERE h = 0) AS n_a,
+        |  (SELECT nv FROM nh WHERE h = 1) AS n_b,
+        |  CAST(sum((a.mq - b.mq) * (a.mq - b.mq)) AS BIGINT) AS mmd_fp,
+        |  CAST(sum(CASE WHEN a.idx % (a.dlen + 1) = 0
+        |    THEN (a.mq - b.mq) * (a.mq - b.mq) ELSE 0 END) AS BIGINT)
+        |    AS trace_sq_fp
+        |FROM means a JOIN means b ON a.idx = b.idx
+        |WHERE a.h = 0 AND b.h = 1""".stripMargin
+    ) { (s, d) =>
+      val q = Tables.embeddings(s, d).select(
+        (col("vec_id") % 2).as("h"),
+        expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1e3) AS BIGINT))").as("qv"))
+      val p = q.select(col("h"), size(col("qv")).cast("long").as("dlen"),
+        posexplode(expr("flatten(transform(qv, " +
+          "xi -> transform(qv, xj -> xi * xj)))")).as(Seq("idx", "pv")))
+      val nh = q.groupBy("h").agg(count(lit(1)).as("nv"))
+      val means = p.groupBy("h", "idx")
+        .agg(max(col("dlen")).as("dlen"), sum(col("pv")).as("sp"))
+        .join(broadcast(nh), "h")
+        .select(col("h"), col("idx").cast("long").as("idx"), col("dlen"),
+          expr("(sp - ((sp % nv) + nv) % nv) div nv").as("mq"))
+      val a = means.filter(col("h") === 0)
+        .select(col("idx"), col("dlen"), col("mq").as("mqa"))
+      val b = means.filter(col("h") === 1)
+        .select(col("idx"), col("mq").as("mqb"))
+      val ns = q.agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_b"))
+      a.join(b, "idx")
+        .agg(
+          sum((col("mqa") - col("mqb")) * (col("mqa") - col("mqb")))
+            .as("mmd_fp"),
+          sum(when(col("idx") % (col("dlen") + 1) === 0,
+            (col("mqa") - col("mqb")) * (col("mqa") - col("mqb")))
+            .otherwise(0L)).as("trace_sq_fp"))
+        .crossJoin(broadcast(ns))
+        .select(col("n_a"), col("n_b"), col("mmd_fp"), col("trace_sq_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 2-row per-half count frame and the 1-row " +
+        "(n_a, n_b) scalar frame")
   )
 
   /** Shared Spark/DuckDB SQL for q_ridge (see the QueryDef comment). */

@@ -1743,6 +1743,59 @@ object SketchQueries {
             expr("CAST(floor((x * 1e6 * ln(x * 1e0 * n / xt)) / xt)" +
               " AS BIGINT)")).otherwise(0L)).as("theil_fp"))
     }.intendsNestedLoop(
-      "broadcast side is the 1-row (n, total) frame")
+      "broadcast side is the 1-row (n, total) frame"),
+
+    // ---- AMS (tug-of-war) sketch for the second frequency moment F2 =
+    //      sum_u f_u^2 — the join/self-join SIZE estimator (F2 of the key
+    //      distribution IS the self-join cardinality, the quantity a
+    //      cost-based reorderer actually wants from a sketch; Alon,
+    //      Matias & Szegedy 1996). 16 independent ±1 estimators:
+    //      sg_k(u) from the md5 bit of (k:user), Z_k = sum_rows sg, each
+    //      Z_k^2 an unbiased F2 estimate. Sketch-quality eval next to
+    //      q_minhash_err/q_bloom_eval: per-estimator exact relative
+    //      error vs the exact F2 in pure integer arithmetic (err_fp =
+    //      |Z^2-F2|*1e6 // F2). Scale: ONE linear scan + partial-agg on
+    //      16 keys for the sketch; the exact side is one user-bounded
+    //      agg (eval-only — at 100 TB you keep the sketch, not the
+    //      exact). Headroom: the err_fp numerator |Z^2-F2|*1e6 <=
+    //      n^2*1e6 caps the EVAL at n <= 3e6 rows (drop the *1e6 column
+    //      beyond); Z and Z^2 themselves are safe to 3e9 rows ----
+    QueryDef.sql(
+      "q_ams_f2",
+      """WITH s AS (
+        |  SELECT k.k AS est_id,
+        |    (CAST(concat('0x', substr(md5(concat(CAST(k.k AS VARCHAR),
+        |       ':', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2)
+        |      * 2 - 1 AS sg
+        |  FROM events, (SELECT unnest(range(0, 16)) AS k) k
+        |), z AS (
+        |  SELECT est_id, CAST(sum(sg) AS BIGINT) AS z
+        |  FROM s GROUP BY est_id
+        |), f AS (
+        |  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
+        |    SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM events GROUP BY user_id)
+        |)
+        |SELECT est_id, z, z * z AS z2, f2_exact,
+        |  (abs(z * z - f2_exact) * 1000000) // f2_exact AS err_fp
+        |FROM z CROSS JOIN f""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val z = ev.select(posexplode(expr(
+          "transform(sequence(0, 15), k -> " +
+            "(md5p60(concat(CAST(k AS STRING), ':', " +
+            "CAST(user_id AS STRING))) % 2) * 2 - 1)"))
+          .as(Seq("est_id", "sg")))
+        .groupBy(col("est_id").cast("long").as("est_id"))
+        .agg(sum(col("sg")).as("z"))
+      val f2 = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      z.crossJoin(broadcast(f2)).select(
+        col("est_id"), col("z"), (col("z") * col("z")).as("z2"),
+        col("f2_exact"),
+        expr("(abs(z * z - f2_exact) * 1000000) div f2_exact")
+          .as("err_fp"))
+    }.intendsNestedLoop(
+      "broadcast side is the 1-row exact-F2 eval frame")
   )
 }
