@@ -19,6 +19,17 @@ import graft.model.Tables
   */
 object AnalyticsQueries {
 
+  /** Exact factorial as a CASE chain (0..12 — 12! is the last value a
+    * q_shapley term can carry without int64 overflow; beyond returns
+    * NULL, loudly failing the gate rather than wrapping). ONE template
+    * shared by the Spark expression and the DuckDB oracle so the two
+    * cannot drift.
+    */
+  private def factCase(x: String): String =
+    "CASE " + x + (0 to 12).map(k =>
+      s" WHEN $k THEN CAST(${(1 to k).map(_.toLong).product} AS BIGINT)")
+      .mkString + " END"
+
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_id", "event_type", "ts", "user_id")
 
@@ -2067,6 +2078,203 @@ object AnalyticsQueries {
             .as("did_fp"),
           (col("mtr") - col("mcr")).as("pre_gap_fp"))
     }.intendsNestedLoop(
-      "broadcast side is the 1-row midpoint-cutoff frame")
+      "broadcast side is the 1-row midpoint-cutoff frame"),
+
+    // ---- Shapley-value conversion attribution (Shapley 1953 applied to
+    //      channel credit — the "data-driven attribution" model; Zhao et
+    //      al. 2018): the game v(S) = conversion rate of journeys whose
+    //      EXACT touched-channel set is S (unobserved coalitions -> 0),
+    //      phi_i = sum_{S !∋ i} |S|!(C-1-|S|)!/C! (v(S∪i) - v(S)).
+    //      Completes the attribution ladder: first/last/linear
+    //      (q_attribution) and time-decay (q_attribution_decay) credit
+    //      POSITIONS; Shapley credits MARGINAL CONTRIBUTION, the only
+    //      axiomatically fair split. Exactness: v quantized first
+    //      (nc*1e6 div nj — exact int both engines), then phi stays on
+    //      the common denominator C!: phi_num = Σ |S|!(C-1-|S|)!·Δv_fp,
+    //      all integer (headroom (C-1)!·1e6·2^C < 2^63 to C = 12; the
+    //      factorial CASE returns NULL beyond — loud, not wrong).
+    //      Scale: journeys ride ONE user_id exchange; coalition stats
+    //      are ≤ 2^C rows; the lattice is data-INDEPENDENT 2^C·C rows
+    //      from broadcast 1-row/|C|-row frames — never corpus-sized ----
+    QueryDef.sql(
+      "q_shapley",
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+         |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS journey
+         |  FROM events
+         |), chan AS MATERIALIZED (
+         |  SELECT channel,
+         |    CAST(pow(2e0, row_number() OVER (ORDER BY channel) - 1)
+         |      AS BIGINT) AS p2
+         |  FROM (SELECT DISTINCT event_type AS channel FROM seq
+         |        WHERE event_type <> 'purchase')
+         |), jour AS (
+         |  SELECT s.user_id, s.journey,
+         |    CAST(COALESCE(sum(DISTINCT c.p2), 0) AS BIGINT) AS mask,
+         |    max(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM seq s LEFT JOIN chan c ON c.channel = s.event_type
+         |  GROUP BY s.user_id, s.journey
+         |), coal AS MATERIALIZED (
+         |  SELECT mask,
+         |    (CAST(sum(conv) AS BIGINT) * 1000000)
+         |      // CAST(count(*) AS BIGINT) AS v_fp
+         |  FROM jour GROUP BY mask
+         |), cc AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS c FROM chan
+         |), terms AS (
+         |  SELECT ch.channel, t.c,
+         |    (${factCase("bit_count(t.smask)")})
+         |      * (${factCase("t.c - 1 - bit_count(t.smask)")})
+         |      * (COALESCE(v1.v_fp, 0) - COALESCE(v0.v_fp, 0)) AS term
+         |  FROM (SELECT c, unnest(range(0, CAST(pow(2e0, c) AS BIGINT)))
+         |          AS smask FROM cc) t
+         |  JOIN chan ch ON (t.smask // ch.p2) % 2 = 0
+         |  LEFT JOIN coal v0 ON v0.mask = t.smask
+         |  LEFT JOIN coal v1 ON v1.mask = t.smask + ch.p2
+         |)
+         |SELECT channel, CAST(sum(term) AS BIGINT) AS phi_num,
+         |  max(c) AS c_channels,
+         |  ${factCase("max(c)")} AS fact_c
+         |FROM terms GROUP BY channel""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val seqF = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("journey",
+          coalesce(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).over(wSeq), lit(0L)))
+      // channel index: |C|-row global window (channel vocabulary, not
+      // corpus) -> 2^idx as an exact double->int pow (idx <= 11)
+      val chan = seqF.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("channel")).distinct()
+        .withColumn("p2", expr(
+          "CAST(pow(2e0, row_number() OVER (ORDER BY channel) - 1) AS BIGINT)"))
+      val jour = seqF
+        .join(broadcast(chan), col("event_type") === col("channel"), "left")
+        .groupBy(col("user_id"), col("journey"))
+        .agg(coalesce(sum_distinct(col("p2")), lit(0L)).as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val coal = jour.groupBy("mask")
+        .agg(expr("(sum(conv) * 1000000) div count(*)").as("v_fp"))
+      val cc = chan.agg(count(lit(1)).as("c"))
+      val lattice = cc.select(col("c"), explode(sequence(lit(0L),
+        expr("CAST(pow(2e0, c) AS BIGINT) - 1"))).as("smask"))
+      val v0 = coal.select(col("mask").as("m0"), col("v_fp").as("v0"))
+      val v1 = coal.select(col("mask").as("m1"), col("v_fp").as("v1"))
+      lattice.crossJoin(broadcast(chan))
+        .filter(expr("(smask div p2) % 2 = 0"))
+        .join(broadcast(v0), col("smask") === col("m0"), "left")
+        .join(broadcast(v1), (col("smask") + col("p2")) === col("m1"), "left")
+        .select(col("channel"), col("c"),
+          (expr(factCase("bit_count(smask)"))
+            * expr(factCase("c - 1 - bit_count(smask)"))
+            * (coalesce(col("v1"), lit(0L)) - coalesce(col("v0"), lit(0L))))
+            .as("term"))
+        .groupBy("channel")
+        .agg(sum(col("term")).as("phi_num"), max(col("c")).as("c_channels"))
+        .withColumn("fact_c", expr(factCase("c_channels")))
+        .select("channel", "phi_num", "c_channels", "fact_c")
+    }.intendsNestedLoop(
+      "lattice sides are the broadcast 1-row channel-count frame, the " +
+        "|C|-row channel frame, and the <= 2^C-row coalition stats — all " +
+        "channel-vocabulary-bounded, never corpus-sized"
+    ).intendsGlobalWindow(
+      "channel indexing windows over the |C|-row channel vocabulary"),
+
+    // ---- Inverse-propensity-weighted ATE (the Horvitz-Thompson leg of
+    //      the causal tier — q_matching pairs units, q_did needs a time
+    //      split, q_cuped reduces variance; IPW reweights by 1/e(x)
+    //      when treatment correlates with a confounder): treated =
+    //      signup share above the uniform 1/5, confounder = activity
+    //      (total events), propensity = exact per-activity-quartile
+    //      treated share. ATE = Σ_b [nb·ΣY_t/tb − nb·ΣY_c/(nb−tb)] / N
+    //      over bins with POSITIVITY (0 < tb < nb; dropped bins are the
+    //      standard overlap trim and N counts only kept bins). Exact
+    //      int64: cents outcomes, per-bin terms (ΣY·nb·1e4) div tb —
+    //      headroom ΣY_cents·nb·1e4 < 2^63. Activity bins from a 1-row
+    //      broadcast max — no ntile window over users. ONE user agg,
+    //      4-row bin table, 1-row output ----
+    QueryDef.sql(
+      "q_ipw",
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 1e2) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id
+        |), mx AS (
+        |  SELECT max(n) AS mxn FROM u
+        |), ub AS (
+        |  SELECT u.*, CASE WHEN s * 5 > n THEN 1 ELSE 0 END AS t,
+        |    (n * 4) // (mx.mxn + 1) AS bin
+        |  FROM u, mx
+        |), b AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(t) AS BIGINT) AS tb,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+        |  FROM ub GROUP BY bin
+        |), kept AS (
+        |  SELECT * FROM b WHERE tb > 0 AND tb < nb
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(t) AS BIGINT) AS n_treated,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+        |  FROM ub
+        |)
+        |SELECT tot.n_users, tot.n_treated,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  CAST(sum((kept.syt * nb * 10000) // tb
+        |    - (kept.syc * nb * 10000) // (nb - tb)) // sum(nb) AS BIGINT)
+        |    AS ate_ipw_fp,
+        |  CAST((tot.syt * 10000) // tot.n_treated
+        |    - (tot.syc * 10000) // (tot.n_users - tot.n_treated)
+        |    AS BIGINT) AS naive_fp
+        |FROM kept CROSS JOIN tot
+        |GROUP BY tot.n_users, tot.n_treated, tot.syt, tot.syc""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("s"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 1e2) AS BIGINT)")).otherwise(0L)).as("y"))
+      val mx = u.agg(max(col("n")).as("mxn"))
+      val ub = u.crossJoin(broadcast(mx))
+        .withColumn("t", when(col("s") * 5 > col("n"), 1L).otherwise(0L))
+        .withColumn("bin", expr("(n * 4) div (mxn + 1)"))
+      val b = ub.groupBy("bin").agg(
+        count(lit(1)).as("nb"), sum(col("t")).as("tb"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc"))
+      val kept = b.filter(col("tb") > 0 && col("tb") < col("nb"))
+      val tot = ub.agg(
+        count(lit(1)).as("n_users"), sum(col("t")).as("n_treated"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt_t"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc_t"))
+      kept.crossJoin(broadcast(tot))
+        .groupBy("n_users", "n_treated", "syt_t", "syc_t")
+        .agg(count(lit(1)).as("n_bins_used"),
+          expr("CAST(sum((syt * nb * 10000) div tb" +
+            " - (syc * nb * 10000) div (nb - tb)) div sum(nb) AS BIGINT)")
+            .as("ate_ipw_fp"))
+        .select(col("n_users"), col("n_treated"), col("n_bins_used"),
+          col("ate_ipw_fp"),
+          expr("CAST((syt_t * 10000) div n_treated" +
+            " - (syc_t * 10000) div (n_users - n_treated) AS BIGINT)")
+            .as("naive_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row max-activity and 1-row totals frames")
   )
 }
