@@ -1402,6 +1402,64 @@ object ExtQueries {
         .groupBy(col("l_suppkey"))
         .agg(min(col("v")).as("wmedian"),
           max(col("tot")).cast("long").as("total_wt"))
-    }
+    },
+
+    // ---- Fellegi-Sunter EM linkage scoring (see ops.LinkageEm): the
+    //      probabilistic-scoring leg of the ER tier — q_fuzzy_join
+    //      blocks, q_entity_resolution clusters; this CALIBRATES: EM
+    //      fits (m_j, u_j, p) over the ≤ 2^3 field-agreement patterns
+    //      of blocked customer pairs and publishes each pattern's match
+    //      weight w. The corpus is touched once (pair gen + ONE pattern
+    //      -count agg); EM is O(2^k·iters) on an 8-row frame no matter
+    //      the pair count. Blocking = (nation, $2000-acctbal band) —
+    //      equi-join, never all-pairs; the band uses a shifted
+    //      nonneg // so trunc = floor on both engines ----
+    QueryDef.sql(
+      "q_linkage_em",
+      s"""WITH fs_cust AS MATERIALIZED (
+         |  SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS mkt,
+         |    CAST(floor(c_acctbal * 1e2) AS BIGINT) AS bal,
+         |    right(c_name, 4) AS ph4
+         |  FROM customer
+         |), fs_pairs AS (
+         |  SELECT
+         |    CASE WHEN a.mkt = b.mkt THEN 1 ELSE 0 END AS a1,
+         |    CASE WHEN abs(a.bal - b.bal) <= 50000 THEN 1 ELSE 0 END AS a2,
+         |    CASE WHEN levenshtein(a.ph4, b.ph4) <= 2 THEN 1 ELSE 0 END
+         |      AS a3
+         |  FROM fs_cust a JOIN fs_cust b
+         |    ON a.nk = b.nk
+         |   AND (a.bal + 100000) // 200000 = (b.bal + 100000) // 200000
+         |   AND a.k < b.k
+         |), graft_fs_pat AS MATERIALIZED (
+         |  SELECT CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+         |    CAST(a3 AS BIGINT) AS a3, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fs_pairs GROUP BY 1, 2, 3
+         |),
+         |${graft.ops.LinkageEm.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("mkt"),
+        expr("CAST(floor(c_acctbal * 1e2) AS BIGINT)").as("bal"),
+        expr("right(c_name, 4)").as("ph4"))
+        .withColumn("blk", expr("(bal + 100000) div 200000"))
+      val a = cust.select(col("nk"), col("blk"), col("k").as("ka"),
+        col("mkt").as("mkta"), col("bal").as("bala"), col("ph4").as("ph4a"))
+      val b = cust.select(col("nk"), col("blk"), col("k").as("kb"),
+        col("mkt").as("mktb"), col("bal").as("balb"), col("ph4").as("ph4b"))
+      val pat = a.join(b, Seq("nk", "blk"))
+        .filter(col("ka") < col("kb"))
+        .select(
+          when(col("mkta") === col("mktb"), 1L).otherwise(0L).as("a1"),
+          when(abs(col("bala") - col("balb")) <= 50000, 1L).otherwise(0L)
+            .as("a2"),
+          when(levenshtein(col("ph4a"), col("ph4b")) <= 2, 1L).otherwise(0L)
+            .as("a3"))
+        .groupBy("a1", "a2", "a3").agg(count(lit(1)).as("cnt"))
+      graft.ops.LinkageEm.run(pat)
+    }.intendsNestedLoop(
+      "EM cross joins are against broadcast 1-row parameter frames; the " +
+        "pattern frame is <= 2^3 rows")
   )
 }
