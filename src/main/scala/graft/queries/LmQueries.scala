@@ -454,6 +454,26 @@ object LmQueries {
       graft.ops.PhraseSegment.segment(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
     }.intendsNestedLoop(
-      "cross join against the broadcast 1-row inventory-total frame")
+      "cross join against the broadcast 1-row inventory-total frame"),
+
+    // ---- WordPiece greedy longest-match tokenization (see
+    //      ops.WordPiece): the third tokenizer family — BPE applies
+    //      merges in rank order (q_bpe_tokenize), unigram-LM Viterbi
+    //      finds the global cost optimum (q_phrase_segment), WordPiece
+    //      inference takes the LONGEST inventory piece at each position.
+    //      Greedy choice is position-independent, so the per-word walk
+    //      is pointer DOUBLING over next(p) = p + bestLen(p): bestLen
+    //      for all positions = one explode + semi-join + argmax, path =
+    //      O(log maxlen) vocabulary-bounded join rounds. Oracle walks
+    //      the same rule by direct recursion (longest-first COALESCE
+    //      over 4 left joins) — independent algorithms, agree
+    //      path-for-path ----
+    QueryDef.sql(
+      "q_wordpiece",
+      s"WITH RECURSIVE ${graft.ops.WordPiece.oracleSql()}"
+    ) { (s, d) =>
+      graft.ops.WordPiece.run(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+    }
   )
 }

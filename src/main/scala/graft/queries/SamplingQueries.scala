@@ -31,6 +31,9 @@ object SamplingQueries {
 
   private val SampleN = 100L
 
+  /** q_priority_sample size (k; the threshold is the (k+1)-th priority). */
+  private val PriorityK = 100
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -235,7 +238,85 @@ object SamplingQueries {
           expr("CAST(floor(sqrt(CAST(nb_reps * s2 - s1 * s1 AS DOUBLE)" +
             " / (nb_reps * (nb_reps - 1)))) AS BIGINT)").as("se_fp3"),
           col("mn_fp"), col("mx_fp"))
-    }
+    },
+
+    // ---- Priority sampling (Duffield-Lund-Thorup 2007): the weighted
+    //      sample that also carries UNBIASED subset-sum estimates —
+    //      q_weighted_sample's A-ES cut is a sample; this one is an
+    //      ESTIMATOR: priority q_i = w_i/u_i, keep the top-k, threshold
+    //      tau = the (k+1)-th priority, and ŵ_i = max(w_i, tau) is
+    //      exactly unbiased for w_i (DLT Thm 1) — the standard way a
+    //      100 TB pipeline keeps a tiny weighted sample whose sums still
+    //      estimate any corpus aggregate. u is deterministic md5
+    //      "randomness"; the priority is ONE multiply + ONE divide of
+    //      exact-int-derived doubles (correctly rounded, cross-engine
+    //      bit-stable), top-(k+1) = TakeOrdered, the rank/threshold
+    //      window is over the 101-row candidate frame, never the
+    //      corpus. ŵ quantized floor(·1e2) BEFORE summing so the
+    //      estimate is an order-free integer sum. err_fp (vs the exact
+    //      total, eval-only) is valid to Σw ~ 9e10 chars — drop the
+    //      ×1e6 beyond ----
+    QueryDef.sql(
+      "q_priority_sample",
+      s"""WITH it AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    CAST(n_chars AS DOUBLE) * 1.152921504606846976e18
+         |      / CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+         |          1, 15)) AS BIGINT) + 1 AS DOUBLE) AS pr
+         |  FROM documents WHERE n_chars > 0
+         |), top1 AS MATERIALIZED (
+         |  SELECT doc_id, w, pr,
+         |    row_number() OVER (ORDER BY pr DESC, doc_id) AS rk
+         |  FROM (SELECT * FROM it ORDER BY pr DESC, doc_id
+         |        LIMIT ${PriorityK + 1})
+         |), tau AS (
+         |  SELECT pr AS tau FROM top1 WHERE rk = ${PriorityK + 1}
+         |), tot AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS exact_total FROM it
+         |), samp AS (
+         |  SELECT t.doc_id, t.w,
+         |    CAST(floor(greatest(CAST(t.w AS DOUBLE), tau.tau) * 1e2)
+         |      AS BIGINT) AS w_hat_fp
+         |  FROM top1 t CROSS JOIN tau WHERE t.rk <= $PriorityK
+         |)
+         |SELECT s.doc_id, s.w, s.w_hat_fp, e.est_total_fp,
+         |  tot.exact_total,
+         |  (abs(e.est_total_fp - tot.exact_total * 100) * 1000000)
+         |    // (tot.exact_total * 100) AS err_fp
+         |FROM samp s
+         |CROSS JOIN (SELECT CAST(sum(w_hat_fp) AS BIGINT) AS est_total_fp
+         |            FROM samp) e
+         |CROSS JOIN tot""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val it = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          expr("CAST(n_chars AS DOUBLE) * 1.152921504606846976e18" +
+            " / CAST(md5p60(CAST(doc_id AS STRING)) + 1 AS DOUBLE)")
+            .as("pr"))
+      val top1 = it.orderBy(col("pr").desc, col("doc_id"))
+        .limit(PriorityK + 1)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("pr").desc, col("doc_id"))))
+      val tau = top1.filter(col("rk") === PriorityK + 1)
+        .select(col("pr").as("tau"))
+      val tot = it.agg(sum(col("w")).as("exact_total"))
+      val samp = top1.filter(col("rk") <= PriorityK)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("w"),
+          expr("CAST(floor(greatest(CAST(w AS DOUBLE), tau) * 1e2)" +
+            " AS BIGINT)").as("w_hat_fp"))
+      val est = samp.agg(sum(col("w_hat_fp")).as("est_total_fp"))
+      samp.crossJoin(broadcast(est)).crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("w"), col("w_hat_fp"),
+          col("est_total_fp"), col("exact_total"),
+          expr("(abs(est_total_fp - exact_total * 100) * 1000000)" +
+            " div (exact_total * 100)").as("err_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row tau / est / exact-total frames"
+    ).intendsGlobalWindow(
+      s"rank window is over the TakeOrdered ${PriorityK + 1}-row " +
+        "candidate frame, never the corpus")
   )
 
   /** Poisson(1) inverse-CDF as a SQL CASE over a 60-bit uniform column
