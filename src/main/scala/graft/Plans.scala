@@ -77,7 +77,16 @@ object Plans {
     "q_sa_dedup", // shared SA spans, per-doc islands, ordered reassembly
     "q_neg_samples", // bucketed equi-join searchsorted, vocab-only window
     "q_phrase_segment", // 3 inventory aggs + equi-joins, O(1)/doc fold
-    "q_good_turing" // vocab agg -> spectrum agg -> spectrum self-join
+    "q_good_turing", // vocab agg -> spectrum agg -> spectrum self-join
+    "q_bleu", // one gram explode/side, (pair,n,gram) equi-join, pivot agg
+    "q_rouge_l", // pair equi-join, row-local codegen LCS, no DP shuffle
+    "q_ams_f2", // one scan partial-agged on 16 estimator keys
+    "q_mmd_drift", // one outer-product explode, (h,idx) agg, d^2-bounded diff
+    "q_shapley", // user_id journey windows, 2^C lattice on broadcast frames
+    "q_ipw", // one user agg, 4-row bin table, broadcast scalars
+    "q_linkage_em", // blocked pair equi-join, EM on the 8-row pattern frame
+    "q_priority_sample", // TakeOrdered(k+1), 101-row rank window, broadcast tau
+    "q_wordpiece" // vocab-bounded bestLen join + log-rounds pointer doubling
   )
 
   def main(args: Array[String]): Unit = {

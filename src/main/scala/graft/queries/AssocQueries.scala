@@ -465,6 +465,46 @@ object AssocQueries {
                  |  / (1e4 * nt * least(nr - 1, nc - 1))) * 1e6) AS BIGINT)"""
             .stripMargin).as("cramers_v_fp"))
     }.intendsNestedLoop(
-      "broadcast side is the 1-row contingency-totals frame")
+      "broadcast side is the 1-row contingency-totals frame"),
+
+    // ---- Entropic optimal transport (see ops.Sinkhorn): the drift
+    //      tier's multi-dimensional leg — q_emd_drift's exact 1-D EMD
+    //      does not generalize; the Sinkhorn plan says how much
+    //      probability mass moved WHERE on the joint (value-decile ×
+    //      3-hour-bucket) grid between the even/odd event populations,
+    //      and ot_cost_fp is the regularized 2-D Wasserstein readout.
+    //      Corpus touched once (two conditional histogram aggs);
+    //      15 scaling rounds live on the ≤80-point supports. Value
+    //      deciles come from a 1-row broadcast max (no quantile
+    //      window); the Gibbs kernel is a shared integer-literal
+    //      table ----
+    QueryDef.sql(
+      "q_sinkhorn_ot",
+      s"""WITH ev0 AS MATERIALIZED (
+         |  SELECT event_id % 2 AS h,
+         |    CAST(floor(value * 1e2) AS BIGINT) AS cents,
+         |    CAST(hour(ts) AS BIGINT) // 3 AS hb
+         |  FROM events
+         |), mx AS (
+         |  SELECT max(cents) AS mxc FROM ev0
+         |), graft_ot_cells AS MATERIALIZED (
+         |  SELECT h, (cents * 10) // (mx.mxc + 1) AS vb, hb
+         |  FROM ev0, mx
+         |),
+         |${graft.ops.Sinkhorn.oracleSql()}""".stripMargin
+    ) { (s, d) =>
+      val ev0 = Tables.events(s, d).select(
+        (col("event_id") % 2).as("h"),
+        expr("CAST(floor(value * 1e2) AS BIGINT)").as("cents"),
+        expr("CAST(hour(ts) AS BIGINT) div 3").as("hb"))
+      val mx = ev0.agg(max(col("cents")).as("mxc"))
+      val cells = ev0.crossJoin(broadcast(mx))
+        .select(col("h"), expr("(cents * 10) div (mxc + 1)").as("vb"),
+          col("hb"))
+      graft.ops.Sinkhorn.run(cells)
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row max-cents / total-count / OT-cost " +
+        "frames; the kernel cross join is supports × supports " +
+        "(≤ 80 × 80 grid metadata, never corpus rows)")
   )
 }
