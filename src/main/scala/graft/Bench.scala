@@ -72,6 +72,9 @@ object Bench {
     // corpus band index (the zero-state ingest-dedup path)
     if (want("stream_cross_dedup"))
       results("stream_cross_dedup") = crossDedupReplay(spark, sfDir)
+    // one-pass submodular maximization (SieveStreaming), 4 shards
+    if (want("stream_sieve"))
+      results("stream_sieve") = sieveStreamReplay(spark, sfDir)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => want(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -292,6 +295,51 @@ object Bench {
     * deterministic hash shuffle — the adversarial case for frontier
     * churn (sorted-by-price arrivals would evict almost nothing).
     */
+  /** SieveStreaming max-coverage over the documents table, 4 shards,
+    * 4 micro-batches — the one-pass submodular twin of q_max_coverage.
+    */
+  def sieveStreamReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq
+      .map { case (id, tx) =>
+        val t = tx.split(" ").filter(_.nonEmpty)
+        val bg = if (t.length < 2) Seq.empty[String]
+          else t.sliding(2).map(_.mkString(" ")).toSeq.distinct.sorted
+        graft.streaming.SieveStream.Doc((id % 4).toInt, id, bg)
+      }
+      .filter(_.bigrams.nonEmpty).sortBy(_.docId)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.SieveStream.Doc]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.SieveStream.run(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bench_sieve").start()
+      try {
+        docs.grouped(math.max(500, docs.length / batches)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val best = spark.table("bench_sieve")
+          .as[graft.streaming.SieveStream.Best].collect()
+          .groupBy(_.shard).map(_._2.maxBy(_.version).value).sum
+        spark.catalog.dropTempView("bench_sieve")
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_sieve: ${docs.length} docs -> summed shard " +
+            f"coverage $best in $secs%.2f s = ${docs.length / secs}%.0f doc/s")
+        secs
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   def skylineStreamReplay(
       spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
     import spark.implicits._
