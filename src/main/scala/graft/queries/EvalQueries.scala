@@ -700,6 +700,87 @@ object EvalQueries {
     }.intendsNestedLoop(
       "broadcast side is the 1-row class-0 centroid frame"),
 
+    // ---- Brier score with Murphy's 3-part decomposition (Murphy 1973):
+    //      BRIER = REL − RES + UNC, where REL = Σ n_b(f_b − o_b)²/n is
+    //      what q_ece measures squared (miscalibration), RES =
+    //      Σ n_b(o_b − ō)²/n is the scorer's DISCRIMINATION (how much
+    //      the bins separate the base rate — a scorer can be perfectly
+    //      calibrated and useless), and UNC = ō(1−ō) is the data's
+    //      irreducible noise. Same scorer + bins as q_calibration/
+    //      q_ece/q_isotonic (single-sourced CTEs). Exactness: all four
+    //      terms are integer-quantized rationals at 1e6; decomp_gap_fp
+    //      = BRIER − (REL − RES + UNC) reports the floor-quantization
+    //      residue (the identity is exact in the reals; each floor can
+    //      shift a term by 1 fp unit). Headroom: per-bin numerators
+    //      n_b·(1e6)² cap n at ~9.2e6 rows per scored population — the
+    //      same envelope q_calibration already documents. ONE corpus
+    //      pass onto ≤ 21 bins; everything after is bin-bounded ----
+    QueryDef.sql(
+      "q_brier_decomp",
+      s"""WITH $scorerCtes, pb AS (
+         |  SELECT s // 1000 AS bin, (s + 10000) * 50 AS p_fp, y FROM sc
+         |), b AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(p_fp) AS BIGINT) // count(*) AS fb,
+         |    (CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS ob,
+         |    CAST(sum((p_fp - y * 1000000) * (p_fp - y * 1000000))
+         |      AS BIGINT) AS brier_num
+         |  FROM pb GROUP BY bin
+         |), g AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    (SELECT (CAST(sum(y) AS BIGINT) * 1000000)
+         |       // count(*) FROM pb) AS obar
+         |  FROM b
+         |)
+         |SELECT g.nt AS n_scored,
+         |  CAST(sum(b.brier_num) AS BIGINT) // (g.nt * 1000000)
+         |    AS brier_fp,
+         |  CAST(sum(b.n * (b.fb - b.ob) * (b.fb - b.ob)) AS BIGINT)
+         |    // (g.nt * 1000000) AS rel_fp,
+         |  CAST(sum(b.n * (b.ob - g.obar) * (b.ob - g.obar)) AS BIGINT)
+         |    // (g.nt * 1000000) AS res_fp,
+         |  (g.obar * (1000000 - g.obar)) // 1000000 AS unc_fp,
+         |  CAST(sum(b.brier_num) AS BIGINT) // (g.nt * 1000000)
+         |    - (CAST(sum(b.n * (b.fb - b.ob) * (b.fb - b.ob)) AS BIGINT)
+         |         // (g.nt * 1000000)
+         |       - CAST(sum(b.n * (b.ob - g.obar) * (b.ob - g.obar))
+         |           AS BIGINT) // (g.nt * 1000000)
+         |       + (g.obar * (1000000 - g.obar)) // 1000000)
+         |    AS decomp_gap_fp
+         |FROM b CROSS JOIN g
+         |GROUP BY g.nt, g.obar""".stripMargin
+    ) { (s, d) =>
+      val pb = scored(s, d)
+        .select(expr("s div 1000").as("bin"),
+          ((col("s") + 10000L) * 50L).as("p_fp"), col("y"))
+      val b = pb.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(p_fp) div count(1)").as("fb"),
+          expr("(sum(y) * 1000000L) div count(1)").as("ob"),
+          expr("sum((p_fp - y * 1000000L) * (p_fp - y * 1000000L))")
+            .as("brier_num"))
+      val g = pb.agg(count(lit(1)).as("nt"),
+        expr("(sum(y) * 1000000L) div count(1)").as("obar"))
+      b.crossJoin(broadcast(g))
+        .groupBy(col("nt"), col("obar"))
+        .agg(
+          expr("sum(brier_num)").as("bn"),
+          expr("sum(n * (fb - ob) * (fb - ob))").as("reln"),
+          expr("sum(n * (ob - obar) * (ob - obar))").as("resn"))
+        .select(col("nt").as("n_scored"),
+          expr("bn div (nt * 1000000L)").as("brier_fp"),
+          expr("reln div (nt * 1000000L)").as("rel_fp"),
+          expr("resn div (nt * 1000000L)").as("res_fp"),
+          expr("(obar * (1000000L - obar)) div 1000000L").as("unc_fp"),
+          expr("bn div (nt * 1000000L)" +
+            " - (reln div (nt * 1000000L)" +
+            "    - resn div (nt * 1000000L)" +
+            "    + (obar * (1000000L - obar)) div 1000000L)")
+            .as("decomp_gap_fp"))
+    }.intendsNestedLoop(
+      "broadcast sides are the 1-row class-0 centroid frame and the " +
+        "1-row (n, base-rate) frame"),
+
     // ---- Isotonic calibration (PAV) of the SAME scorer via the exact
     //      minimax identity (Robertson, Wright & Dykstra 1988):
     //      iso(i) = max_{j<=i} min_{k>=i} wavg(y over bins j..k) —
