@@ -222,14 +222,17 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table("bench_docs").count()
-        // the memory sink holds every output row in the driver: drop it
-        // so it cannot pressure the 170-query batch sweep that follows
-        spark.catalog.dropTempView("bench_docs")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_docs: ${docs.length} docs -> $n chunks in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
         secs
-      } finally query.stop()
+      } finally {
+        query.stop()
+        // the memory sink holds every output row in the driver: drop it
+        // (in finally, so a failed replay can be retried in-session and
+        // the rows cannot pressure the batch sweep that follows)
+        spark.catalog.dropTempView("bench_docs")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
@@ -276,13 +279,15 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table("bench_xdedup").count()
-        spark.catalog.dropTempView("bench_xdedup")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_cross_dedup: ${docs.length} docs -> $n gated" +
             f" in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
         secs
-      } finally query.stop()
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("bench_xdedup")
+      }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       index.unpersist()
@@ -330,13 +335,18 @@ object Bench {
         val best = spark.table("bench_sieve")
           .as[graft.streaming.SieveStream.Best].collect()
           .groupBy(_.shard).map(_._2.maxBy(_.version).value).sum
-        spark.catalog.dropTempView("bench_sieve")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_sieve: ${docs.length} docs -> summed shard " +
             f"coverage $best in $secs%.2f s = ${docs.length / secs}%.0f doc/s")
         secs
-      } finally query.stop()
+      } finally {
+        // drop in finally: a throw mid-replay must not leave the memory
+        // sink registered, or a same-session retry dies at queryName(...)
+        // .start() with view-already-exists
+        query.stop()
+        spark.catalog.dropTempView("bench_sieve")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
@@ -367,13 +377,15 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table("bench_skyline").count()
-        spark.catalog.dropTempView("bench_skyline")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_skyline: ${pts.length} rows -> $n changelog " +
             f"entries in $secs%.2f s = ${pts.length / secs}%.0f rec/s")
         secs
-      } finally query.stop()
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("bench_skyline")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
@@ -406,12 +418,14 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table("bench_sessions").count()
-        spark.catalog.dropTempView("bench_sessions")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_sessions: ${events.length} events -> $n closed sessions in $secs%.2f s = ${events.length / secs}%.0f rec/s")
         secs
-      } finally query.stop()
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("bench_sessions")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
@@ -479,12 +493,14 @@ object Bench {
           query.processAllAvailable()
         }
         val n = spark.table(queryName).count()
-        spark.catalog.dropTempView(queryName)
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] stream_indicators ($batches batches): $n rows in $secs%.2f s = ${n / secs}%.0f rec/s")
         secs
-      } finally query.stop()
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView(queryName)
+      }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set(

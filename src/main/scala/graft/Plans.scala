@@ -86,7 +86,10 @@ object Plans {
     "q_ipw", // one user agg, 4-row bin table, broadcast scalars
     "q_linkage_em", // blocked pair equi-join, EM on the 8-row pattern frame
     "q_priority_sample", // TakeOrdered(k+1), 101-row rank window, broadcast tau
-    "q_wordpiece" // vocab-bounded bestLen join + log-rounds pointer doubling
+    "q_wordpiece", // vocab-bounded bestLen join + log-rounds pointer doubling
+    "q_sinkhorn_ot", // 15 materialized scaling rounds, bin-grid-sized joins only
+    "q_token_f1", // pair equi-join on tokens, partial-aggregable overlap counts
+    "q_brier_decomp" // one partial-agg pass, decomposition on the bin frame
   )
 
   def main(args: Array[String]): Unit = {

@@ -270,7 +270,8 @@ object SamplingQueries {
          |  FROM (SELECT * FROM it ORDER BY pr DESC, doc_id
          |        LIMIT ${PriorityK + 1})
          |), tau AS (
-         |  SELECT pr AS tau FROM top1 WHERE rk = ${PriorityK + 1}
+         |  SELECT coalesce(max(pr), 0e0) AS tau
+         |  FROM top1 WHERE rk = ${PriorityK + 1}
          |), tot AS (
          |  SELECT CAST(sum(w) AS BIGINT) AS exact_total FROM it
          |), samp AS (
@@ -298,8 +299,12 @@ object SamplingQueries {
         .limit(PriorityK + 1)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("pr").desc, col("doc_id"))))
+      // DLT defines tau = 0 (w_hat = w) when n <= k: aggregate to ONE
+      // row even when the (k+1)-th candidate doesn't exist, so small
+      // corpora yield the whole population instead of an annihilated
+      // cross join
       val tau = top1.filter(col("rk") === PriorityK + 1)
-        .select(col("pr").as("tau"))
+        .agg(coalesce(max(col("pr")), lit(0.0)).as("tau"))
       val tot = it.agg(sum(col("w")).as("exact_total"))
       val samp = top1.filter(col("rk") <= PriorityK)
         .crossJoin(broadcast(tau))

@@ -61,6 +61,13 @@ object SieveStream {
     val bg = d.bigrams.distinct
     val singleton = bg.size.toLong
     val m2 = math.max(st.m, singleton)
+    // Loud, not wrong: past the table ceiling the alive-window filter
+    // would return NO thresholds and silently wipe every sieve (picks
+    // included), leaving Best stuck at 0. j<=60 covers singletons to
+    // ~5.6e4 distinct bigrams — beyond that, extend Thresholds.
+    require(m2 * Scale <= Thresholds.last,
+      s"singleton coverage $m2 exceeds the precomputed threshold ceiling " +
+        s"(${Thresholds.last / Scale}); extend SieveStream.Thresholds")
     val lo = m2 * Scale
     val hi = 2L * K * m2 * Scale
     // instantiate newly-active thresholds empty; drop dead ones

@@ -92,4 +92,15 @@ class SieveStreamSpec extends AnyFunSuite with Matchers {
     val (_, cVal) = greedy(candDocs, SieveStream.K)
     cVal should be >= math.ceil(0.3 * gVal).toLong
   }
+
+  test("fold fails loudly past the threshold-table ceiling") {
+    // A doc with more distinct bigrams than the precomputed table covers
+    // must throw, not silently delete every sieve and report value 0.
+    val huge = (0 until 60000).map(i => s"bg_$i bg_${i + 1}")
+    val ex = intercept[IllegalArgumentException] {
+      SieveStream.fold(
+        SieveStream.SieveSt(0L, 0L, Nil), Doc(0, 1L, huge))
+    }
+    ex.getMessage should include("threshold ceiling")
+  }
 }
