@@ -75,6 +75,11 @@ object Bench {
     // one-pass submodular maximization (SieveStreaming), 4 shards
     if (want("stream_sieve"))
       results("stream_sieve") = sieveStreamReplay(spark, sfDir)
+    // residual-IVF-PQ ANN serving: streamed query batches answered by
+    // ADC over residual codes + exact per-cell correction (the serving
+    // leg of q_knn_ivfpq_res)
+    if (want("stream_ann_res"))
+      results("stream_ann_res") = annResReplay(spark, sfDir)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => want(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -348,6 +353,57 @@ object Bench {
         spark.catalog.dropTempView("bench_sieve")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Stream the first 64 corpus vectors as query batches through the
+    * residual-IVF-PQ serving path ([[graft.streaming.AnnServe.startRes]])
+    * and measure the per-batch answer cost; the one-time index build is
+    * reported separately to stderr (at scale it is a persisted artifact,
+    * not per-stream work). Queries/s to stderr.
+    */
+  def annResReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val corpus = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val tIdx = System.nanoTime()
+    val served = graft.ops.IvfPq.buildServedResidual(corpus)
+    served.idx.cellCodes.count() // materialize the cached codes
+    System.err.println(f"[bench] stream_ann_res: residual index built in " +
+      f"${(System.nanoTime() - tIdx) / 1e9}%.2f s (one-time)")
+    val queryVecs = corpus.filter(col("vec_id") < 64).collect()
+      .map(r => graft.streaming.AnnServe.QueryVec(
+        r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.q_id)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.AnnServe.QueryVec]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      var answered = 0L
+      val t0 = System.nanoTime()
+      val query = graft.streaming.AnnServe.startRes(input.toDS(), served,
+        nprobe = 4, topK = 5, shortlist = 32) { (df, _) =>
+        answered += df.count()
+      }
+      try {
+        queryVecs.grouped(math.max(8, queryVecs.length / batches)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_ann_res: ${queryVecs.length} queries -> " +
+            f"$answered neighbour rows in $secs%.2f s = " +
+            f"${queryVecs.length / secs}%.1f queries/s")
+        secs
+      } finally query.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      served.close()
+    }
   }
 
   def skylineStreamReplay(

@@ -121,9 +121,27 @@ object IvfPq {
       queryPred: Column,
       nprobe: Int,
       topK: Int,
+      shortlist: Int): DataFrame =
+    searchResidualWith(idx,
+      raw.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      raw, m, nprobe, topK, shortlist)
+
+  /** Residual search for an external query frame ((q_id, q_emb); same
+    * id-disjointness contract as [[searchWith]]) — the serving entry
+    * point ([[graft.streaming.AnnServe.startRes]]). Per batch: probes
+    * and ADC table broadcast as in the plain path, PLUS the exact
+    * per-(query, probed-cell) correction scalar q·c — also bounded by
+    * the probe set (nprobe rows/query), also broadcast.
+    */
+  def searchResidualWith(
+      idx: ResIndex,
+      queries: DataFrame,
+      raw: DataFrame,
+      m: Int,
+      nprobe: Int,
+      topK: Int,
       shortlist: Int): DataFrame = {
-    val queries = raw.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wP = Window.partitionBy(col("q_id"))
       .orderBy(col("cs").desc, col("cent_id"))
     val probes = queries
@@ -276,5 +294,29 @@ object IvfPq {
     val norm = raw.select(col("vec_id"), Pq.normalized(col("embedding")).as("embedding"))
     val idx0 = build(raw, norm, m)
     Served(idx0.copy(cellCodes = idx0.cellCodes.cache()), raw, m)
+  }
+
+  /** A served RESIDUAL IVF-PQ index ([[buildResidual]]) — the variant
+    * that holds its shortlist quality on clustered corpora. Same serving
+    * shape as [[Served]]; the residual correction term (the exact q·c
+    * scalar per (query, probed cell)) is recomputed per batch from the
+    * broadcast `cmeans` metadata, so serving state stays: two local
+    * codebooks + cells-count mean rows + the cached cell-keyed codes.
+    */
+  final case class ServedRes(idx: ResIndex, raw: DataFrame, m: Int) {
+    def query(queries: DataFrame, nprobe: Int, topK: Int, shortlist: Int): DataFrame =
+      searchResidualWith(idx, queries, raw, m, nprobe, topK, shortlist)
+    def close(): Unit = { idx.cellCodes.unpersist(); () }
+  }
+
+  /** Build a served residual index (cell-keyed residual codes cached;
+    * coarse codebook, PQ codebooks and cell means all local metadata).
+    * Batch-size guidance as [[buildServed]], plus nprobe correction rows
+    * per query — negligible next to the ADC table.
+    */
+  def buildServedResidual(raw: DataFrame, m: Int = Pq.M): ServedRes = {
+    val norm = raw.select(col("vec_id"), Pq.normalized(col("embedding")).as("embedding"))
+    val idx0 = buildResidual(raw, norm, m)
+    ServedRes(idx0.copy(cellCodes = idx0.cellCodes.cache()), raw, m)
   }
 }

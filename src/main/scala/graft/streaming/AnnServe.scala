@@ -77,4 +77,32 @@ object AnnServe {
       topK: Int,
       shortlist: Int)(onResult: (DataFrame, Long) => Unit): StreamingQuery =
     writerPq(queries, served, nprobe, topK, shortlist)(onResult).start()
+
+  /** Residual-IVF-PQ-backed variant ([[IvfPq.buildServedResidual]]):
+    * the serving leg of `q_knn_ivfpq_res` — per batch the probed cells'
+    * RESIDUAL codes are ADC-scored and corrected by the exact
+    * per-(query, probed-cell) q·c scalar (both broadcast, both bounded
+    * by the query batch), so shortlist quality survives clustered
+    * corpora at the same per-batch cost shape as [[writerPq]].
+    */
+  def writerRes(
+      queries: Dataset[QueryVec],
+      served: IvfPq.ServedRes,
+      nprobe: Int,
+      topK: Int,
+      shortlist: Int)(onResult: (DataFrame, Long) => Unit): DataStreamWriter[QueryVec] =
+    queries.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[QueryVec], batchId: Long) =>
+        onResult(served.query(batch.toDF(), nprobe, topK, shortlist), batchId)
+      }
+
+  /** Start the residual IVF-PQ service with a no-frills callback sink. */
+  def startRes(
+      queries: Dataset[QueryVec],
+      served: IvfPq.ServedRes,
+      nprobe: Int,
+      topK: Int,
+      shortlist: Int)(onResult: (DataFrame, Long) => Unit): StreamingQuery =
+    writerRes(queries, served, nprobe, topK, shortlist)(onResult).start()
 }
