@@ -42,6 +42,23 @@ object Scratch {
       // IvfRecallSpec), so the sweep shows the recall/scan trade-off.
       case "ann_recall" =>
         annRecall(spark, sfDir)
+      // IVF-PQ staleness (VERDICT r8 item 4): recall-vs-append-fraction
+      // when new vectors come from SHIFTED mixture components and the
+      // codebooks are NOT retrained (IvfPq.append). Base corpus =
+      // SPARK_GRAFT_SF_DIR (.sfdata/embc128k); drift corpus =
+      // SPARK_GRAFT_DRIFT_DIR (.sfdata/embc128k_drift: same n, 64 NEW
+      // centers, disjoint ids).
+      case "ann_staleness" =>
+        annStaleness(spark, sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_DRIFT_DIR",
+            "/root/repo/.sfdata/embc128k_drift"))
+      // RocksDB state-store rehearsal (VERDICT r8 item 2): the fMGWS
+      // replays under the default (HDFS-backed) vs RocksDB provider,
+      // the MapState-heavy transformWithState twin (RocksDB-only by
+      // API), and a mid-stream checkpoint-restart parity check on the
+      // RocksDB provider. Run at sf1 (SPARK_GRAFT_SF_DIR).
+      case "rocksdb_rehearsal" =>
+        rocksdbRehearsal(spark, sfDir)
       case _ =>
         // time construction + count, like Bench: iterative operators
         // (PageRank, MMR, BPE) execute eagerly during construction
@@ -119,5 +136,255 @@ object Scratch {
       measure("resid", nprobe, shortlist, (np, sl) =>
         IvfPq.searchResidual(ridx, raw, Pq.M, qPred, nprobe = np, topK = topK, shortlist = sl))
     }
+  }
+
+  /** Recall-vs-append curve for a STALE index: codebooks trained on the
+    * base corpus only, drift vectors (new mixture centers, disjoint ids)
+    * folded in via [[graft.ops.IvfPq.append]] at 10% / 30% / 100% of
+    * base size, recall@10 measured for BOTH query populations (base-
+    * distribution and drift-distribution queries) against exact brute
+    * force over the union — plus a fresh full rebuild at 100% as the
+    * rebuild-payoff anchor. BASELINE.md records the resulting table.
+    */
+  private def annStaleness(
+      spark: SparkSession, sfDir: String, driftDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecOps
+    import graft.ops.{IvfPq, Pq}
+
+    val base = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val drift = spark.read.parquet(s"$driftDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nBase = base.count()
+    val nDrift = drift.count()
+    val nQ = 32
+    val topK = 10
+    println(s"[scratch] ann_staleness: base n=$nBase, drift n=$nDrift")
+
+    val t0 = System.nanoTime()
+    val baseNorm = base.select(col("vec_id"),
+      Pq.normalized(col("embedding")).as("embedding"))
+    val idx = IvfPq.build(base, baseNorm)
+    idx.cellCodes.cache()
+    val cells = idx.coarse.count()
+    println(f"[scratch] ann_staleness: base index built (cells=$cells) " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    def truthFor(union: org.apache.spark.sql.DataFrame,
+        qPred: org.apache.spark.sql.Column): Map[Long, Set[Long]] = {
+      val q = union.filter(qPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("c_id"))
+      union
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", VecOps.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    }
+
+    def recallOf(got: org.apache.spark.sql.DataFrame,
+        truth: Map[Long, Set[Long]]): Double = {
+      val g = got.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      truth.keys.toSeq
+        .map(q => (truth(q) & g.getOrElse(q, Set.empty)).size.toDouble / topK)
+        .sum / truth.size
+    }
+
+    val qOld = col("vec_id") < nQ
+    val qNew = col("vec_id") >= nBase && col("vec_id") < nBase + nQ
+    val configs = Seq((4, 8 * topK), (4, 64 * topK), (16, 64 * topK))
+
+    for (frac <- Seq(0.1, 0.3, 1.0)) {
+      val nAppend = math.round(frac * nBase)
+      val batch = drift.filter(col("vec_id") < nBase + nAppend)
+      val union = base.unionByName(batch)
+      val stale = IvfPq.append(idx, batch)
+      stale.cellCodes.cache().count()
+      val tOld = truthFor(union, qOld)
+      val tNew = truthFor(union, qNew)
+      for ((np, sl) <- configs; (tag, pred, truth) <-
+          Seq(("old", qOld, tOld), ("new", qNew, tNew))) {
+        val r = recallOf(IvfPq.search(stale, union, Pq.M, pred,
+          nprobe = np, topK = topK, shortlist = sl), truth)
+        println(f"[scratch] ann_staleness[stale f=$frac%.1f q=$tag]: " +
+          f"nprobe=$np%2d shortlist=$sl%4d recall@10 = $r%.3f")
+      }
+      // fresh-rebuild anchor at the full append: what retraining buys
+      if (frac == 1.0) {
+        val t1 = System.nanoTime()
+        val unionNorm = union.select(col("vec_id"),
+          Pq.normalized(col("embedding")).as("embedding"))
+        val fresh = IvfPq.build(union, unionNorm)
+        fresh.cellCodes.cache().count()
+        println(f"[scratch] ann_staleness: fresh rebuild " +
+          f"(cells=${fresh.coarse.count()}) in " +
+          f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+        for ((np, sl) <- configs; (tag, pred, truth) <-
+            Seq(("old", qOld, tOld), ("new", qNew, tNew))) {
+          val r = recallOf(IvfPq.search(fresh, union, Pq.M, pred,
+            nprobe = np, topK = topK, shortlist = sl), truth)
+          println(f"[scratch] ann_staleness[fresh f=$frac%.1f q=$tag]: " +
+            f"nprobe=$np%2d shortlist=$sl%4d recall@10 = $r%.3f")
+        }
+        fresh.cellCodes.unpersist()
+      }
+      stale.cellCodes.unpersist()
+    }
+    idx.cellCodes.unpersist()
+  }
+
+  /** Provider A/B for the stateful replays + RocksDB restart parity
+    * (BASELINE.md records the table). The default provider is the
+    * HDFS-backed in-memory map; RocksDB is the 100-TB state backend
+    * (state larger than executor heap, incremental checkpoints).
+    */
+  private def rocksdbRehearsal(spark: SparkSession, sfDir: String): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def withProvider[T](p: Option[String])(f: => T): T = {
+      val prev = spark.conf.getOption(key)
+      p match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    for ((tag, prov) <- Seq("default" -> None, "rocksdb" -> Some(rocks))) {
+      withProvider(prov) {
+        println(f"[scratch] rocksdb_rehearsal[$tag] stream_indicators: " +
+          f"${Bench.streamReplay(spark, sfDir)}%.2f s")
+        println(f"[scratch] rocksdb_rehearsal[$tag] stream_docs: " +
+          f"${Bench.docStreamReplay(spark, sfDir)}%.2f s")
+      }
+    }
+    withProvider(Some(rocks)) {
+      println(f"[scratch] rocksdb_rehearsal[rocksdb] stream_histogram: " +
+        f"${histReplay(spark, sfDir)}%.2f s (MapState TWS; RocksDB-only by API)")
+      restartParity(spark, sfDir)
+    }
+  }
+
+  /** Replay the events table through the MapState-backed histogram
+    * quantile twin ([[graft.streaming.HistogramStream]]); returns wall
+    * seconds (rec/s to stderr).
+    */
+  private def histReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 8): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val ticks = graft.model.Tables.events(spark, sfDir)
+      .select(col("event_type").as("symbol"), col("ts"),
+        col("event_id"), col("value"))
+      .as[graft.streaming.HistogramStream.Tick]
+      .orderBy("ts")
+      .collect()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.HistogramStream.Tick]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.HistogramStream.summaries(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("scratch_hist").start()
+      try {
+        ticks.grouped(math.max(1000, ticks.length / batches)).foreach { c =>
+          input.addData(c.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val n = spark.table("scratch_hist").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[scratch] stream_histogram: ${ticks.length} ticks -> $n " +
+            f"summaries in $secs%.2f s = ${ticks.length / secs}%.0f rec/s")
+        secs
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("scratch_hist")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Mid-stream kill + restart from checkpoint under the active state
+    * store provider: the interrupted run's file-sink output must equal
+    * the uninterrupted run's, row for row (exactly-once + state
+    * carry-over at scale; the unit-level twin is
+    * StreamingIndicatorsSpec's restart test).
+    */
+  private def restartParity(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val candles = graft.model.Tables.events(spark, sfDir)
+      .select(
+        col("event_type").as("stock_symbol"),
+        col("ts").as("local_time"),
+        col("value").as("open"), col("value").as("high"),
+        col("value").as("low"), col("value").as("close"),
+        lit(1.0).as("volume"))
+      .as[graft.model.Candle]
+      .orderBy("local_time")
+      .collect()
+    val nBatches = 8
+    val chunks = candles.grouped(
+      math.max(1000, candles.length / nBatches)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    def run(tag: String, interruptAfter: Option[Int]): Array[org.apache.spark.sql.Row] = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_rr_$tag").toString
+      val input = MemoryStream[graft.model.Candle]
+      def start() = graft.streaming.StreamingIndicators
+        .pipeline(input.toDS(), watermark = "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      var q = start()
+      try {
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          input.addData(c.toIndexedSeq)
+          q.processAllAvailable()
+          if (interruptAfter.contains(i)) {
+            q.stop() // mid-stream kill; state resumes from the checkpoint
+            q = start()
+          }
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.read.parquet(s"$base/out")
+        .orderBy("stock_symbol", "local_time").collect()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      rows
+    }
+    try {
+      val straight = run("straight", None)
+      val restarted = run("restart", Some(chunks.size / 2 - 1))
+      require(straight.length == restarted.length,
+        s"restart parity: row counts differ " +
+          s"(${straight.length} vs ${restarted.length})")
+      val mismatches = straight.zip(restarted).count { case (a, b) => a != b }
+      require(mismatches == 0,
+        s"restart parity: $mismatches mismatching rows of ${straight.length}")
+      println(s"[scratch] rocksdb_rehearsal: restart parity PASS — " +
+        s"${restarted.length} rows bit-equal after mid-stream kill+restart")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -24,19 +24,24 @@ import duckdb
 BASE = "/root/testdata/sf0.1"
 
 
-def main(n_emb: int, out: str, c: int = 64) -> None:
+def main(n_emb: int, out: str, c: int = 64,
+         salt: int = 0, id_offset: int = 0) -> None:
+    """salt shifts the CENTER hash (salt=c -> c entirely new mixture
+    centers: the distribution-drift corpus for the IVF-PQ staleness
+    measurement); id_offset keeps vec_ids disjoint from the base corpus
+    so the drift rows can be appended to an existing index."""
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     noise = 0.08  # per-coordinate amplitude; centers are ~1.15 apart rms
     con.execute(f"""
       COPY (
-        SELECT i AS vec_id,
-          CAST([ (hash((hash(i + 7) % {c}) * 131 + j) % 2001) / 1e3 - 1
-                 + {noise} * ((hash(i * 127 + j) % 400001) / 2e5
-                              + (hash(i * 631 + j) % 400001) / 2e5 - 2)
+        SELECT i + {id_offset} AS vec_id,
+          CAST([ (hash((hash(i + 7) % {c} + {salt}) * 131 + j) % 2001) / 1e3 - 1
+                 + {noise} * ((hash((i + {id_offset}) * 127 + j) % 400001) / 2e5
+                              + (hash((i + {id_offset}) * 631 + j) % 400001) / 2e5 - 2)
                  for j in range(0, 64) ] AS FLOAT[]) AS embedding,
-          CAST(hash(i + 7) % {c} AS INT) AS label
+          CAST(hash(i + 7) % {c} + {salt} AS INT) AS label
         FROM range(0, {n_emb}) t(i)
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     n = con.sql(
@@ -52,4 +57,6 @@ def main(n_emb: int, out: str, c: int = 64) -> None:
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), sys.argv[2],
-         int(sys.argv[3]) if len(sys.argv) > 3 else 64)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 64,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0,
+         int(sys.argv[5]) if len(sys.argv) > 5 else 0)
