@@ -65,13 +65,12 @@ object CdcChunk {
     b.result()
   }
 
-  /** Chunk `docs` (columns: doc_id, text) with window `w` and boundary
-    * condition `contentHash % mask == 0` (expected chunk size ≈ mask).
-    * Output: (doc_id, chunk_id, start_pos, chunk_len, fp1, fp2, n_same)
-    * — n_same = corpus-wide count of chunks with identical
-    * (chunk_len, Σc, fp1, fp2), the dedup signal.
+  /** Chunk fingerprints only — [[chunks]] without the corpus-wide
+    * `n_same` count join: (doc_id, chunk_id, start_pos, chunk_len, s0,
+    * fp1, fp2). The frame the chunk-level dedup index
+    * ([[ChunkDedup]]) and the streaming substring gate build on.
     */
-  def chunks(docs: DataFrame, w: Int = 16, mask: Long = 64L): DataFrame = {
+  def fingerprints(docs: DataFrame, w: Int = 16, mask: Long = 64L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // max text length: 1-row metadata fetch (the BpeTrainer convention)
@@ -101,7 +100,7 @@ object CdcChunk {
     val withChunk = hashed
       .withColumn("chunk_id",
         coalesce(sum(col("boundary")).over(wPrior), lit(0L)))
-    val agg = withChunk
+    withChunk
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(min(col("j")).as("start_pos"),
         count(lit(1)).as("chunk_len"),
@@ -114,6 +113,16 @@ object CdcChunk {
         (col("s2") - lit(2) * (col("start_pos") - 1) * col("s1")
           + (col("start_pos") - 1) * (col("start_pos") - 1) * col("s0"))
           .as("fp2"))
+  }
+
+  /** Chunk `docs` (columns: doc_id, text) with window `w` and boundary
+    * condition `contentHash % mask == 0` (expected chunk size ≈ mask).
+    * Output: (doc_id, chunk_id, start_pos, chunk_len, fp1, fp2, n_same)
+    * — n_same = corpus-wide count of chunks with identical
+    * (chunk_len, Σc, fp1, fp2), the dedup signal.
+    */
+  def chunks(docs: DataFrame, w: Int = 16, mask: Long = 64L): DataFrame = {
+    val agg = fingerprints(docs, w, mask)
     val cnt = agg.groupBy(
         col("chunk_len").as("g_len"), col("s0").as("g_s0"),
         col("fp1").as("g_fp1"), col("fp2").as("g_fp2"))
@@ -133,12 +142,13 @@ object CdcChunk {
     r
   }
 
-  /** The identical pipeline as DuckDB SQL over a `documents` relation
-    * (doc_id, text). Positions come from the power CTE itself (a range
-    * join on j <= length — DuckDB's range() cannot take correlated
-    * arguments, NOTES.md); power tables from a recursive CTE.
+  /** The [[fingerprints]] chain as DuckDB CTEs (through `agg`) — shared
+    * by [[oracleSql]] and the chunk-gate oracle (`q_substr_gate`).
+    * Positions come from the power CTE itself (a range join on
+    * j <= length — DuckDB's range() cannot take correlated arguments,
+    * NOTES.md); power tables from a recursive CTE.
     */
-  def oracleSql(w: Int = 16, mask: Long = 64L): String =
+  def oracleFingerprintCtes(w: Int = 16, mask: Long = 64L): String =
     s"""mx AS (SELECT max(length(text)) AS m FROM documents),
        |pw(j, v, iv) AS (
        |  SELECT CAST(1 AS BIGINT), CAST($P AS BIGINT), CAST($PInv AS BIGINT)
@@ -177,7 +187,13 @@ object CdcChunk {
        |      - 2 * (min(j) - 1) * CAST(sum(cc * j) AS BIGINT)
        |      + (min(j) - 1) * (min(j) - 1) * CAST(sum(cc) AS BIGINT) AS fp2
        |  FROM wc GROUP BY doc_id, chunk_id
-       |), cnt AS (
+       |)""".stripMargin
+
+  /** The identical [[chunks]] pipeline as DuckDB SQL over a `documents`
+    * relation (doc_id, text).
+    */
+  def oracleSql(w: Int = 16, mask: Long = 64L): String =
+    s"""${oracleFingerprintCtes(w, mask)}, cnt AS (
        |  SELECT chunk_len AS g_len, s0 AS g_s0, fp1 AS g_fp1, fp2 AS g_fp2,
        |    CAST(count(*) AS BIGINT) AS n_same
        |  FROM agg GROUP BY 1, 2, 3, 4
@@ -185,4 +201,81 @@ object CdcChunk {
        |SELECT doc_id, chunk_id, start_pos, chunk_len, s0, fp1, fp2, n_same
        |FROM agg JOIN cnt ON chunk_len = g_len AND s0 = g_s0
        |  AND fp1 = g_fp1 AND fp2 = g_fp2""".stripMargin
+
+  /** ROW-LOCAL chunker: the same boundaries and fingerprints as
+    * [[fingerprints]], computed entirely inside one row as an
+    * array<struct> column `chunksCol` — no window, no metadata action —
+    * so it is legal on a STREAMING DataFrame (the batch chain needs a
+    * whole-partition window and a max-length head(), both disallowed on
+    * streams). Cost is O(w·L) per doc for the rolling hashes plus O(L)
+    * for the moments, vs the batch chain's O(L) rows through one
+    * exchange — the row-local form trades w× arithmetic for zero
+    * shuffle, the right trade inside a micro-batch.
+    * [[graft.ops.CdcChunkSpec]] pins the two chunkers equal row-for-row.
+    *
+    * Struct fields: (chunk_id, start_pos, chunk_len, s0, fp1, fp2) —
+    * chunk_id 0-based in document order, exactly the batch columns.
+    * Empty text yields an empty array (the batch chain emits no rows).
+    */
+  def withChunkStructs(
+      df: DataFrame,
+      text: String = "text",
+      chunksCol: String = "__chunks",
+      w: Int = 16,
+      mask: Long = 64L): DataFrame = {
+    // p^t mod M for t = 0..w-1 as one literal array (constant-folded):
+    // chash(i) = sum_t cc(i-w+1+t)·p^t mod M — the position-free window
+    // hash the batch chain reaches via the qdiff·p^(-(i-w+1)) rebase
+    val pwLit = (0 until w).map(powConst).mkString("array(", "L, ", "L)")
+    // GOTCHA (measured, not theoretical): binding the intermediate
+    // arrays as COLUMNS hangs — CollapseProject inlines each alias into
+    // every reference site, and element_at(<inlined transform>, j)
+    // inside a lambda then rebuilds the whole O(L) array PER ACCESS
+    // (CSE does not reach inside lambda bodies — the NearDup lesson),
+    // turning the chunker into O(w·L²)/doc. The let-binding idiom
+    // `element_at(transform(array(x), v -> body), 1)` evaluates x ONCE
+    // and gives body a cheap lambda-variable reference instead.
+    def let(valueExpr: String, varName: String, body: String): String =
+      s"element_at(transform(array($valueExpr), $varName -> $body), 1)"
+    val cs =
+      s"CASE WHEN length($text) >= 1 THEN " +
+        s"transform(sequence(1, length($text)), " +
+        s"j -> CAST(ascii(substr($text, j, 1)) % 256 AS BIGINT)) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    val bp =
+      s"CASE WHEN size(cs) >= $w THEN " +
+        s"filter(sequence($w, size(cs)), i -> " +
+        s"aggregate(sequence(0, ${w - 1}), CAST(0 AS BIGINT), " +
+        s"(acc, t) -> (acc + element_at(cs, i - ${w - 1} + t) " +
+        s"* element_at($pwLit, t + 1)) % ${M}L) % ${mask}L = 0) " +
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    val st =
+      s"filter(concat(array(1), transform($bp, i -> i + 1)), " +
+        "s -> s <= size(cs))"
+    val en =
+      "transform(sequence(1, size(st)), k -> " +
+        "CASE WHEN k < size(st) THEN element_at(st, k + 1) - 1 " +
+        "ELSE size(cs) END)"
+    val chunksFromEn =
+      "transform(sequence(1, size(st)), k -> named_struct(" +
+        "'chunk_id', CAST(k - 1 AS BIGINT), " +
+        "'start_pos', CAST(element_at(st, k) AS BIGINT), " +
+        "'chunk_len', CAST(element_at(en, k) - element_at(st, k) + 1 AS BIGINT), " +
+        "'s0', aggregate(sequence(element_at(st, k), element_at(en, k)), " +
+        "CAST(0 AS BIGINT), (a, j) -> a + element_at(cs, j)), " +
+        "'fp1', aggregate(sequence(element_at(st, k), element_at(en, k)), " +
+        "CAST(0 AS BIGINT), (a, j) -> a + element_at(cs, j) " +
+        "* (j - element_at(st, k) + 1)), " +
+        "'fp2', aggregate(sequence(element_at(st, k), element_at(en, k)), " +
+        "CAST(0 AS BIGINT), (a, j) -> a + element_at(cs, j) " +
+        "* (j - element_at(st, k) + 1) * (j - element_at(st, k) + 1))))"
+    val emptyChunks =
+      "CAST(array() AS ARRAY<STRUCT<chunk_id: BIGINT, start_pos: BIGINT, " +
+        "chunk_len: BIGINT, s0: BIGINT, fp1: BIGINT, fp2: BIGINT>>)"
+    val body = // st in scope: guard sequence(1, size(st)) against size 0
+      s"CASE WHEN size(st) >= 1 THEN ${let(en, "en", chunksFromEn)} " +
+        s"ELSE $emptyChunks END"
+    df.withColumn(chunksCol,
+      expr(let(cs, "cs", let(st, "st", body))))
+  }
 }

@@ -322,6 +322,49 @@ object CurationQueries {
         Tables.documents(s, d).select(col("doc_id"), col("text")))
     },
 
+    // ---- chunk-fingerprint substring-dedup gate
+    //      ([[graft.ops.ChunkDedup]]): the SA-free incremental tier of
+    //      the ExactSubstr family — corpus chunks (doc_id % 10 <> 0)
+    //      indexed once by exact CDC fingerprint, incoming docs
+    //      (doc_id % 10 = 0) chunked identically and probed; per-doc
+    //      duplication coverage in exact integers. One fingerprint
+    //      equi-join + one doc agg, both linear in incoming chunks —
+    //      never a suffix-array rebuild over corpus ∪ batch. The
+    //      streaming twin is graft.streaming.SubstrDedupGate ----
+    QueryDef.sql(
+      "q_substr_gate",
+      s"""WITH RECURSIVE ${graft.ops.CdcChunk.oracleFingerprintCtes()},
+         |idx AS (
+         |  SELECT chunk_len, s0, fp1, fp2, min(doc_id) AS corpus_id
+         |  FROM agg WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3, 4
+         |), probe AS (
+         |  SELECT a.doc_id, a.chunk_len, idx.corpus_id
+         |  FROM (SELECT * FROM agg WHERE doc_id % 10 = 0) a
+         |  LEFT JOIN idx USING (chunk_len, s0, fp1, fp2)
+         |)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(corpus_id) AS BIGINT) AS n_dup_chunks,
+         |  CAST(coalesce(sum(chunk_len) FILTER (WHERE corpus_id IS NOT NULL),
+         |    0) AS BIGINT) AS dup_chars,
+         |  CAST(sum(chunk_len) AS BIGINT) AS n_chars_chunked,
+         |  CAST(coalesce(sum(chunk_len) FILTER (WHERE corpus_id IS NOT NULL),
+         |    0) AS BIGINT) * 1000000 // CAST(sum(chunk_len) AS BIGINT)
+         |    AS dup_frac_fp,
+         |  min(corpus_id) AS matched_corpus_id,
+         |  CAST(coalesce(sum(chunk_len) FILTER (WHERE corpus_id IS NOT NULL),
+         |    0) AS BIGINT) * 1000000 // CAST(sum(chunk_len) AS BIGINT)
+         |    >= ${graft.ops.ChunkDedup.DupFracFpThreshold} AS is_dup
+         |FROM probe GROUP BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val fps = graft.ops.CdcChunk.fingerprints(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      graft.ops.ChunkDedup.verdicts(
+        fps.filter(pmod(col("doc_id"), lit(10)) === 0),
+        graft.ops.ChunkDedup.indexOf(
+          fps.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    },
+
     // ---- benchmark decontamination: flag training docs sharing 3-gram
     //      shingles with the eval split (doc_id % 50 = 0 stands in for a
     //      held-out benchmark). Eval hash set is BROADCAST — the corpus

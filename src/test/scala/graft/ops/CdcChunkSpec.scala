@@ -98,4 +98,37 @@ class CdcChunkSpec extends AnyFunSuite with Matchers {
     rows.head._4 shouldBe 8L
     rows.head._2 shouldBe 0L
   }
+
+  test("row-local chunker equals the batch window chain row-for-row") {
+    // synthetic mix (cuts, short docs, repeated content) PLUS the real
+    // documents table — the streaming gate depends on this equality
+    import org.apache.spark.sql.functions.{col, explode}
+    val synth = Seq(
+      (1L, text(11, 900)), (2L, text(12, 40)), (3L, "x"),
+      (4L, text(11, 900)), (5L, text(13, 2000)))
+      .toDF("doc_id", "text")
+    val real = graft.model.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(synth, real)) {
+      val batch = CdcChunk.fingerprints(docs, w, mask)
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sorted.toSeq
+      val rowLocal = CdcChunk.withChunkStructs(docs, "text", "__chunks", w, mask)
+        .select(col("doc_id"), explode(col("__chunks")).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.start_pos"),
+          col("c.chunk_len"), col("c.s0"), col("c.fp1"), col("c.fp2"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sorted.toSeq
+      rowLocal shouldBe batch
+    }
+  }
+
+  test("row-local chunker yields an empty array for empty text") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val out = CdcChunk
+      .withChunkStructs(Seq((1L, "")).toDF("doc_id", "text"), "text")
+      .select(asize(col("__chunks"))).as[Int].head()
+    out shouldBe 0
+  }
 }
