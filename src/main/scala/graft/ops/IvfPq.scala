@@ -256,6 +256,37 @@ object IvfPq {
       idx.cellCodes.unionByName(newCellCodes))
   }
 
+  /** [[append]] for the RESIDUAL index: assign each new vector to its
+    * nearest existing coarse cell, subtract that cell's FROZEN mean,
+    * encode the residual with the existing residual codebooks — same
+    * O(batch) cost shape, same parity contract (bit-identical to
+    * same-codebook/same-means assignment over the union; IvfPqSpec).
+    * Cell means are index metadata and deliberately NOT updated by an
+    * append: q·x = q·(x−c) + q·c holds for ANY per-cell constant c, so
+    * a frozen mean keeps the search exact-correct — drift only moves
+    * quantization error back toward the global scale, which is the
+    * measured staleness curve (BASELINE.md r9: safe through ~30%
+    * drift-append; past that, rebuild — into the residual
+    * configuration, which is the rebuild that actually pays).
+    */
+  def appendResidual(
+      idx: ResIndex, newRaw: DataFrame, m: Int = Pq.M): ResIndex = {
+    val newCells = IvfIndex.assign(newRaw, idx.coarse)
+      .select(col("vec_id"), col("cent_id"))
+    val newNorm = newRaw.select(col("vec_id"),
+      Pq.normalized(col("embedding")).as("embedding"))
+    val newResid = newNorm.join(newCells, "vec_id")
+      .join(broadcast(idx.cmeans), "cent_id")
+      .select(col("vec_id"),
+        expr("zip_with(embedding, cent_mean, (a, b) -> a - b)")
+          .as("embedding"))
+    val newCodes = Pq.encode(newResid, idx.pqCb, m)
+    val newCellCodes = newCells.join(newCodes, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+    ResIndex(idx.coarse, idx.cells.unionByName(newCells), idx.cmeans,
+      idx.pqCb, idx.cellCodes.unionByName(newCellCodes))
+  }
+
   /** Top-`topK` neighbours for the corpus rows matching `queryPred`. */
   def search(
       idx: Index,
