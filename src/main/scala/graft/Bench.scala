@@ -75,6 +75,10 @@ object Bench {
     // one-pass submodular maximization (SieveStreaming), 4 shards
     if (want("stream_sieve"))
       results("stream_sieve") = sieveStreamReplay(spark, sfDir)
+    // stream-static substring-dedup gate: incoming docs' CDC chunk
+    // fingerprints probed against the static corpus chunk index
+    if (want("stream_substr_dedup"))
+      results("stream_substr_dedup") = substrDedupReplay(spark, sfDir)
     // residual-IVF-PQ ANN serving: streamed query batches answered by
     // ADC over residual codes + exact per-cell correction (the serving
     // leg of q_knn_ivfpq_res)
@@ -353,6 +357,63 @@ object Bench {
         spark.catalog.dropTempView("bench_sieve")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Replay the incoming tenth of the documents through the
+    * stream-static [[graft.streaming.SubstrDedupGate]] against the
+    * other nine tenths' chunk-fingerprint index; returns wall seconds
+    * (docs/s to stderr). The one-time index build is reported
+    * separately (a persisted batch-refreshed table at scale), like
+    * [[crossDedupReplay]]'s band index.
+    */
+  def substrDedupReplay(
+      spark: SparkSession, sfDir: String, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val allDocs = graft.model.Tables.documents(spark, sfDir)
+    val tIdx = System.nanoTime()
+    val index = graft.streaming.SubstrDedupGate
+      .corpusIndex(allDocs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      .persist()
+    val idxRows = index.count()
+    System.err.println(f"[bench] stream_substr_dedup: index $idxRows rows" +
+      f" built in ${(System.nanoTime() - tIdx) / 1e9}%.2f s (one-time)")
+    val docs = allDocs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"),
+        expr("timestamp_millis(1704067200000 + doc_id * 100)").as("ingest_ts"),
+        col("lang"), col("text"))
+      .as[graft.streaming.DocStream.DocEvent]
+      .orderBy("ingest_ts")
+      .collect()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.DocStream.DocEvent]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val query = graft.streaming.SubstrDedupGate.gate(input.toDS(), index)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bench_substr").start()
+      try {
+        docs.grouped(math.max(500, docs.length / batches)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        val n = spark.table("bench_substr").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] stream_substr_dedup: ${docs.length} docs -> $n " +
+            f"verdicts in $secs%.2f s = ${docs.length / secs}%.0f docs/s")
+        secs
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("bench_substr")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      index.unpersist()
+    }
   }
 
   /** Stream the first 64 corpus vectors as query batches through the

@@ -59,6 +59,16 @@ object Scratch {
       // RocksDB provider. Run at sf1 (SPARK_GRAFT_SF_DIR).
       case "rocksdb_rehearsal" =>
         rocksdbRehearsal(spark, sfDir)
+      // end-to-end curation, with and without the suffix-array span
+      // stage (the scale-rehearsal pair; Bench's pipeline_curate is the
+      // no-SA configuration)
+      case nm @ ("pipeline_curate" | "pipeline_curate_sa") =>
+        val sa = if (nm.endsWith("_sa")) Some((16, 64)) else None
+        val t0 = System.nanoTime()
+        val n = graft.pipelines.CorpusPipeline
+          .curate(graft.model.Tables.documents(spark, sfDir), saSpans = sa)
+          .count()
+        println(f"[scratch] $nm: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       case _ =>
         // time construction + count, like Bench: iterative operators
         // (PageRank, MMR, BPE) execute eagerly during construction
