@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PCA by fixed-point power iteration — the
@@ -18,27 +18,34 @@ import org.apache.spark.sql.functions._
   *    floor of an IEEE multiply is identical cross-engine),
   *  - centered Gram: C_ij = n * sum(q_i q_j) - S_i S_j (all int64),
   *  - rescale to A_ij = trunc-div(C_ij, max|C| div 1e6 + 1), so
-  *    |A| <= 1e6; division is spelled as explicit truncate-toward-zero
-  *    (sign(x) * (|x| div d)) on BOTH engines — Spark `div` and
-  *    DuckDB `//` both truncate toward zero today (verified), and the
-  *    explicit form keeps the contract independent of any engine
-  *    changing its negative-operand convention,
+  *    |A| <= 1e6; division truncates toward zero on BOTH engines,
   *  - power rounds from v0 = all-ones * 1e6: u = A v, then renormalize
   *    v' = trunc-div(u, max|u| div 1e6 + 1). Covariance is PSD, so the
   *    iteration converges toward the dominant eigenvector (up to the
   *    deterministic fixed-point truncation, which both engines share).
   *
-  * Scale shape: the Gram pass is the ONLY corpus-touching work — the
-  * d^2 product terms are generated row-locally (two nested explodes, no
-  * self-join shuffle) and collapse map-side to <= d^2 rows per partition
-  * before one d^2-key exchange; n never appears in any shuffle key. The
-  * d x d iteration operates on index metadata (d^2 rows) and the final
-  * projection is one broadcast join + a partial-aggregable per-vector
-  * sum. Int64 headroom: |C| <= 2 n^2 scale^2 must stay inside 2^63 —
-  * at scale=1e4 that bounds n at ~2e5 worst-case vectors (unit-norm
-  * embeddings sit far below the bound); lower the quantization scale
-  * for larger corpora (the contract names the precision, not the
-  * representation — same convention as [[PageRank]]).
+  * Scale shape (r9 optimization — guide §1.2 "the distributed
+  * algorithm" + §2.3 "aggregate before you shuffle"): the Gram pass is
+  * the ONLY corpus-touching work, and it is a per-partition primitive
+  * d x d accumulation folded with `treeAggregate` — the classic
+  * distributed-Gramian shape (per-partition outer-product partials,
+  * log-depth combine). What reaches the driver is d^2 + d int64s of
+  * INDEX METADATA (d = 64: 33 KiB), independent of corpus size n — the
+  * same bounded-metadata convention as [[IvfIndex.materialize]]'s
+  * sqrt(n) codebooks. The d x d power iteration then runs driver-local
+  * (pure int64 recurrence, microseconds) instead of 8 Spark rounds over
+  * d^2-row frames, and the projection / Hotelling-residual steps are
+  * ROW-LOCAL expressions over the broadcast-as-literal eigenvector —
+  * zero shuffles touch the corpus anywhere. (The r8 shape generated the
+  * d^2 product terms with a double posexplode through a hash aggregate
+  * — n * d^2 generated rows paying a hash probe each — and ran the
+  * power rounds as 8 materialized Spark jobs; measured 13.0/8.5/4.4/4.1
+  * s for topk/2/incr/power at sf0.1.) Int64 headroom unchanged:
+  * |C| <= 2 n^2 scale^2 must stay inside 2^63 — at scale=1e4 that
+  * bounds n at ~2e5 worst-case vectors (unit-norm embeddings sit far
+  * below the bound); lower the quantization scale for larger corpora
+  * (the contract names the precision, not the representation — same
+  * convention as [[PageRank]]).
   */
 object PcaPower {
 
@@ -47,46 +54,72 @@ object PcaPower {
   /** Truncate-toward-zero division (identical in Spark and DuckDB for
     * any sign): sign(x) * (abs(x) div d), d > 0.
     */
-  private def tdiv(x: String, d: String): String =
-    s"(CASE WHEN $x < 0 THEN -(-($x) div ($d)) ELSE ($x) div ($d) END)"
+  private def tdivL(x: Long, d: Long): Long =
+    if (x < 0) -((-x) / d) else x / d
 
   /** Sufficient statistics for the centered Gram matrix — EXACTLY
     * additive across corpus slices (integer sums), which is what makes
-    * the incremental path below identical to a full recompute:
-    * (gram: (i, j, g), sums: (i, s), n).
+    * the incremental path below identical to a full recompute. `gram`
+    * is the dense row-major d x d product-sum matrix, `sums` the
+    * per-component sums — d^2 + d int64s of index metadata (NOT corpus
+    * data; d is a small constant).
     */
-  final case class Stats(gram: DataFrame, sums: DataFrame, n: Long)
+  final case class Stats(gram: Array[Long], sums: Array[Long], n: Long) {
+    def d: Int = sums.length
+  }
 
   private def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
         .as("qarr"))
 
-  /** (vec_id, i, q) pairs from a quantized (vec_id, qarr) frame. */
-  private def explodeQ(q: DataFrame): DataFrame =
-    q.select(col("vec_id"), col("qarr"),
-        posexplode(col("qarr")).as(Seq("i0", "q")))
-      .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("q"))
-
-  /** Statistics from an already-quantized (ideally checkpointed) frame:
-    * the d^2 product terms are generated row-locally (second explode
-    * over the carried array) and partial-aggregated before the single
-    * d^2-key shuffle.
+  /** Statistics from a quantized (vec_id, qarr) frame: ONE pass — each
+    * partition accumulates its exact-integer partial Gram/sums into
+    * primitive arrays, `treeAggregate` combines them in log depth, and
+    * only the d^2-sized partials ever move. Integer sums are
+    * order-independent, so the result is bit-identical at any
+    * parallelism (and to the r8 hash-aggregate form).
     */
   private def statsFromQ(q: DataFrame): Stats = {
-    val sums = explodeQ(q).groupBy(col("i")).agg(sum(col("q")).as("s"))
-    val gram = q
-      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i0", "qi")))
-      .select(col("i0"), col("qi"), posexplode(col("qarr")).as(Seq("j0", "qj")))
-      .groupBy((col("i0") + 1).cast("long").as("i"),
-        (col("j0") + 1).cast("long").as("j"))
-      .agg(sum(col("qi") * col("qj")).as("g"))
-    Stats(gram, sums, q.count())
+    val spark = q.sparkSession
+    import spark.implicits._
+    val rdd = q.select(col("qarr")).as[Array[Long]].rdd
+    val (g, s, n) = rdd.treeAggregate(
+      (null: Array[Long], null: Array[Long], 0L))(
+      seqOp = { case ((g0, s0, n0), arr) =>
+        val d = arr.length
+        val g = if (g0 == null) new Array[Long](d * d) else g0
+        val s = if (s0 == null) new Array[Long](d) else s0
+        var i = 0
+        while (i < d) {
+          val qi = arr(i)
+          s(i) += qi
+          val base = i * d
+          var j = 0
+          while (j < d) { g(base + j) += qi * arr(j); j += 1 }
+          i += 1
+        }
+        (g, s, n0 + 1L)
+      },
+      combOp = { case ((g1, s1, n1), (g2, s2, n2)) =>
+        if (g1 == null) (g2, s2, n1 + n2)
+        else if (g2 == null) (g1, s1, n1 + n2)
+        else {
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          (g1, s1, n1 + n2)
+        }
+      })
+    Stats(
+      if (g == null) Array.empty[Long] else g,
+      if (s == null) Array.empty[Long] else s, n)
   }
 
   /** One corpus read -> additive statistics (the quantized frame is
-    * checkpointed so sums, Gram, and the count share a single scan of
-    * the source).
+    * checkpointed so the Gram pass and any later projection share a
+    * single scan of the source).
     */
   def stats(emb: DataFrame): Stats = statsFromQ(materialize(quantized(emb)))
 
@@ -96,11 +129,87 @@ object PcaPower {
     * statistics — and everything derived from them — are BIT-IDENTICAL
     * to a full recompute over the union.
     */
-  def mergeStats(a: Stats, b: Stats): Stats = Stats(
-    a.gram.union(b.gram).groupBy(col("i"), col("j"))
-      .agg(sum(col("g")).as("g")),
-    a.sums.union(b.sums).groupBy(col("i")).agg(sum(col("s")).as("s")),
-    a.n + b.n)
+  def mergeStats(a: Stats, b: Stats): Stats = {
+    if (a.n == 0) b
+    else if (b.n == 0) a
+    else {
+      require(a.d == b.d, "dimension mismatch in Stats merge")
+      val g = a.gram.clone(); val s = a.sums.clone()
+      var i = 0
+      while (i < g.length) { g(i) += b.gram(i); i += 1 }
+      i = 0
+      while (i < s.length) { s(i) += b.sums(i); i += 1 }
+      Stats(g, s, a.n + b.n)
+    }
+  }
+
+  /** Fixed-point dominant eigenvector of the centered Gram described by
+    * `st` — the d x d / d-vector recurrence runs driver-local over the
+    * collected metadata (the SAME integer ops, in the same order, as
+    * the r8 Spark-round form and the DuckDB unroll: integer sums are
+    * order-free, max is order-free, tdiv is pointwise).
+    */
+  private def eigvecLocal(st: Stats, d: Int, iters: Int): Array[Long] = {
+    require(d >= 2 && iters >= 1)
+    require(st.n == 0 || st.d == d, s"stats dimension ${st.d} != $d")
+    val c = new Array[Long](d * d)
+    var m = 0L
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        val v =
+          if (st.n == 0) 0L
+          else st.n * st.gram(i * d + j) - st.sums(i) * st.sums(j)
+        c(i * d + j) = v
+        val a = math.abs(v)
+        if (a > m) m = a
+        j += 1
+      }
+      i += 1
+    }
+    val dv = m / 1000000L + 1L
+    val a = c.map(tdivL(_, dv))
+    var v = Array.fill(d)(1000000L)
+    var it = 0
+    while (it < iters) {
+      val u = new Array[Long](d)
+      var mu = 0L
+      i = 0
+      while (i < d) {
+        var acc = 0L
+        val base = i * d
+        var j = 0
+        while (j < d) { acc += a(base + j) * v(j); j += 1 }
+        u(i) = acc
+        val au = math.abs(acc)
+        if (au > mu) mu = au
+        i += 1
+      }
+      val dvu = mu / 1000000L + 1L
+      v = u.map(tdivL(_, dvu))
+      it += 1
+    }
+    v
+  }
+
+  /** Row-local exact-integer dot of the `qarr` column with the literal
+    * eigenvector — the projection needs NO join and NO shuffle.
+    */
+  private def dotExpr(v: Array[Long]): Column =
+    expr(s"aggregate(zip_with(qarr, array(${v.mkString("L, ")}L), " +
+      "(q, vi) -> q * vi), 0L, (acc, x) -> acc + x)")
+
+  /** Row-local Hotelling residual: q_i - tdiv(pc * v_i, max(vv, 1)),
+    * with pc this row's already-computed projection column.
+    */
+  private def residExpr(v: Array[Long], vv: Long, pcCol: String): Column = {
+    val den = math.max(vv, 1L)
+    expr(s"zip_with(qarr, array(${v.mkString("L, ")}L), (q, vi) -> " +
+      s"q - (CASE WHEN ($pcCol * vi) < 0 " +
+      s"THEN -((-($pcCol * vi)) div ${den}L) " +
+      s"ELSE ($pcCol * vi) div ${den}L END))")
+  }
 
   /** Project every embedding onto the dominant principal component.
     * Input: (vec_id, embedding: array<float|double>) with fixed
@@ -109,115 +218,62 @@ object PcaPower {
     * eigenvector.
     */
   def project(emb: DataFrame, d: Int, iters: Int = 8): DataFrame = {
-    // ONE checkpointed quantized frame feeds the sums, the Gram, the
-    // count, AND the final projection — a single read of the source
+    // ONE checkpointed quantized frame feeds the Gram pass AND the
+    // final projection — a single read of the source
     val q = materialize(quantized(emb))
-    projectFromQ(statsFromQ(q), q, d, iters)
+    val v = eigvecLocal(statsFromQ(q), d, iters)
+    q.select(col("vec_id"), dotExpr(v).as("pc1_fp"))
   }
 
   /** [[project]] from precomputed (possibly incrementally merged)
     * statistics; the corpus is read once, for the projection only.
     */
   def projectWith(
-      st: Stats, emb: DataFrame, d: Int, iters: Int): DataFrame =
-    projectFromQ(st, quantized(emb), d, iters)
-
-  /** Fixed-point dominant eigenvector of the centered Gram described by
-    * `st`: (i, v) as a d-row local relation (index metadata).
-    */
-  def eigvec(st: Stats, d: Int, iters: Int): DataFrame = {
-    require(d >= 2 && iters >= 1)
-    val n = st.n
-    val sums = st.sums
-    val gram = st.gram
-    val c = gram.join(sums.select(col("i"), col("s").as("si")), "i")
-      .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
-      .select(col("i"), col("j"),
-        (lit(n) * col("g") - col("si") * col("sj")).as("c"))
-    val ma = c.agg(max(abs(col("c"))).as("m"))
-    // A and every v are d^2 / d rows of index metadata: local relations
-    val a = IvfIndex.materialize(
-      c.crossJoin(broadcast(ma))
-        .select(col("i"), col("j"),
-          expr(tdiv("c", "m div 1000000 + 1")).as("a")))
-    var v = IvfIndex.materialize(
-      a.sparkSession.range(1, d + 1).toDF("i").withColumn("v", lit(1000000L)))
-    for (_ <- 1 to iters) {
-      val u = a.join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
-        .groupBy(col("i")).agg(sum(col("a") * col("v")).as("u"))
-      val mu = u.agg(max(abs(col("u"))).as("m"))
-      v = IvfIndex.materialize(
-        u.crossJoin(broadcast(mu))
-          .select(col("i"), expr(tdiv("u", "m div 1000000 + 1")).as("v")))
-    }
-    v
+      st: Stats, emb: DataFrame, d: Int, iters: Int): DataFrame = {
+    val v = eigvecLocal(st, d, iters)
+    quantized(emb).select(col("vec_id"), dotExpr(v).as("pc1_fp"))
   }
 
-  private def projectFromQ(
-      st: Stats, q: DataFrame, d: Int, iters: Int): DataFrame =
-    // the explode is consumed exactly once (the projection join)
-    explodeQ(q).join(broadcast(eigvec(st, d, iters)), "i")
-      .groupBy(col("vec_id"))
-      .agg(sum(col("q") * col("v")).as("pc1_fp"))
-
-  /** Top-2 components by deflation: PC1 as [[project]]; then every
-    * vector's integer residual q' = q - tdiv(dot(q, v1) * v1_i,
-    * dot(v1, v1)) (row-local once v1 broadcasts), a second Gram/power
-    * pass over the residuals, and PC2 = residual . v2. Output:
-    * (vec_id, pc1_fp, pc2_fp). Everything stays exact int64, so the
-    * oracle unrolls both chains; the deflation step is the standard
-    * Hotelling residual, with the rational projection coefficient
-    * truncated deterministically on both engines.
-    */
+  /** Top-2 components by deflation — see [[projectTopK]]. */
   def projectTop2(emb: DataFrame, d: Int, iters: Int = 8): DataFrame =
     projectTopK(emb, d, k = 2, iters)
 
-  /** Top-k components by looped Hotelling deflation — the general form
-    * of [[projectTop2]]: component c's eigenvector comes from a
-    * Gram/power chain over the (c-1)-th residual corpus, its projection
-    * pc{c}_fp is `residual_(c-1) . v_c`, and the next residual is
-    * q' = q - tdiv(dot(q, v_c) * v_c_i, dot(v_c, v_c)) (row-local once
-    * v_c broadcasts; greatest(vv, 1) guards the degenerate all-equal
-    * corpus where v_c = 0, so residuals degrade to the input instead of
-    * NULLing out). Output: (vec_id, pc1_fp .. pc{k}_fp), all exact
-    * int64 — the oracle stacks k prefixed chain unrolls.
+  /** Top-k components by looped Hotelling deflation: component c's
+    * eigenvector comes from a Gram pass over the (c-1)-th residual
+    * corpus, its projection pc{c}_fp is `residual_(c-1) . v_c`, and the
+    * next residual is q' = q - tdiv(dot(q, v_c) * v_c_i, dot(v_c, v_c))
+    * — both ROW-LOCAL once v_c is a literal (greatest(vv, 1) guards the
+    * degenerate all-equal corpus where v_c = 0, so residuals degrade to
+    * the input instead of NULLing out). Output:
+    * (vec_id, pc1_fp .. pc{k}_fp), all exact int64 — the oracle stacks
+    * k prefixed chain unrolls.
     *
-    * Scale shape: k corpus-touching Gram passes (each the row-local
-    * double-explode with map-side d^2 collapse) + k broadcast
-    * projection joins; each residual corpus is checkpointed so chain
-    * c+1 starts from rows, not a k-deep lineage. k is a small constant
-    * (an embedding map wants 2-10 components), so the cost is k * the
-    * single-component pass — never a d^3 eigendecomposition and never
-    * a corpus collect.
+    * Scale shape: k treeAggregate Gram passes + k row-local projection
+    * columns over ONE evolving checkpointed frame; each residual corpus
+    * is checkpointed so chain c+1 starts from rows, not a k-deep
+    * lineage. k is a small constant (an embedding map wants 2-10
+    * components), so the cost is k * the single-component pass — never
+    * a d^3 eigendecomposition and never a corpus-sized collect (the
+    * driver only ever holds the d^2 metadata).
     */
   def projectTopK(emb: DataFrame, d: Int, k: Int, iters: Int = 8): DataFrame = {
     require(k >= 1 && k <= d)
-    var q = materialize(quantized(emb))
-    var acc: DataFrame = null // (vec_id, pc1_fp .. pc{c}_fp) so far
+    var cur = materialize(quantized(emb)) // (vec_id, qarr, pc1.., qarr')
     for (c <- 1 to k) {
-      val vc = eigvec(statsFromQ(q), d, iters)
-      val expl = explodeQ(q)
+      val v = eigvecLocal(statsFromQ(cur), d, iters)
       // the projection IS the deflation coefficient — computed once,
       // reused as both the output column and the residual's dq
-      val dq = expl.join(broadcast(vc), "i")
-        .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as(s"pc${c}_fp"))
-      acc = if (acc == null) dq else acc.join(dq, "vec_id")
+      cur = cur.withColumn(s"pc${c}_fp", dotExpr(v))
       if (c < k) {
-        val vv = vc.agg(sum(col("v") * col("v")).as("vv"))
-        val resid = expl.join(broadcast(vc), "i")
-          .join(dq.select(col("vec_id"), col(s"pc${c}_fp").as("dq")), "vec_id")
-          .crossJoin(broadcast(vv))
-          .select(col("vec_id"), col("i"),
-            (col("q") - expr(tdiv("dq * v", "greatest(vv, 1)"))).as("q"))
-        // residual rows -> re-assembled (vec_id, qarr) so the next pass
-        // reuses the row-local double-explode Gram path
-        q = materialize(
-          resid.groupBy(col("vec_id"))
-            .agg(expr("transform(array_sort(collect_list(struct(i, q))), s -> s.q)")
-              .as("qarr")))
+        var vv = 0L
+        v.foreach(x => vv += x * x) // d * 1e12 — far inside int64
+        val prev = cur
+        cur = materialize(
+          cur.withColumn("qarr", residExpr(v, vv, s"pc${c}_fp")))
+        prev.unpersist()
       }
     }
-    acc.select(col("vec_id") +: (1 to k).map(c => col(s"pc${c}_fp")): _*)
+    cur.select(col("vec_id") +: (1 to k).map(c => col(s"pc${c}_fp")): _*)
   }
 
   private def tdivDuck(x: String, dv: String): String =
