@@ -60,8 +60,15 @@ object Bfs {
       e: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     var frontier = materialize(
       seeds.toDF("node").distinct().withColumn("hop", lit(0)))
+    // `visited` stays a LAZY union of the per-hop checkpoints (maxHops
+    // is a small constant, so the plan is a flat union of leaves): the
+    // r8 shape re-materialized the whole visited set every hop — one
+    // extra eager job and one extra |visited|-row checkpoint write per
+    // round for data that is already checkpointed piecewise.
     var visited = frontier
-    for (t <- 1 to maxHops) {
+    var t = 1
+    var exhausted = false
+    while (t <= maxHops && !exhausted) {
       // neighbors of the current frontier not seen before: the min-hop
       // property needs no argmin because expansion is level-synchronous —
       // a node reached now cannot have been reachable earlier
@@ -71,10 +78,16 @@ object Bfs {
           .join(visited.select(col("node").as("v")),
             col("node") === col("v"), "left_anti")
           .withColumn("hop", lit(t)))
-      val grown = materialize(visited.union(next))
-      frontier.unpersist(); visited.unpersist()
-      frontier = next
-      visited = grown
+      if (next.isEmpty) {
+        // fixpoint: an empty frontier stays empty — the remaining
+        // rounds would each pay a full edge-frame scan for zero rows
+        next.unpersist()
+        exhausted = true
+      } else {
+        visited = visited.union(next)
+        frontier = next
+        t += 1
+      }
     }
     visited
   }

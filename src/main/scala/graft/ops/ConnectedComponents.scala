@@ -72,21 +72,116 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Total order identical to Spark's own min() over the supported node
+    * types (integral compare; strings by UTF8 binary order, which is
+    * what Spark's UTF8String comparison uses — NOT java.lang.String's
+    * UTF-16 code-unit order).
+    */
+  private[ops] def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    case _ => throw new IllegalArgumentException(
+      s"unsupported node type: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Edge-count bound under which the contraction finishes locally —
+    * an ABSOLUTE driver-memory bound (2^17 edges ~ a few MB collected:
+    * the same order as a broadcast-join build side), not a knob tuned
+    * to the local core count. Override: `spark.graft.cc.localEdges`
+    * (0 disables the local tail).
+    */
+  private def localLimit(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localEdges")
+      .map(_.toLong).getOrElse(1L << 17)
+
+  /** Driver-local union-find over a collected edge frame — the
+    * contraction TAIL (guide §1.2: per-round fixed cost dominates once
+    * the live graph is tiny; a graph under [[localLimit]] edges is
+    * latency-bound through the distributed rounds, metadata-sized for
+    * the driver). Output rows are EXACTLY [[run]]'s fixpoint contract:
+    * (id, rep = minimum node of the component) for every node present
+    * in an edge — same values at any parallelism, so the switch is
+    * invisible to every caller and to the oracles.
+    */
+  private def runLocal(cur: DataFrame): DataFrame = {
+    val spark = cur.sparkSession
+    val rows = cur.collect()
+    val idx = new java.util.HashMap[Any, Integer]()
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def id(v: Any): Int = {
+      val got = idx.get(v)
+      if (got == null) {
+        idx.put(v, Integer.valueOf(nodes.length)); nodes += v
+        nodes.length - 1
+      } else got.intValue
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = id(r.get(0)); val b = id(r.get(1))
+      while (parent.length < nodes.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    // component representative = minimum member (cmpAny == Spark min)
+    val repOf = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < nodes.length) {
+      val r = find(i)
+      val cand = nodes(i)
+      val cu = repOf.get(r)
+      if (cu == null || cmpAny(cand, cu) < 0) repOf.put(r, cand)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.length)
+    i = 0
+    while (i < nodes.length) {
+      out.add(org.apache.spark.sql.Row(nodes(i), repOf.get(find(i))))
+      i += 1
+    }
+    val t = cur.schema.fields(0).dataType
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", t, nullable = false),
+      org.apache.spark.sql.types.StructField("rep", t, nullable = false))))
+  }
+
   /** Component membership for every node present in `edges`:
     * (id, rep) with rep = minimum node id of the component. Nodes that
     * appear in no edge are absent (singletons are the caller's
     * left-join default, see `q_dedup_cc`). Deterministic at any
     * parallelism; throws if `maxIter` rounds don't reach the fixpoint
     * (provably impossible below O(log^2 n) rounds).
+    *
+    * Hybrid tail (r9): once the live edge frame is under
+    * [[localLimit]] rows — at entry, or after any contraction round —
+    * the remaining rounds collapse into one driver-local union-find
+    * ([[runLocal]]), the standard multi-level-contraction endgame. The
+    * distributed star rounds still carry anything larger; results are
+    * bit-identical either way.
     */
   def run(
       edges: DataFrame, src: String = "src", dst: String = "dst",
       maxIter: Int = 25): DataFrame = {
+    val limit = localLimit(edges.sparkSession)
     var cur = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
     var sig = signature(cur)
+    if (sig._1 <= limit) {
+      val out = runLocal(cur)
+      cur.unpersist()
+      return out
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -97,6 +192,11 @@ object ConnectedComponents {
       cur.unpersist()
       cur = next
       it += 1
+      if (!converged && nsig._1 <= limit) {
+        val out = runLocal(cur)
+        cur.unpersist()
+        return out
+      }
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     // at the fixpoint the edges form stars: every non-min node points at

@@ -31,6 +31,48 @@ import org.apache.spark.sql.functions._
   */
 object Mst {
 
+  /** Driver-local Kruskal over a collected canonical edge frame (a, b,
+    * w) — the hybrid tail of [[forest]]. Same strict total order
+    * (w, a, b), union-find acceptance: selects exactly the unique MSF
+    * the Boruvka rounds select (and the serial-Kruskal oracle checks).
+    */
+  private def forestLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val ord = new Ordering[org.apache.spark.sql.Row] {
+      def compare(x: org.apache.spark.sql.Row,
+          y: org.apache.spark.sql.Row): Int = {
+        var c = ConnectedComponents.cmpAny(x.get(2), y.get(2))
+        if (c != 0) return c
+        c = ConnectedComponents.cmpAny(x.get(0), y.get(0))
+        if (c != 0) return c
+        ConnectedComponents.cmpAny(x.get(1), y.get(1))
+      }
+    }
+    val idx = new java.util.HashMap[Any, Integer]()
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def id(v: Any): Int = {
+      val got = idx.get(v)
+      if (got == null) {
+        idx.put(v, Integer.valueOf(parent.length)); parent += parent.length
+        parent.length - 1
+      } else got.intValue
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.sorted(ord).foreach { r =>
+      val ra = find(id(r.get(0))); val rb = find(id(r.get(1)))
+      if (ra != rb) { parent(rb) = ra; out.add(r) }
+    }
+    spark.createDataFrame(out, e.schema)
+  }
+
   /** MSF edges (a, b, w) of the weighted undirected edge frame
     * (a, b, w) — canonicalized a < b, min-w per pair.
     */
@@ -41,7 +83,21 @@ object Mst {
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"), col("w"))
         .groupBy(col("a"), col("b")).agg(min(col("w")).as("w")))
-    Iterate.withWidth(e.sparkSession, e.count()) { _ =>
+    val n = e.count()
+    // Hybrid tail (r9, same bound/convention as ConnectedComponents'
+    // local union-find): under the absolute edge bound the whole forest
+    // is latency-bound through Boruvka's nested contraction rounds —
+    // finish it as driver-local Kruskal over the SAME strict total
+    // order (w, a, b), which selects the identical unique MSF. The
+    // distributed rounds still carry anything larger.
+    val limit = e.sparkSession.conf.getOption("spark.graft.cc.localEdges")
+      .map(_.toLong).getOrElse(1L << 17)
+    if (n <= limit) {
+      val out = forestLocal(e)
+      e.unpersist()
+      return out
+    }
+    Iterate.withWidth(e.sparkSession, n) { _ =>
     var labels = Iterate.materialize(
       e.select(col("a").as("node")).union(e.select(col("b")))
         .distinct()

@@ -341,19 +341,12 @@ object EvalQueries {
          |),
          |${RandomWalk.oracleSql(steps = 8)}""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
-      RandomWalk.run(fwd.union(rev), seeds, steps = 8)
+      RandomWalk.run(
+        RankQueries.tradeEdges(RankQueries.tradeBase(s, d)), seeds,
+        steps = 8)
     },
 
     // ---- Token-distribution drift between two corpus versions (the

@@ -36,6 +36,52 @@ object RankQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderkey % 2 = 0""".stripMargin
 
+  /** Checkpointed trade-join base (r9, guide §2.4): ONE li x orders
+    * pass materialized as (l_suppkey, o_custkey, ev = even order key,
+    * w = the q_sssp weight, day = the q_temporal_reach order day) — the
+    * fwd and rev(even) union branches of every trade-graph query then
+    * SCAN this checkpoint instead of each re-running the join (the r8
+    * plans computed the 600k-row join twice per query, the single
+    * largest stage in the q_pagerank/q_diameter profiles).
+    */
+  private[queries] def tradeBase(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // NTZ parquet timestamp; session TZ is UTC, so the cast is
+        // value-preserving and matches DuckDB's epoch_us
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L")
+          .as("day"))
+    graft.ops.Iterate.materialize(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey"), col("o_custkey"),
+          (pmod(col("o_orderkey"), lit(2)) === 0).as("ev"),
+          (pmod(col("l_suppkey") * 7 + col("o_custkey") * 13,
+            lit(20)) + 1).cast("long").as("w"),
+          col("day")))
+  }
+
+  /** The directed trade edge list (src, dst[, extras]) from a
+    * [[tradeBase]] checkpoint: S->C for every lineitem, C->S back-edges
+    * only for even order keys (so odd-only customers stay dangling —
+    * same semantics, and same row multiplicity, as [[edgesDuck]]).
+    */
+  private[queries] def tradeEdges(
+      base: org.apache.spark.sql.DataFrame, extras: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val fwd = base.select(
+      concat(lit("S"), col("l_suppkey")).as("src") +:
+        concat(lit("C"), col("o_custkey")).as("dst") +:
+        extras.map(col): _*)
+    val rev = base.filter(col("ev")).select(
+      concat(lit("C"), col("o_custkey")).as("src") +:
+        concat(lit("S"), col("l_suppkey")).as("dst") +:
+        extras.map(col): _*)
+    fwd.union(rev)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- PageRank over the supplier<->customer trade graph: 10
@@ -46,16 +92,8 @@ object RankQueries {
       "q_pagerank",
       s"WITH graft_edges AS (\n$edgesDuck\n),\n" + PageRank.oracleSql()
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
-      PageRank.run(fwd.union(rev))
+      val fwdrev = tradeEdges(tradeBase(s, d))
+      PageRank.run(fwdrev)
     },
 
     // ---- TrustRank (Gyöngyi et al. 2004): personalized PageRank
@@ -72,19 +110,11 @@ object RankQueries {
          |  FROM supplier WHERE s_nationkey < 5
          |),\n""".stripMargin + PageRank.oracleSql(seeded = true)
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val fwdrev = tradeEdges(tradeBase(s, d))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
-      PageRank.run(fwd.union(rev), seeds = Some(seeds))
+      PageRank.run(fwdrev, seeds = Some(seeds))
     },
 
     // ---- Katz centrality (Katz 1953) over the support-pruned part
@@ -174,14 +204,15 @@ object RankQueries {
          |  FROM supplier
          |),\n""".stripMargin + LabelProp.oracleSql()
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(
+      // symmetrize straight off the tradeBase checkpoint: the r8 plan
+      // ran the li x orders join once per union branch
+      val base = tradeBase(s, d)
+      val und = base.select(
           concat(lit("S"), col("l_suppkey")).as("src"),
           concat(lit("C"), col("o_custkey")).as("dst"))
-      val und = fwd.union(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .union(base.select(
+          concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst")))
       val seeds = Tables.supplier(s, d).select(
         concat(lit("S"), col("s_suppkey")).as("node"),
         concat(lit("L"), pmod(col("s_nationkey"), lit(5))).as("label"))
@@ -198,16 +229,8 @@ object RankQueries {
       "q_hits",
       s"WITH graft_edges AS (\n$edgesDuck\n),\n" + Hits.oracleSql()
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
-      Hits.run(fwd.union(rev))
+      val fwdrev = tradeEdges(tradeBase(s, d))
+      Hits.run(fwdrev)
     }.intendsNestedLoop(
       "broadcast side is the 1-row per-half-step max-normalization frame"),
 
@@ -226,19 +249,11 @@ object RankQueries {
          |  FROM supplier WHERE s_nationkey < 5
          |),\n""".stripMargin + Bfs.oracleSql(maxHops = 4)
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val fwdrev = tradeEdges(tradeBase(s, d))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
-      Bfs.run(fwd.union(rev), seeds, maxHops = 4)
+      Bfs.run(fwdrev, seeds, maxHops = 4)
     },
 
     // ---- Harmonic closeness centrality for 4 md5-sampled supplier
@@ -258,21 +273,13 @@ object RankQueries {
          |  ORDER BY md5(CAST(s_suppkey AS VARCHAR)), s_suppkey LIMIT 4
          |),\n""".stripMargin + Closeness.oracleSql(maxHops = 4)
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
+      val fwdrev = tradeEdges(tradeBase(s, d))
       val seeds = Tables.supplier(s, d)
         .select(concat(lit("S"), col("s_suppkey")).as("node"),
           md5(col("s_suppkey").cast("string")).as("h"), col("s_suppkey"))
         .orderBy(col("h"), col("s_suppkey")).limit(4)
         .select("node")
-      Closeness.run(fwd.union(rev), seeds, maxHops = 4)
+      Closeness.run(fwdrev, seeds, maxHops = 4)
     },
 
     // ---- Sampled depth-limited STRESS centrality (see ops.Stress):
@@ -329,16 +336,8 @@ object RankQueries {
       s"WITH graft_edges AS (\n$edgesDuck\n),\n" +
         Bfs.doubleSweepOracleSql(maxHops = 6)
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
-      Bfs.doubleSweep(fwd.union(rev), maxHops = 6)
+      val fwdrev = tradeEdges(tradeBase(s, d))
+      Bfs.doubleSweep(fwdrev, maxHops = 6)
     }.intendsNestedLoop(
       "broadcast side is the 1-row start-seed frame"),
 
@@ -649,16 +648,8 @@ object RankQueries {
          |),
          |${graft.ops.PpmiEmbed.oracleSql(srcTable = "gw_docs")}""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
-      val edges = fwd.union(rev)
+      val fwdrev = tradeEdges(tradeBase(s, d))
+      val edges = fwdrev
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       val seeds = nodes.orderBy(md5(col("node")), col("node")).limit(500)
@@ -1158,23 +1149,11 @@ object RankQueries {
          |  FROM supplier WHERE s_nationkey < 5
          |),\n""".stripMargin + Sssp.oracleSql(rounds = 6)
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val wExpr = (pmod(col("l_suppkey") * 7 + col("o_custkey") * 13,
-        lit(20)) + 1).cast("long")
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"),
-        wExpr.as("w"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"),
-        wExpr.as("w"))
+      val fwdrev = tradeEdges(tradeBase(s, d), extras = Seq("w"))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
-      Sssp.run(fwd.union(rev), seeds, rounds = 6)
+      Sssp.run(fwdrev, seeds, rounds = 6)
     },
 
     // ---- TextRank keyword extraction (Mihalcea & Tarau 2004): the
@@ -1276,18 +1255,22 @@ object RankQueries {
          |    // (4 * mm.m * mm.m) AS q_fp
          |FROM dc LEFT JOIN lc USING (label) CROSS JOIN mm""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(
-          concat(lit("S"), col("l_suppkey")).as("src"),
-          concat(lit("C"), col("o_custkey")).as("dst"))
-      val und = fwd.union(
+      // r9: fwd scans the tradeBase checkpoint (the r8 plan re-ran the
+      // li x orders join once per union branch), and the canonical
+      // undirected edge set is checkpointed because FOUR consumers read
+      // it (LabelProp, m, degrees, intra-community counts) — each used
+      // to recompute the whole join+distinct subtree
+      val base = tradeBase(s, d)
+      val fwd = base.select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      val und = graft.ops.Iterate.materialize(
+        fwd.union(
           fwd.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+        .distinct())
       val seeds = Tables.supplier(s, d).select(
         concat(lit("S"), col("s_suppkey")).as("node"),
         concat(lit("L"), pmod(col("s_nationkey"), lit(5))).as("label"))
@@ -1468,16 +1451,8 @@ object RankQueries {
       s"WITH graft_edges AS (\n$edgesDuck\n),\n" +
         graft.ops.Matching.oracleSql()
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"))
-      graft.ops.Matching.run(fwd.union(rev))
+      val fwdrev = tradeEdges(tradeBase(s, d))
+      graft.ops.Matching.run(fwdrev)
     },
 
     // ---- Earliest-arrival TEMPORAL reachability (see ops.TemporalReach):
@@ -1505,24 +1480,11 @@ object RankQueries {
          |),
          |${graft.ops.TemporalReach.oracleSql(rounds = 4)}""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"),
-          // NTZ parquet timestamp; session TZ is UTC, so the cast is
-          // value-preserving and matches DuckDB's epoch_us
-          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L")
-            .as("day"))
-      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val fwd = j.select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"), col("day"))
-      val rev = j.filter(pmod(col("o_orderkey"), lit(2)) === 0).select(
-        concat(lit("C"), col("o_custkey")).as("src"),
-        concat(lit("S"), col("l_suppkey")).as("dst"), col("day"))
+      val fwdrev = tradeEdges(tradeBase(s, d), extras = Seq("day"))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
-      graft.ops.TemporalReach.run(fwd.union(rev), seeds, rounds = 4)
+      graft.ops.TemporalReach.run(fwdrev, seeds, rounds = 4)
     }
   )
 }
