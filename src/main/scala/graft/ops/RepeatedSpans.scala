@@ -27,25 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object RepeatedSpans {
 
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
-
-  /** Session-scoped memo over [[find]]: several registry queries consume
-    * the IDENTICAL spans frame (q_dup_coverage and q_sa_dedup both scan
-    * the 1/16 doc sample with minLen=16/cap=64), and `find`'s result is
-    * a SMALL materialized report (pairs with a >= minLen common prefix),
-    * so sharing it saves a whole suffix sort per consumer in a
-    * bench/verify session. `key` must identify the input frame (caller
-    * contract: source dir + sample predicate); the SparkSession rides in
-    * the key because a checkpointed frame dies with its session.
+  /** Find repeated spans in `docs` (columns: id, text). (r8 kept a
+    * module-level memo of this frame — `findShared` — so q_dup_coverage
+    * and q_sa_dedup shared one suffix sort per session; removed in r9:
+    * a cross-query result memo keyed on the input identity is the
+    * precomputation the bench contract forbids. Every invocation
+    * computes from its inputs.)
     */
-  def findShared(docs: DataFrame, key: String, minLen: Int, cap: Int)
-      : DataFrame =
-    memo.computeIfAbsent(
-      (docs.sparkSession, s"$key#$minLen#$cap", minLen, cap),
-      _ => find(docs, minLen, cap))
-
-  /** Find repeated spans in `docs` (columns: id, text). */
   def find(docs: DataFrame, minLen: Int = 16, cap: Int = 64): DataFrame = {
     require(minLen >= 1 && cap >= minLen)
     val spark = docs.sparkSession

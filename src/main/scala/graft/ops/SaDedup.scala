@@ -35,20 +35,17 @@ object SaDedup {
     * (doc_id, n_chars, n_removed, clean_text) — untouched docs pass
     * through whole; fully-repeated docs come back as the empty string.
     *
-    * `shareKey` (a caller-owned identity for `docs`) opts into
-    * [[RepeatedSpans.findShared]]'s session memo — q_sa_dedup and
-    * q_dup_coverage consume the identical spans frame, so a bench or
-    * verify session pays for ONE suffix sort instead of two.
+    * (r8 had a `shareKey` opting into a module-level memo of the spans
+    * frame shared with q_dup_coverage — removed in r9: a cross-query
+    * result memo keyed on the input identity is exactly the
+    * precomputation the bench contract forbids. Every invocation now
+    * computes its own spans from the inputs.)
     */
   def clean(
       docs: DataFrame,
       minLen: Int = 16,
-      cap: Int = 64,
-      shareKey: Option[String] = None): DataFrame = {
-    val spans = shareKey match {
-      case Some(k) => RepeatedSpans.findShared(docs, k, minLen, cap)
-      case None => RepeatedSpans.find(docs, minLen, cap)
-    }
+      cap: Int = 64): DataFrame = {
+    val spans = RepeatedSpans.find(docs, minLen, cap)
 
     // one victim interval per pair: the doc-order-later occurrence,
     // covering [st, en) in 1-based character positions

@@ -120,46 +120,72 @@ object SuffixArray {
       .agg(coalesce(max(length(col("text"))), lit(0)),
         coalesce(sum(length(col("text")).cast("long")), lit(0L)))
       .as[(Int, Long)].head()
-    val sfxCh = base
+    // the doc table often arrives as ONE scan task (a single small
+    // parquet file); the 300x explode fan-out, the packed-seed
+    // projection and the alphabet pass would all run single-task on it
+    // — spread the docs first (a docs-sized shuffle, cheap)
+    val baseP = base.repartition(Iterate.width(spark, nSfx))
+    val sfxCh = baseP
       .select(col("id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("pos"))
-      .select(col("id"), col("text"), col("pos").cast("long").as("pos"),
-        expr("substring(text, pos, 1)").as("ch"))
+      .select(col("id"), col("text"), col("pos").cast("long").as("pos"))
     if (maxLen == 0) {
       return (sfxCh.select(col("id"), col("pos"), lit(0L).as("sfx_rank")),
         0L)
     }
     // the alphabet is bounded (distinct single chars), so the
-    // char -> dense-rank map is a literal expression, not a join
-    val alphabet = sfxCh.select(col("ch")).distinct()
+    // char -> dense-rank map is a literal expression, not a join; it is
+    // collected from PER-DOC distinct chars (docs-sized pass), not from
+    // an O(pos) substring per suffix row
+    val alphabet = baseP
+      .select(explode(array_distinct(split(col("text"), ""))).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .distinct()
       .orderBy(col("ch")).as[String].collect()
     val a1 = alphabet.length + 1L
     val rankMap = typedLit(
       alphabet.zipWithIndex.map { case (c, i) => c -> (i + 1L) }.toMap)
-    def chRank(off: Int) = coalesce(
-      element_at(rankMap, expr(s"substring(text, pos + $off, 1)")), lit(0L))
+    // r9: pack as many leading characters per rank half as int64 holds
+    // (a1^m < 2^62; was fixed at 2) — a small alphabet seeds the loop at
+    // prefix length 2m (e.g. m = 9 for ~100 symbols), cutting ~2 full
+    // doubling rounds; the horner packing preserves lexicographic order
+    // because every char rank < a1 and "" ranks 0 (the before-everything
+    // sentinel, so shorter prefixes sort first like string comparison).
+    // The 2m chars come off ONE short `pfx` slice per suffix row —
+    // substring(text, pos, .) is an O(pos) UTF8 scan, so it must run
+    // once per row, not once per packed character.
+    val m = {
+      var mm = 2
+      var pw = BigInt(a1) * a1
+      while (mm < 12 && pw * a1 < (BigInt(1) << 62)) { mm += 1; pw *= a1 }
+      mm
+    }
+    def chRank(i: Int) = coalesce(
+      element_at(rankMap, substring(col("pfx"), i + 1, 1)), lit(0L))
+    def packRank(start: Int): org.apache.spark.sql.Column =
+      (start until start + m).map(chRank)
+        .reduceLeft((acc, c) => acc * a1 + c)
 
     Iterate.withWidth(spark, nSfx) { p =>
-      // seed from the first FOUR characters packed into the (r1, r2)
-      // pair ("" ranks 0 — the before-everything sentinel, so shorter
-      // prefixes sort first exactly like string comparison): the loop
-      // starts at h = 4, saving two full rounds
       val (sfx0, classes0) = rankAssign(
-        sfxCh.select(col("id"), col("pos"),
-          (chRank(0) * a1 + chRank(1)).as("r1"),
-          (chRank(2) * a1 + chRank(3)).as("r2")), p)
+        sfxCh
+          .select(col("id"), col("pos"),
+            expr(s"substring(text, pos, ${2 * m})").as("pfx"))
+          .select(col("id"), col("pos"),
+            packRank(0).as("r1"), packRank(m).as("r2")), p)
       var sfx = sfx0
       var classes = classes0
-      var h = 4L
-      var done = false
+      var h = 2L * m
+      var done = classes0 == nSfx // seed may already separate everything
+      // pairing each rank with the rank h positions ahead is a per-doc
+      // window lead (suffix rows cover every pos 1..len exactly once),
+      // NOT a self-join: one exchange per round instead of two, and the
+      // per-doc partition is bounded by maxLen at any corpus size
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("pos"))
       while (h < maxLen && !done) {
-        val b = sfx.select(col("id").as("bid"), col("pos").as("bpos"),
-          col("r").as("br"))
-        val paired = sfx.join(b,
-            sfx("id") === col("bid") && (sfx("pos") + h) === col("bpos"),
-            "left")
-          .select(col("id"), col("pos"), col("r").as("r1"),
-            coalesce(col("br"), lit(0L)).as("r2"))
+        val paired = sfx.select(col("id"), col("pos"), col("r").as("r1"),
+          coalesce(lead(col("r"), h.toInt).over(wDoc), lit(0L)).as("r2"))
         val (next, total) = rankAssign(paired, p)
         if (total == classes) {
           // fixed point: this round refined nothing (and the relabel is
@@ -172,6 +198,9 @@ object SuffixArray {
           sfx = next
           classes = total
           h = h * 2
+          // all ranks distinct -> the order is final; the old rule would
+          // burn one more full round just to observe zero refinement
+          if (classes == nSfx) done = true
         }
       }
       // materialize under the output names and release the loop's last

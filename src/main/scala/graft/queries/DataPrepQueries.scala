@@ -2649,7 +2649,7 @@ object DataPrepQueries {
         .filter(expr("md5p60(cast(doc_id AS string)) % 16 = 0"))
         .select(col("doc_id").as("id"), col("text"))
       val spans = graft.ops.RepeatedSpans
-        .findShared(sample, s"$d|docs%16", minLen = 16, cap = 64)
+        .find(sample, minLen = 16, cap = 64)
       // DISTINCT is load-bearing: see the oracle's iv comment — tied
       // (st, en) rows make the two island windows' orders non-total
       val iv = spans.select(col("doc_a").as("doc_id"), col("pos_a").as("st"),
@@ -2781,8 +2781,7 @@ object DataPrepQueries {
       val sample = Tables.documents(s, d)
         .filter(expr("md5p60(cast(doc_id AS string)) % 16 = 0"))
         .select(col("doc_id").as("id"), col("text"))
-      graft.ops.SaDedup.clean(sample, minLen = 16, cap = 64,
-        shareKey = Some(s"$d|docs%16"))
+      graft.ops.SaDedup.clean(sample, minLen = 16, cap = 64)
     }
   )
 }
