@@ -1265,29 +1265,47 @@ object TechQueries {
         |SELECT symbol, day, np AS n_pairs, slope_fp AS med_slope_fp
         |FROM o WHERE rn = (np + 1) // 2""".stripMargin
     ) { (s, d) =>
+      // r9 (guide §2.3 "aggregate before you shuffle"): the banded pair
+      // generator is 48 window LEADS in the one per-group pass (the r8
+      // self-join shuffled the series twice and post-filtered the band),
+      // and the median is picked from per-(group, slope) COUNTS — the
+      // k-th order statistic BY VALUE, so collapsing duplicate slopes
+      // map-side before the window changes nothing about which slope_fp
+      // value sits at rank (np+1) div 2 (the r8 row_number ran over
+      // every pair row; the x1/x2 tie-break only ordered EQUAL slope
+      // values among themselves and never changed the picked value).
       val wr = Window.partitionBy(col("symbol"), col("day"))
         .orderBy(col("ts"), col("event_id"))
       val r = Tables.events(s, d)
         .select(col("event_type").as("symbol"),
           col("ts").cast("date").as("day"), col("ts"), col("event_id"),
           expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("y"))
-        .withColumn("x", row_number().over(wr).cast("long"))
-        .select("symbol", "day", "x", "y")
-      val a = r.select(col("symbol"), col("day"),
-        col("x").as("x1"), col("y").as("y1"))
-      val b = r.select(col("symbol").as("symbol_b"), col("day").as("day_b"),
-        col("x").as("x2"), col("y").as("y2"))
-      val p = a.join(b,
-          col("symbol") === col("symbol_b") && col("day") === col("day_b") &&
-            col("x1") < col("x2") && col("x2") - col("x1") <= 48)
-        .select(col("symbol"), col("day"), col("x1"), col("x2"),
-          expr("((y2 - y1) * 10000) div (x2 - x1)").as("slope_fp"))
-      val wg = Window.partitionBy(col("symbol"), col("day"))
-      val o = p
-        .withColumn("rn",
-          row_number().over(wg.orderBy(col("slope_fp"), col("x1"), col("x2"))))
-        .withColumn("np", count(lit(1)).over(wg))
-      o.filter(expr("rn = (np + 1) div 2"))
+        // explicit width: the group exchange carries ~1 MB, so AQE
+        // coalesces it to ONE partition — but this exchange feeds a 48x
+        // explode (bytes-in is not work-out), which then runs
+        // single-task; pinning the session width restores the fan-out
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("symbol"), col("day"))
+        // ONE sliding-frame collect (48 distinct lead() offsets would
+        // each be their own frame pass); element i is the value i+1
+        // rows ahead, so the divisor x2-x1 is the array position
+        .withColumn("leads",
+          collect_list(col("y")).over(wr.rowsBetween(1, 48)))
+      val p = r
+        .select(col("symbol"), col("day"), col("y"),
+          posexplode(col("leads")).as(Seq("k0", "y2")))
+        .select(col("symbol"), col("day"),
+          expr("((y2 - y) * 10000) div (k0 + 1)").as("slope_fp"))
+      val freq = p.groupBy(col("symbol"), col("day"), col("slope_fp"))
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy(col("symbol"), col("day"))
+        .orderBy(col("slope_fp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("symbol"), col("day"))
+      freq
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("np", sum(col("c")).over(wall))
+        .filter(expr("cum - c < (np + 1) div 2 AND (np + 1) div 2 <= cum"))
         .select(col("symbol"), col("day"), col("np").as("n_pairs"),
           col("slope_fp").as("med_slope_fp"))
     },
@@ -1324,24 +1342,26 @@ object TechQueries {
         |  (CAST(sum(sg) AS BIGINT) * 1000000) // count(*) AS tau_fp
         |FROM p GROUP BY symbol, day""".stripMargin
     ) { (s, d) =>
+      // r9: the banded pairs are 48 window LEADS in the one per-group
+      // pass (same rewrite as q_theilsen) — the self-join shuffled the
+      // series twice for a pair set the window already has in order
       val wr = Window.partitionBy(col("symbol"), col("day"))
         .orderBy(col("ts"), col("event_id"))
-      val r = Tables.events(s, d)
+      Tables.events(s, d)
         .select(col("event_type").as("symbol"),
           col("ts").cast("date").as("day"), col("ts"), col("event_id"),
           expr("CAST(floor(value * 1e2 + 5e-1) AS BIGINT)").as("y"))
-        .withColumn("x", row_number().over(wr).cast("long"))
-        .select("symbol", "day", "x", "y")
-      val a = r.select(col("symbol"), col("day"),
-        col("x").as("x1"), col("y").as("y1"))
-      val b = r.select(col("symbol").as("symbol_b"), col("day").as("day_b"),
-        col("x").as("x2"), col("y").as("y2"))
-      a.join(b,
-          col("symbol") === col("symbol_b") && col("day") === col("day_b") &&
-            col("x1") < col("x2") && col("x2") - col("x1") <= 48)
+        // same explicit width as q_theilsen: the exchange feeds a 48x
+        // explode, which AQE's byte-based coalescing runs single-task
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("symbol"), col("day"))
+        .withColumn("leads",
+          collect_list(col("y")).over(wr.rowsBetween(1, 48)))
+        .select(col("symbol"), col("day"), col("y"),
+          explode(col("leads")).as("y2"))
         .select(col("symbol"), col("day"),
-          when(col("y2") > col("y1"), 1L)
-            .when(col("y2") < col("y1"), -1L).otherwise(0L).as("sg"))
+          when(col("y2") > col("y"), 1L)
+            .when(col("y2") < col("y"), -1L).otherwise(0L).as("sg"))
         .groupBy(col("symbol"), col("day"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("sg")).as("s_stat"),
           expr("(sum(sg) * 1000000L) div count(1)").as("tau_fp"))
