@@ -110,7 +110,9 @@ object IvfIndex {
     */
   def assign(emb: DataFrame, cb: DataFrame): DataFrame = {
     val carry = emb.columns.filter(_ != "vec_id")
-    withNorm(emb, "embedding", "e_nrm")
+    // the n*k candidate fan-out runs at the SCAN's parallelism — spread
+    // a single-split source first (no-op on any real multi-file corpus)
+    withNorm(Iterate.spread(emb), "embedding", "e_nrm")
       .crossJoin(broadcast(withNorm(cb, "cent_emb", "c_nrm")))
       .withColumn("cs",
         cosineCached(col("embedding"), col("e_nrm"), col("cent_emb"), col("c_nrm")))

@@ -105,7 +105,9 @@ object Pq {
     * row_number tie-break exactly.
     */
   def assignSub(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub
+    // the n*m*k candidate fan-out runs at the scan's parallelism —
+    // spread a single-split source (no-op on a real multi-file corpus)
+    Iterate.spread(sub)
       .withColumn("sub_c2", VecOps.vecDot(col("sub_emb"), col("sub_emb")))
       .join(broadcast(cb.withColumn("cent_c2",
         VecOps.vecDot(col("cent_emb"), col("cent_emb")))), "sub_id")
