@@ -38,15 +38,19 @@ object Mis {
   def select(edges: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds >= 1)
     val spark = edges.sparkSession
-    val e0 = edges.filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // checkpoint the edge frame BEFORE deriving the live-node set: both
+    // read it, and un-checkpointed the (often expensive) edge build ran
+    // twice (measured as two identical 12 MB-write stages in q_mis)
+    val e0 = Iterate.materialize(
+      edges.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct())
     var live = Iterate.materialize(
       e0.select(col("a").as("node")).union(e0.select(col("b")))
         .distinct()
         .withColumn("p", expr(prio)))
-    var e = Iterate.materialize(e0)
+    var e = e0
     var out: DataFrame = null
     // every round materializes (Cadence(every=1)) so the live-set
     // emptiness probe — the early exit once everything is selected or

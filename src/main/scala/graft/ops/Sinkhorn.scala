@@ -72,6 +72,7 @@ object Sinkhorn {
     */
   def run(cells: DataFrame): DataFrame = {
     val idiv = sparkIdiv
+    val spark = cells.sparkSession
     def marg(h: Int, v: String, hc: String) = cells
       .filter(col("h") === h)
       .groupBy(col("vb").as(v), col("hb").as(hc))
@@ -82,38 +83,67 @@ object Sinkhorn {
         .select(col(v), col(hc),
           expr(idiv("(cnt * 1000000)", "tot")).as(m))
     }
-    val ra = Iterate.materialize(toProb(marg(0, "vb_a", "hb_a"), "vb_a", "hb_a", "r"))
-    val cb = Iterate.materialize(toProb(marg(1, "vb_b", "hb_b"), "vb_b", "hb_b", "c"))
-    val k = Iterate.materialize(ra.crossJoin(cb)
-      .withColumn("cost",
-        expr("abs(vb_a - vb_b) + abs(hb_a - hb_b)"))
-      .withColumn("k_ij", expr(kCase("(abs(vb_a - vb_b) + abs(hb_a - hb_b))"))))
-
-    var u = ra.select(col("vb_a"), col("hb_a"), lit(1000000L).as("u"))
-    var v = cb.select(col("vb_b"), col("hb_b"), lit(1000000L).as("v"))
-    for (_ <- 1 to Iters) {
-      u = Iterate.materialize(
-        k.join(v, Seq("vb_b", "hb_b"))
-          .groupBy("vb_a", "hb_a")
-          .agg(sum(expr("k_ij * v")).as("kv"), max(col("r")).as("r"))
-          .select(col("vb_a"), col("hb_a"),
-            expr(upd(idiv, "r", "kv", UHi)).as("u")))
-      v = Iterate.materialize(
-        k.join(u, Seq("vb_a", "hb_a"))
-          .groupBy("vb_b", "hb_b")
-          .agg(sum(expr("k_ij * u")).as("ku"), max(col("c")).as("c"))
-          .select(col("vb_b"), col("hb_b"),
-            expr(upd(idiv, "c", "ku", VHi)).as("v")))
+    // the corpus is touched ONCE per side (the histogram aggs above);
+    // the supports are <= Cells rows of grid metadata by construction
+    // (vb x hb is value-range-bounded), so the 15 scaling rounds run
+    // DRIVER-LOCAL over the collected marginals — the r8 form ran 30
+    // materialized Spark rounds over <= 80-row frames and measured as
+    // 173 back-to-back ~35 ms jobs of pure stage latency. Same int64
+    // recurrence (integer sums are order-free, all operands positive,
+    // so JVM / == both engines' div), bit-identical output.
+    val raRows = toProb(marg(0, "vb_a", "hb_a"), "vb_a", "hb_a", "r")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cbRows = toProb(marg(1, "vb_b", "hb_b"), "vb_b", "hb_b", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nA = raRows.length
+    val nB = cbRows.length
+    val kij = Array.tabulate(nA, nB) { (i, j) =>
+      val cost = math.abs(raRows(i)._1 - cbRows(j)._1) +
+        math.abs(raRows(i)._2 - cbRows(j)._2)
+      KTable(cost.toInt)
     }
-    val plan = k.join(u, Seq("vb_a", "hb_a")).join(v, Seq("vb_b", "hb_b"))
-      .select(col("vb_a"), col("hb_a"), col("vb_b"), col("hb_b"),
-        col("k_ij"), col("cost"),
-        expr(idiv(s"(${idiv("(u * k_ij)", "1000000")} * ${idiv("v", "1000")})", "1000"))
-          .as("p_fp"))
-    val cost = plan.agg(sum(expr("p_fp * cost")).as("ot_cost_fp"))
-    plan.crossJoin(broadcast(cost))
-      .select(col("vb_a"), col("hb_a"), col("vb_b"), col("hb_b"),
-        col("k_ij"), col("p_fp"), col("ot_cost_fp"))
+    val uHi = UHi.toLong
+    val vHi = VHi.toLong
+    def updL(marginal: Long, ksum: Long, hi: Long): Long =
+      math.max(1L, math.min(hi,
+        (marginal * 1000000000000L) / math.max(1L, ksum)))
+    val u = Array.fill(nA)(1000000L)
+    val v = Array.fill(nB)(1000000L)
+    for (_ <- 1 to Iters) {
+      var i = 0
+      while (i < nA) {
+        var kv = 0L
+        var j = 0
+        while (j < nB) { kv += kij(i)(j) * v(j); j += 1 }
+        u(i) = updL(raRows(i)._3, kv, uHi)
+        i += 1
+      }
+      var j = 0
+      while (j < nB) {
+        var ku = 0L
+        var i2 = 0
+        while (i2 < nA) { ku += kij(i2)(j) * u(i2); i2 += 1 }
+        v(j) = updL(cbRows(j)._3, ku, vHi)
+        j += 1
+      }
+    }
+    var otCost = 0L
+    val pfp = Array.tabulate(nA, nB) { (i, j) =>
+      val p = (((u(i) * kij(i)(j)) / 1000000L) * (v(j) / 1000L)) / 1000L
+      val cost = math.abs(raRows(i)._1 - cbRows(j)._1) +
+        math.abs(raRows(i)._2 - cbRows(j)._2)
+      otCost += p * cost
+      p
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nA * nB)
+    for (i <- 0 until nA; j <- 0 until nB)
+      out.add(org.apache.spark.sql.Row(
+        raRows(i)._1, raRows(i)._2, cbRows(j)._1, cbRows(j)._2,
+        kij(i)(j), pfp(i)(j), otCost))
+    val lf = org.apache.spark.sql.types.LongType
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+      Seq("vb_a", "hb_a", "vb_b", "hb_b", "k_ij", "p_fp", "ot_cost_fp")
+        .map(org.apache.spark.sql.types.StructField(_, lf, nullable = false))))
   }
 
   /** DuckDB twin over `graft_ot_cells` (h, vb, hb) — same template,

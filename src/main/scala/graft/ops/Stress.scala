@@ -67,10 +67,11 @@ object Stress {
             col("seed") === col("vs") && col("node") === col("vn"),
             "left_anti")
           .select(col("seed"), col("node"), lit(t).as("hop"), col("sigma")))
-      val grown = materialize(visited.union(next))
-      frontier.unpersist(); visited.unpersist()
+      // lazy union of per-hop checkpoints (the Bfs.expand r9 shape):
+      // re-materializing the whole visited set per hop paid one extra
+      // eager job + checkpoint write per round for already-stored rows
+      visited = visited.union(next)
       frontier = next
-      visited = grown
     }
     // ---- backward: continuation counts, deepest level up ----
     var gPrev = materialize(
@@ -86,11 +87,8 @@ object Stress {
             col("seed") === col("gs") && col("dst") === col("gn"), "left")
           .groupBy(col("seed"), col("node"))
           .agg((lit(1L) + coalesce(sum(col("g")), lit(0L))).as("g")))
-      val grown = materialize(gAll.union(gl))
-      if (gPrev ne gAll) gPrev.unpersist()
-      gAll.unpersist()
+      gAll = gAll.union(gl) // lazy union of per-level checkpoints
       gPrev = gl
-      gAll = grown
     }
     // ---- stress: σ(v)·(g(v) − 1), seeds excluded, summed over seeds ----
     visited.filter(col("hop") > 0)

@@ -310,14 +310,17 @@ object RankQueries {
     ) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      // checkpointed: the seed sample AND the op's symmetrization both
+      // read e — un-checkpointed, the co-occurrence build ran twice
+      val e = graft.ops.Iterate.materialize(
+        li.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
           "l_orderkey")
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")))
       val seeds = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node"))).distinct()
         .orderBy(md5(col("node").cast("string")), col("node")).limit(4)
@@ -902,14 +905,17 @@ object RankQueries {
     ) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      // checkpointed: the node set AND Mst.forest both read e —
+      // un-checkpointed, the co-occurrence build ran twice
+      val e = graft.ops.Iterate.materialize(
+        li.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
           "l_orderkey")
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
-        .select(col("a"), col("b"), expr("1000000L div sup").as("w"))
+        .select(col("a"), col("b"), expr("1000000L div sup").as("w")))
       val nodes =
         e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
       // already checkpointed by Mst.forest — the three levels reuse it
