@@ -88,18 +88,26 @@ object PageRank {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .repartition(p, col("node"))
+    // r9: the per-node STATIC facts (seed flag, out-degree) are attached
+    // to the rank frame ONCE — the r8 rounds re-joined ranks x outdeg
+    // and update x nodes every iteration (two extra n-row hash joins per
+    // round for values that never change)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = seeds match {
       case Some(sd) => materialize(
         nodesRaw.join(
           sd.select(sd.columns.head).toDF("node").distinct()
             .withColumn("is_seed", lit(true)),
           Seq("node"), "left")
-          .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")))
-      case None => materialize(nodesRaw.withColumn("is_seed", lit(true)))
+          .join(outdeg, nodesRaw("node") === outdeg("src"), "left")
+          .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"),
+            col("outdeg")))
+      case None => materialize(
+        nodesRaw
+          .join(outdeg, nodesRaw("node") === outdeg("src"), "left")
+          .select(col("node"), lit(true).as("is_seed"), col("outdeg")))
     }
     e0.unpersist() // e + nodes are materialized — drop the pre-repartition copy
-    val outdeg = materialize(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val Array(n, nSeeds) = nodes
       .agg(count(lit(1)),
         coalesce(sum(when(col("is_seed"), 1L).otherwise(0L)), lit(0L)))
@@ -110,29 +118,28 @@ object PageRank {
       case None => (100L - dampNum) * scale / 100L
     }
 
-    var ranks = materialize(nodes.select(col("node"), lit(scale).as("r")))
+    var ranks = materialize(nodes.select(
+      col("node"), col("is_seed"), col("outdeg"), lit(scale).as("r")))
     // every=1: each round references `ranks` twice (dangling agg +
     // inflow join), so two lazily-composed rounds carry 4 copies of the
     // previous round's plan — planning/codegen outweighs the one saved
     // materialization of a |nodes|-row frame (the AlsRank1/Hits finding)
     val cadence = new Iterate.Cadence(ranks, every = 1)
     for (i <- 1 to iters) {
-      val withDeg = ranks.join(
-        outdeg, ranks("node") === outdeg("src"), "left")
       // dangling mass: a LAZY 1-row frame broadcast into the update plan
       // (not a .head() collect) — one Spark job per round instead of two;
       // the integer math (dangling div nSeeds) is unchanged
-      val dang = withDeg.filter(col("outdeg").isNull)
+      val dang = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dangling"))
-      val inflow = withDeg.filter(col("outdeg").isNotNull)
-        .select(col("src"), expr("r div outdeg").as("c"))
+      val inflow = ranks.filter(col("outdeg").isNotNull)
+        .select(col("node").as("src"), expr("r div outdeg").as("c"))
         .join(e, "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       val next =
-        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        ranks.join(inflow, ranks("node") === inflow("dst"), "left")
           .crossJoin(broadcast(dang))
           .select(
-            col("node"), col("is_seed"),
+            col("node"), col("is_seed"), col("outdeg"),
             (when(col("is_seed"), lit(base)).otherwise(lit(0L)) + expr(
               s"""($dampNum * (coalesce(inflow, 0L) +
                  |  (case when is_seed then (dangling div ${nSeeds}L) else 0L end)))

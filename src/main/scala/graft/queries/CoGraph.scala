@@ -36,17 +36,28 @@ private[queries] object CoGraph {
       |  GROUP BY node
       |)""".stripMargin
 
-  /** The same edge list (a, b) on the Spark side. */
-  def edges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") < col("b"))
+  /** Support-counted co-occurrence pairs (a, b, sup), a < b, sup >= 2 —
+    * the Spark twin of the `e` CTE. r9 shape: per-basket collect_set +
+    * ROW-LOCAL pair generation (baskets are bounded, so the C(b,2)
+    * fan-out is a constant per order) instead of the r8 positional
+    * self-join — the basket group and the pair count are the only two
+    * exchanges, no join build, and the pair multiset is identical
+    * (items are deduped per order either way; sort_array makes a < b).
+    */
+  def pairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
-      .select(col("a"), col("b"))
-  }
+
+  /** The same edge list (a, b) on the Spark side. */
+  def edges(s: SparkSession, d: String): DataFrame =
+    pairs(s, d).select(col("a"), col("b"))
 }

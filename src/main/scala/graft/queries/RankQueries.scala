@@ -308,19 +308,10 @@ object RankQueries {
          |),
          |${graft.ops.Stress.oracleSql(maxHops = 4)}""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       // checkpointed: the seed sample AND the op's symmetrization both
       // read e — un-checkpointed, the co-occurrence build ran twice
       val e = graft.ops.Iterate.materialize(
-        li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b")))
+        CoGraph.edges(s, d))
       val seeds = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node"))).distinct()
         .orderBy(md5(col("node").cast("string")), col("node")).limit(4)
@@ -610,16 +601,7 @@ object RankQueries {
         |JOIN deg db ON db.z = open.b
         |ORDER BY ra_fp DESC, a, b LIMIT 30""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
+      val e = CoGraph.edges(s, d)
       graft.ops.LinkPred.scores(e, hubCap = 1000L)
         .orderBy(col("ra_fp").desc, col("a"), col("b"))
         .limit(30)
@@ -788,16 +770,7 @@ object RankQueries {
         |),
         |""".stripMargin + graft.ops.KTruss.oracleSql(k = 3)
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
+      val e = CoGraph.edges(s, d)
       graft.ops.KTruss.trussEdges(e, k = 3)
     },
 
@@ -822,15 +795,7 @@ object RankQueries {
         |),
         |""".stripMargin + graft.ops.Mst.oracleSql
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
+      val e = CoGraph.pairs(s, d)
         .select(col("a"), col("b"), expr("1000000L div sup").as("w"))
       graft.ops.Mst.forest(e)
     },
@@ -853,16 +818,7 @@ object RankQueries {
         |),
         |""".stripMargin + graft.ops.Coreness.oracleSql()
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
+      val e = CoGraph.edges(s, d)
       graft.ops.Coreness.run(e)
     },
 
@@ -903,19 +859,11 @@ object RankQueries {
              |  ) GROUP BY lbl)""".stripMargin
         }.mkString("\nUNION ALL")
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       // checkpointed: the node set AND Mst.forest both read e —
       // un-checkpointed, the co-occurrence build ran twice
       val e = graft.ops.Iterate.materialize(
-        li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"), expr("1000000L div sup").as("w")))
+        CoGraph.pairs(s, d)
+          .select(col("a"), col("b"), expr("1000000L div sup").as("w")))
       val nodes =
         e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
       // already checkpointed by Mst.forest — the three levels reuse it
@@ -954,16 +902,7 @@ object RankQueries {
         |),
         |""".stripMargin + graft.ops.Mis.oracleSql()
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
+      val e = CoGraph.edges(s, d)
       graft.ops.Mis.select(e)
     },
 
@@ -984,16 +923,7 @@ object RankQueries {
         |),
         |""".stripMargin + KCore.oracleSql(k = 2)
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-          "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a"), col("b"))
+      val e = CoGraph.edges(s, d)
       KCore.coreNodes(e, k = 2)
     },
 
