@@ -100,6 +100,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         warmRuns(name) = (System.nanoTime() - t1) / 1e9
       }
+      // OUTSIDE the timed region: drop checkpoint blocks the finished
+      // entry leaked (tradeBase / co-occurrence edge frames are
+      // localCheckpoints that otherwise pin executor storage until the
+      // ContextCleaner notices — r9 ADVICE). The result frame is
+      // discarded, every entry recomputes from parquet, so this frees
+      // memory without touching what any query computes or when.
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
     }
     // end-to-end BATCH curation: exact dedup -> near-dup components ->
     // quality -> PII scrub -> chunk -> pack, one composed job

@@ -41,10 +41,14 @@ object Closeness {
       edges: DataFrame, seeds: DataFrame, maxHops: Int,
       src: String = "src", dst: String = "dst"): DataFrame = {
     require(maxHops >= 1)
-    val e0 = materialize(
-      edges.select(col(src).as("src"), col(dst).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct())
+    val raw = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // r10 hybrid tail (GraphLocal) over the RAW edge list (duplicate
+    // edges are harmless to per-seed BFS): k seed BFS runs + integer
+    // harmonic sums driver-local under the absolute bound
+    if (raw.count() <= GraphLocal.limit(edges.sparkSession))
+      return GraphLocal.closeness(raw, seeds, maxHops)
+    val e0 = materialize(raw.distinct())
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
     val e = materialize(e0.repartition(p, col("src")))
     e0.unpersist()

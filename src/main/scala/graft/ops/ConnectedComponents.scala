@@ -87,6 +87,17 @@ object ConnectedComponents {
       s"unsupported node type: ${a.getClass} vs ${b.getClass}")
   }
 
+  /** Node types [[cmpAny]] orders identically to Spark's min(). A frame
+    * with any other id type skips the local tail and finishes through
+    * the distributed star rounds (which order everything natively). */
+  private[ops] def localTypeOk(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+
   /** Edge-count bound under which the contraction finishes locally —
     * an ABSOLUTE driver-memory bound (2^17 edges ~ a few MB collected:
     * the same order as a broadcast-join build side), not a knob tuned
@@ -171,11 +182,15 @@ object ConnectedComponents {
   def run(
       edges: DataFrame, src: String = "src", dst: String = "dst",
       maxIter: Int = 25): DataFrame = {
-    val limit = localLimit(edges.sparkSession)
+    val limit0 = localLimit(edges.sparkSession)
     var cur = materialize(
       edges.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
+    // unsupported id types (decimal/date/short...) disable the tail
+    // rather than throw mid-contraction — the star rounds carry them
+    val limit =
+      if (localTypeOk(cur.schema.fields(0).dataType)) limit0 else -1L
     var sig = signature(cur)
     if (sig._1 <= limit) {
       val out = runLocal(cur)

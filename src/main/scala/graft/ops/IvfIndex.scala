@@ -52,9 +52,12 @@ object IvfIndex {
       .orderBy(col("hk"), col("vec_id"))
       .limit(k)
     val wk = Window.orderBy(col("hk"), col("vec_id"))
-    var cb: DataFrame = seeds
+    // materialized from round 0 (r10): every Lloyd assignment then takes
+    // the row-local fused path below — the seed collect is k rows the
+    // first assign's broadcast would have collected anyway
+    var cb: DataFrame = materialize(seeds
       .withColumn("cent_id", row_number().over(wk).cast("long") - 1)
-      .select(col("cent_id"), col("embedding").as("cent_emb"))
+      .select(col("cent_id"), col("embedding").as("cent_emb")))
     for (_ <- 0 until iters) {
       val a = assign(emb, cb)
       // materialize between iterations: the codebook is k ~ sqrt(n) rows
@@ -108,21 +111,47 @@ object IvfIndex {
     * (-cs ASC, cent_id ASC) is precisely the (cs DESC, cent_id) oracle
     * tie-break.
     */
-  def assign(emb: DataFrame, cb: DataFrame): DataFrame = {
-    val carry = emb.columns.filter(_ != "vec_id")
-    // the n*k candidate fan-out runs at the SCAN's parallelism — spread
-    // a single-split source first (no-op on any real multi-file corpus)
-    withNorm(Iterate.spread(emb), "embedding", "e_nrm")
-      .crossJoin(broadcast(withNorm(cb, "cent_emb", "c_nrm")))
-      .withColumn("cs",
-        cosineCached(col("embedding"), col("e_nrm"), col("cent_emb"), col("c_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("cs") * lit(-1.0) +: col("cent_id") +: carry.map(col): _*))
-        .as("m"))
-      .select(col("vec_id") +: col("m.cent_id").as("cent_id") +:
-        carry.map(c => col(s"m.$c").as(c)): _*)
-      .select(emb.columns.map(col) :+ col("cent_id"): _*)
+  def assign(emb: DataFrame, cb: DataFrame): DataFrame = localBook(cb) match {
+    case Some(book) =>
+      // r10 fused path: the codebook is already collected index metadata
+      // (a LocalRelation out of [[materialize]]) — the argmax runs as a
+      // row-local loop over it ([[graft.functions.AnnAssign]]): zero
+      // exchanges, no n*k candidate rows, bit-identical scores/tie-break
+      emb.withColumn("cent_id",
+        graft.functions.AnnAssign.ivfCell(col("embedding"), book))
+        .select(emb.columns.map(col) :+ col("cent_id"): _*)
+    case None =>
+      val carry = emb.columns.filter(_ != "vec_id")
+      // the n*k candidate fan-out runs at the SCAN's parallelism — spread
+      // a single-split source first (no-op on any real multi-file corpus)
+      withNorm(Iterate.spread(emb), "embedding", "e_nrm")
+        .crossJoin(broadcast(withNorm(cb, "cent_emb", "c_nrm")))
+        .withColumn("cs",
+          cosineCached(col("embedding"), col("e_nrm"), col("cent_emb"), col("c_nrm")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("cs") * lit(-1.0) +: col("cent_id") +: carry.map(col): _*))
+          .as("m"))
+        .select(col("vec_id") +: col("m.cent_id").as("cent_id") +:
+          carry.map(c => col(s"m.$c").as(c)): _*)
+        .select(emb.columns.map(col) :+ col("cent_id"): _*)
   }
+
+  /** The collected [[graft.functions.AnnAssign.CentBook]] of a codebook
+    * frame that is ALREADY a local relation ([[materialize]]'s output, or
+    * a plan that constant-folds to one); None keeps the distributed
+    * broadcast-join path. The collect on a LocalRelation is driver-only —
+    * no Spark job.
+    */
+  private[ops] def localBook(cb: DataFrame)
+      : Option[graft.functions.AnnAssign.CentBook] =
+    if (isLocalRelation(cb)) Some(graft.functions.AnnAssign.centBook(cb.collect()))
+    else None
+
+  private[ops] def isLocalRelation(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
 
   /** Top-`topK` cosine neighbours for each query row (rows matching
     * `queryPred`), probing the `nprobe` nearest cells. Output:

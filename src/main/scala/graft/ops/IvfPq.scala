@@ -45,10 +45,24 @@ object IvfPq {
     val cells = IvfIndex.assign(raw, coarse).select(col("vec_id"), col("cent_id"))
     val pqCb = Pq.codebooks(norm, m, Pq.chooseKsub(n))
     val codes = Pq.encode(norm, pqCb, m)
-    // one build-time equi join keys every code row by its coarse cell —
-    // search then never joins corpus-sized frames to each other again
-    val cellCodes = cells.join(codes, "vec_id")
-      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+    // cell-keyed codes: r9 built cells and codes as two corpus passes
+    // and equi-joined them back on vec_id (two n-row exchanges + the
+    // join). With both codebooks collected index metadata, ONE raw scan
+    // computes the coarse cell and the m codes row-locally (`norm` is by
+    // contract the [[Pq.normalized]] view of `raw`, so normalizing
+    // inline is the same values) — zero exchanges, zero joins.
+    val cellCodes =
+      (IvfIndex.localBook(coarse), Pq.localSubBook(pqCb)) match {
+        case (Some(cbk), Some(sbk)) =>
+          raw.select(col("vec_id"),
+            graft.functions.AnnAssign.ivfCell(col("embedding"), cbk)
+              .as("cent_id"),
+            posexplode(graft.functions.AnnAssign.pqCodes(
+              Pq.normalized(col("embedding")), sbk)).as(Seq("sub_id", "code")))
+            .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+        case _ => cells.join(codes, "vec_id")
+          .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+      }
     Index(coarse, cells, pqCb, codes, cellCodes)
   }
 
@@ -85,9 +99,20 @@ object IvfPq {
       (cb, IvfIndex.assign(raw, cb).select(col("vec_id"), col("cent_id")))
     }
     // per-cell exact fixed-point mean of the normalized vectors — the
-    // residual origin; cells-count rows of index metadata
+    // residual origin; cells-count rows of index metadata. With the
+    // coarse codebook local, the (norm x cells) vec_id join collapses to
+    // a row-local cell tag off the raw scan (same values: `norm` is the
+    // [[Pq.normalized]] view of `raw` by contract).
+    val normCell = IvfIndex.localBook(coarse) match {
+      case Some(cbk) => raw.select(
+        Pq.normalized(col("embedding")).as("embedding"),
+        graft.functions.AnnAssign.ivfCell(col("embedding"), cbk)
+          .as("cent_id"))
+      case None => norm.join(cells, "vec_id")
+        .select(col("embedding"), col("cent_id"))
+    }
     val cmeans = IvfIndex.materialize(
-      norm.join(cells, "vec_id")
+      normCell
         .select(col("cent_id"),
           posexplode(col("embedding").cast("array<double>"))
             .as(Seq("pos", "x")))
@@ -97,15 +122,42 @@ object IvfPq {
         .agg(expr(
           "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
           .as("cent_mean")))
-    val resid = norm.join(cells, "vec_id")
-      .join(broadcast(cmeans), "cent_id")
-      .select(col("vec_id"),
-        expr("zip_with(embedding, cent_mean, (a, b) -> a - b)")
-          .as("embedding"))
+    // residuals: with the coarse codebook local, the cell tag is
+    // row-local off the norm scan (r9 joined norm x cells on vec_id —
+    // an n-row exchange per side) and only the cells-count mean frame
+    // is broadcast. `norm` is by contract the [[Pq.normalized]] view of
+    // `raw`, so re-deriving the cell from the normalized vector is NOT
+    // valid (the coarse chain scores RAW vectors) — the fused path
+    // instead recomputes the normalized view off the raw scan.
+    val residWithCell = IvfIndex.localBook(coarse) match {
+      case Some(cbk) =>
+        raw.select(col("vec_id"),
+          Pq.normalized(col("embedding")).as("embedding"),
+          graft.functions.AnnAssign.ivfCell(col("embedding"), cbk)
+            .as("cent_id"))
+          .join(broadcast(cmeans), "cent_id")
+          .select(col("vec_id"), col("cent_id"),
+            expr("zip_with(embedding, cent_mean, (a, b) -> a - b)")
+              .as("embedding"))
+      case None => norm.join(cells, "vec_id")
+        .join(broadcast(cmeans), "cent_id")
+        .select(col("vec_id"), col("cent_id"),
+          expr("zip_with(embedding, cent_mean, (a, b) -> a - b)")
+            .as("embedding"))
+    }
+    val resid = residWithCell.select(col("vec_id"), col("embedding"))
     val pqCb = Pq.codebooks(resid, m, Pq.chooseKsub(n))
     val codes = Pq.encode(resid, pqCb, m)
-    val cellCodes = cells.join(codes, "vec_id")
-      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+    // cell-keyed residual codes in the same pass (see [[build]])
+    val cellCodes = Pq.localSubBook(pqCb) match {
+      case Some(sbk) =>
+        residWithCell.select(col("vec_id"), col("cent_id"),
+          posexplode(graft.functions.AnnAssign.pqCodes(col("embedding"), sbk))
+            .as(Seq("sub_id", "code")))
+          .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+      case None => cells.join(codes, "vec_id")
+        .select(col("vec_id"), col("cent_id"), col("sub_id"), col("code"))
+    }
     ResIndex(coarse, cells, cmeans, pqCb, cellCodes)
   }
 

@@ -90,8 +90,14 @@ object Mst {
     // finish it as driver-local Kruskal over the SAME strict total
     // order (w, a, b), which selects the identical unique MSF. The
     // distributed rounds still carry anything larger.
-    val limit = e.sparkSession.conf.getOption("spark.graft.cc.localEdges")
+    val limit0 = e.sparkSession.conf.getOption("spark.graft.cc.localEdges")
       .map(_.toLong).getOrElse(1L << 17)
+    // unsupported node/weight types fall through to the Boruvka rounds
+    val limit =
+      if (e.schema.fields.take(3)
+            .forall(f => ConnectedComponents.localTypeOk(f.dataType)))
+        limit0
+      else -1L
     if (n <= limit) {
       val out = forestLocal(e)
       e.unpersist()

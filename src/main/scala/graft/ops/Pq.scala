@@ -105,18 +105,45 @@ object Pq {
     * row_number tie-break exactly.
     */
   def assignSub(sub: DataFrame, cb: DataFrame): DataFrame =
-    // the n*m*k candidate fan-out runs at the scan's parallelism —
-    // spread a single-split source (no-op on a real multi-file corpus)
-    Iterate.spread(sub)
-      .withColumn("sub_c2", VecOps.vecDot(col("sub_emb"), col("sub_emb")))
-      .join(broadcast(cb.withColumn("cent_c2",
-        VecOps.vecDot(col("cent_emb"), col("cent_emb")))), "sub_id")
-      .withColumn("dist2",
-        d2Cached(col("sub_c2"), col("sub_emb"), col("cent_emb"), col("cent_c2")))
-      .groupBy(col("vec_id"), col("sub_id"))
-      .agg(min(struct(col("dist2"), col("cent_id"), col("sub_emb"))).as("m"))
-      .select(col("vec_id"), col("sub_id"),
-        col("m.sub_emb").as("sub_emb"), col("m.cent_id").as("cent_id"))
+    localSubBook(cb) match {
+      case Some(book) =>
+        // r10 fused path ([[graft.functions.AnnAssign]]): the codebook is
+        // collected index metadata, so the argmin is a row-local loop —
+        // zero exchanges, no n*m*k candidate rows, bit-identical
+        // (dist2 ASC, cent_id ASC) selection
+        sub.withColumn("cent_id",
+          graft.functions.AnnAssign.pqSubCode(
+            col("sub_emb"), col("sub_id"), book))
+          .select(col("vec_id"), col("sub_id"), col("sub_emb"), col("cent_id"))
+      case None =>
+        // the n*m*k candidate fan-out runs at the scan's parallelism —
+        // spread a single-split source (no-op on a real multi-file corpus)
+        Iterate.spread(sub)
+          .withColumn("sub_c2", VecOps.vecDot(col("sub_emb"), col("sub_emb")))
+          .join(broadcast(cb.withColumn("cent_c2",
+            VecOps.vecDot(col("cent_emb"), col("cent_emb")))), "sub_id")
+          .withColumn("dist2",
+            d2Cached(col("sub_c2"), col("sub_emb"), col("cent_emb"), col("cent_c2")))
+          .groupBy(col("vec_id"), col("sub_id"))
+          .agg(min(struct(col("dist2"), col("cent_id"), col("sub_emb"))).as("m"))
+          .select(col("vec_id"), col("sub_id"),
+            col("m.sub_emb").as("sub_emb"), col("m.cent_id").as("cent_id"))
+    }
+
+  /** [[graft.functions.AnnAssign.SubBook]] of an already-local codebook
+    * frame (see [[IvfIndex.localBook]]); None keeps the broadcast path.
+    */
+  private[ops] def localSubBook(cb: DataFrame)
+      : Option[graft.functions.AnnAssign.SubBook] =
+    if (IvfIndex.isLocalRelation(cb)) {
+      val rows = cb.select(col("sub_id"), col("cent_id"), col("cent_emb"))
+        .collect()
+      val m = if (rows.isEmpty) 0
+        else rows.iterator
+          .map(_.get(0).asInstanceOf[Number].longValue).max.toInt + 1
+      if (m == 0) None
+      else Some(graft.functions.AnnAssign.subBook(rows, m))
+    } else None
 
   /** Deterministic per-subspace codebooks (sub_id, cent_id, cent_emb):
     * the k seed rows (smallest (md5(vec_id), vec_id)) are shared by all
@@ -135,9 +162,12 @@ object Pq {
       .orderBy(col("hk"), col("vec_id"))
       .limit(k)
       .withColumn("cent_id", row_number().over(wk).cast("long") - 1)
-    var cb: DataFrame = subVectors(
+    // materialized from round 0 (r10): every Lloyd assignment then takes
+    // assignSub's row-local fused path — the m*k seed rows are the same
+    // payload the first broadcast would have collected
+    var cb: DataFrame = IvfIndex.materialize(subVectors(
       seeds.select(col("cent_id"), col("embedding")), "cent_id", "embedding", m)
-      .select(col("sub_id"), col("cent_id"), col("sub_emb").as("cent_emb"))
+      .select(col("sub_id"), col("cent_id"), col("sub_emb").as("cent_emb")))
     val sub = subVectors(emb, "vec_id", "embedding", m)
     for (_ <- 0 until iters) {
       val a = assignSub(sub, cb)

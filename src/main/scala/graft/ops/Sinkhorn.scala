@@ -69,6 +69,14 @@ object Sinkhorn {
     * vb = value decile 0..9, hb = hour bucket 0..7 — prepared by the
     * caller). Returns the transport plan (vb_a, hb_a, vb_b, hb_b, k_ij,
     * p_fp) with the total regularized cost ot_cost_fp repeated per row.
+    *
+    * EAGER-EXECUTION CONTRACT: unlike a plain DataFrame transform, this
+    * op runs the two histogram-aggregate Spark jobs AT CALL TIME (the
+    * collected marginals are ≤ Cells rows of grid metadata by
+    * construction) and the returned frame is a LocalTableScan of the
+    * driver-computed plan. Callers must invoke it inside the timed /
+    * audited region; vb/hb accept any integral type (cast to long
+    * before collection).
     */
   def run(cells: DataFrame): DataFrame = {
     val idiv = sparkIdiv
@@ -80,7 +88,7 @@ object Sinkhorn {
     def toProb(df: DataFrame, v: String, hc: String, m: String) = {
       val tot = df.agg(sum(col("cnt")).as("tot"))
       df.crossJoin(broadcast(tot))
-        .select(col(v), col(hc),
+        .select(col(v).cast("long").as(v), col(hc).cast("long").as(hc),
           expr(idiv("(cnt * 1000000)", "tot")).as(m))
     }
     // the corpus is touched ONCE per side (the histogram aggs above);

@@ -51,11 +51,16 @@ object Sssp {
       edges: DataFrame, seeds: DataFrame, rounds: Int,
       src: String = "src", dst: String = "dst", w: String = "w"): DataFrame = {
     require(rounds >= 1)
+    val raw = edges.select(col(src).as("src"), col(dst).as("dst"),
+        col(w).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+    // r10 hybrid tail (GraphLocal) over the RAW edge list (the relax
+    // min absorbs parallel edges exactly like the min-collapse):
+    // synchronous Bellman-Ford rounds driver-local under the bound
+    if (raw.count() <= GraphLocal.limit(edges.sparkSession))
+      return GraphLocal.sssp(raw, seeds, rounds)
     val e0 = materialize(
-      edges.select(col(src).as("src"), col(dst).as("dst"),
-          col(w).cast("long").as("w"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+      raw.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
       val e = materialize(e0.repartition(p, col("src")))
       e0.unpersist()

@@ -42,11 +42,15 @@ object TemporalReach {
       src: String = "src", dst: String = "dst", day: String = "day",
       seedDay: Long = -1L): DataFrame = {
     require(rounds >= 1)
-    val e0 = materialize(
-      edges.select(col(src).as("src"), col(dst).as("dst"),
-          col(day).cast("long").as("day"))
-        .filter(col("src") =!= col("dst"))
-        .distinct())
+    val raw = edges.select(col(src).as("src"), col(dst).as("dst"),
+        col(day).cast("long").as("day"))
+      .filter(col("src") =!= col("dst"))
+    // r10 hybrid tail (GraphLocal) over the RAW edge list (duplicate
+    // (src, dst, day) rows are harmless to the min): time-respecting
+    // relaxation rounds driver-local under the absolute bound
+    if (raw.count() <= GraphLocal.limit(edges.sparkSession))
+      return GraphLocal.temporalReach(raw, seeds, rounds, seedDay)
+    val e0 = materialize(raw.distinct())
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
       val e = materialize(e0.repartition(p, col("src")))
       e0.unpersist()

@@ -502,9 +502,9 @@ object AssocQueries {
         .select(col("h"), expr("(cents * 10) div (mxc + 1)").as("vb"),
           col("hb"))
       graft.ops.Sinkhorn.run(cells)
-    }.intendsNestedLoop(
-      "broadcast sides are the 1-row max-cents / total-count / OT-cost " +
-        "frames; the kernel cross join is supports × supports " +
-        "(≤ 80 × 80 grid metadata, never corpus rows)")
+    }
+    // No plan intent: the r9 driver-local Sinkhorn rewrite returns a
+    // LocalTableScan; the corpus-touching crossJoins execute inside
+    // eager sub-jobs and never appear in the returned frame's plan.
   )
 }

@@ -697,8 +697,9 @@ object CurationQueries {
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       Curation.semDedup(emb, graft.ops.IvfIndex.chooseK(emb.count()), tau = 0.9)
-    }.intendsNestedLoop(
-      "broadcast side is the k ~ sqrt(n) centroid codebook"),
+    },
+    // (r10: no plan intent — cell assignment is the row-local AnnAssign
+    // loop over the collected codebook; the crossJoin is gone)
 
     // ---- Simplified silhouette (Hruschka et al. 2004): cluster-quality
     //      score of the q_knn_ivf/q_semdedup k-means cells, the

@@ -208,8 +208,9 @@ object MlQueries {
     ) { (s, d) =>
       Classify.nearestCentroid(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
-    }.intendsNestedLoop(
-      "broadcast side is the #labels-row centroid codebook"),
+    },
+    // (r10: no plan intent — centroid assignment is the row-local
+    // AnnAssign loop over the collected codebook; the crossJoin is gone)
 
     // ---- Confusion-matrix eval of the same prediction chain:
     //      (true_label, pred_label, n) — integer-exact. ----
@@ -223,8 +224,9 @@ object MlQueries {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
         .groupBy(col("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
-    }.intendsNestedLoop(
-      "broadcast side is the #labels-row centroid codebook"),
+    },
+    // (r10: no plan intent — centroid assignment is the row-local
+    // AnnAssign loop over the collected codebook; the crossJoin is gone)
 
     // ---- kNN majority-vote classification: brute exact top-5 neighbour
     //      frame (the ANN variants produce the same (q_id, c_id) shape)
