@@ -41,7 +41,8 @@ object Hits {
     */
   def run(
       edges: DataFrame, src: String = "src", dst: String = "dst",
-      iters: Int = 5, scale: Long = 1000000L): DataFrame = {
+      iters: Int = 5, scale: Long = 1000000L,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && scale >= 1)
     // two pinned copies of the edge relation — by src for the authority
     // half-step, by dst for the hub half-step — so the big frame is
@@ -50,10 +51,11 @@ object Hits {
     // join key). Explicit count so AQE cannot de-co-partition a side;
     // width from Iterate.withWidth (session width at scale, fewer tasks
     // on toy graphs where per-round scheduling overhead dominates).
-    val e0 = materialize(
-      edges.select(col(src).as("src"), col(dst).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct())
+    // edgesDistinct (r10): caller-asserted distinctness skips the
+    // corpus-sized distinct shuffle (RankQueries.tradeEdgesDistinct)
+    val sel = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e0 = materialize(if (edgesDistinct) sel else sel.distinct())
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
     val eBySrc = materialize(e0.repartition(p, col("src")))
     val eByDst = materialize(e0.repartition(p, col("dst")))

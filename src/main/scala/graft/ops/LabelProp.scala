@@ -34,16 +34,17 @@ object LabelProp {
   def run(
       edges: DataFrame, seeds: DataFrame,
       src: String = "src", dst: String = "dst",
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1)
     // one pinned partitioning across rounds (the PageRank pattern):
     // edges by src, nodes/labels by node — the edge relation is never
     // re-shuffled inside the loop; explicit count so AQE cannot
     // de-co-partition one side
-    val e0 = materialize(
-      edges.select(col(src).as("src"), col(dst).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct())
+    // edgesDistinct (r10): caller-asserted distinctness skips the
+    // corpus-sized distinct shuffle (RankQueries.tradeEdgesDistinct)
+    val sel = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e0 = materialize(if (edgesDistinct) sel else sel.distinct())
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
     val e = materialize(e0.repartition(p, col("src")))
     val nodes = materialize(

@@ -31,6 +31,14 @@ object Mmr {
     */
   def rerank(cand: DataFrame, sims: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
+    // r10 hybrid tail (GreedyLocal, guide §1.2): the candidate frame is
+    // bounded by construction (batch x top-N retriever output) and the
+    // k rounds are pure per-round stage latency distributed — under the
+    // absolute bound the identical integer greedy runs driver-local.
+    // GreedyLocalSpec pins local == distributed.
+    val lim = GreedyLocal.limit(cand.sparkSession)
+    if (lim > 0 && cand.count() + sims.count() <= lim)
+      return GreedyLocal.mmr(cand, sims, k)
     val byRel = Window.partitionBy(col("q_id"))
       .orderBy(col("rel_fp").desc, col("c_id"))
     var picks = cand
@@ -41,8 +49,13 @@ object Mmr {
       val ms = rem
         .join(picks.select(col("q_id"), col("c_id").as("p_id")), Seq("q_id"))
         .join(
-          sims.select(col("q_id"), col("a"), col("b"), col("s_fp")),
-          col("a") === col("c_id") && col("b") === col("p_id"),
+          sims.select(col("q_id").as("s_q"), col("a"), col("b"), col("s_fp")),
+          // q_id equality included (r10): the oracle always had it; the
+          // r9 join omitted it and was only value-correct because s_fp
+          // is a function of (a, b) in every caller — keyed tighter the
+          // join is both smaller and correct for arbitrary sims
+          col("s_q") === rem("q_id") &&
+            col("a") === col("c_id") && col("b") === col("p_id"),
           "inner")
         .groupBy(rem("q_id"), col("c_id"), col("rel_fp"))
         .agg(max(col("s_fp")).as("msim_fp"))

@@ -63,7 +63,8 @@ object PageRank {
   def run(
       edges: DataFrame, src: String = "src", dst: String = "dst",
       iters: Int = 10, dampNum: Int = 85, scale: Long = 1000000000L,
-      seeds: Option[DataFrame] = None): DataFrame = {
+      seeds: Option[DataFrame] = None,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
 
     // Pin ONE hash partitioning across all rounds: edges and outdeg by
@@ -75,10 +76,12 @@ object PageRank {
     // Width = Iterate.width over the edge count: the session's shuffle
     // width at cluster scale, proportionally fewer tasks on toy graphs
     // where 10 rounds of fixed 32-task scheduling would dominate.
-    val e0 = materialize(
-      edges.select(col(src).as("src"), col(dst).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct())
+    // edgesDistinct (r10): a caller that derives the edge list from a
+    // grouped aggregate (RankQueries.tradeEdgesDistinct) asserts
+    // distinctness, so the corpus-sized distinct shuffle is skipped
+    val sel = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e0 = materialize(if (edgesDistinct) sel else sel.distinct())
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
     val e = materialize(e0.repartition(p, col("src")))
     // nodes carry their seed tag from the start: ONE checkpointed node

@@ -42,7 +42,8 @@ object RandomWalk {
 
   def run(
       edges: DataFrame, seeds: DataFrame,
-      steps: Int, src: String = "src", dst: String = "dst"): DataFrame = {
+      steps: Int, src: String = "src", dst: String = "dst",
+      edgesDistinct: Boolean = false): DataFrame = {
     require(steps >= 1)
     // the edge relation is joined once per step: distinct it ONCE,
     // checkpoint, and pin it hash-partitioned on the join key `src` —
@@ -51,8 +52,10 @@ object RandomWalk {
     // whole edge relation; pinned, only the frontier (one row per live
     // walk) moves per step. Width scoped by edge count (session width
     // at scale, fewer tasks on toy graphs).
-    val e0 = materialize(
-      edges.select(col(src).as("src"), col(dst).as("dst")).distinct())
+    val sel = edges.select(col(src).as("src"), col(dst).as("dst"))
+    // edgesDistinct (r10): caller-asserted distinctness skips the
+    // corpus-sized distinct shuffle (RankQueries.tradeEdgesDistinct)
+    val e0 = materialize(if (edgesDistinct) sel else sel.distinct())
     Iterate.withWidth(edges.sparkSession, e0.count()) { p =>
     val e = materialize(e0.repartition(p, col("src")))
     e0.unpersist()

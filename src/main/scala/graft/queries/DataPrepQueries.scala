@@ -249,6 +249,18 @@ object DataPrepQueries {
           .as("bigram"))
         .distinct()
       toks.cache()
+      // r10 hybrid tail (GreedyLocal, guide §1.2): per-doc distinct
+      // bigram rows are bounded (docs x bounded text); under the
+      // absolute bound the identical k-round greedy runs driver-local
+      // (the count materializes the cache either way — the distributed
+      // loop's first round would otherwise pay the same scan).
+      // GreedyLocalSpec pins local == distributed.
+      val lim = graft.ops.GreedyLocal.limit(s)
+      if (lim > 0 && toks.count() <= lim) {
+        val out = graft.ops.GreedyLocal.maxCoverage(toks, k)
+        toks.unpersist()
+        out
+      } else {
       var covered = toks.select(col("bigram")).limit(0)
       val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (i <- 1 to k) {
@@ -264,6 +276,7 @@ object DataPrepQueries {
               .select(col("bigram"))))
       }
       picks.reduce(_ unionAll _)
+      }
     }
   }
 

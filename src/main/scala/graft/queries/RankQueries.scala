@@ -68,6 +68,32 @@ object RankQueries {
     * only for even order keys (so odd-only customers stay dangling —
     * same semantics, and same row multiplicity, as [[edgesDuck]]).
     */
+  /** The DISTINCT directed trade edge list, derived without a
+    * string-row distinct shuffle (r10, guide §2.3 shuffle fewer bytes):
+    * ONE long-pair aggregate over the [[tradeBase]] checkpoint —
+    * groupBy (l_suppkey, o_custkey) with an any-even flag — then each
+    * branch maps the grouped rows. Within a branch the rows are
+    * distinct by construction (grouped keys), and the branches are
+    * disjoint ('S'/'C' src prefixes), so the union IS the distinct
+    * fwd ∪ rev(even) set — the loop ops accept the assertion via their
+    * `edgesDistinct` flag and skip their own distinct. Semantics and
+    * row set identical to `tradeEdges(...).distinct()` (the unchanged
+    * oracles re-verify).
+    */
+  private[queries] def tradeEdgesDistinct(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val g = graft.ops.Iterate.materialize(
+      tradeBase(s, d).groupBy(col("l_suppkey"), col("o_custkey"))
+        .agg(max(col("ev")).as("ev")))
+    val fwd = g.select(concat(lit("S"), col("l_suppkey")).as("src"),
+      concat(lit("C"), col("o_custkey")).as("dst"))
+    val rev = g.filter(col("ev")).select(
+      concat(lit("C"), col("o_custkey")).as("src"),
+      concat(lit("S"), col("l_suppkey")).as("dst"))
+    fwd.union(rev)
+  }
+
   private[queries] def tradeEdges(
       base: org.apache.spark.sql.DataFrame, extras: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
@@ -92,8 +118,7 @@ object RankQueries {
       "q_pagerank",
       s"WITH graft_edges AS (\n$edgesDuck\n),\n" + PageRank.oracleSql()
     ) { (s, d) =>
-      val fwdrev = tradeEdges(tradeBase(s, d))
-      PageRank.run(fwdrev)
+      PageRank.run(tradeEdgesDistinct(s, d), edgesDistinct = true)
     },
 
     // ---- TrustRank (Gyöngyi et al. 2004): personalized PageRank
@@ -110,11 +135,11 @@ object RankQueries {
          |  FROM supplier WHERE s_nationkey < 5
          |),\n""".stripMargin + PageRank.oracleSql(seeded = true)
     ) { (s, d) =>
-      val fwdrev = tradeEdges(tradeBase(s, d))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") < 5)
         .select(concat(lit("S"), col("s_suppkey")).as("node"))
-      PageRank.run(fwdrev, seeds = Some(seeds))
+      PageRank.run(tradeEdgesDistinct(s, d), seeds = Some(seeds),
+        edgesDistinct = true)
     },
 
     // ---- Katz centrality (Katz 1953) over the support-pruned part
@@ -204,19 +229,22 @@ object RankQueries {
          |  FROM supplier
          |),\n""".stripMargin + LabelProp.oracleSql()
     ) { (s, d) =>
-      // symmetrize straight off the tradeBase checkpoint: the r8 plan
-      // ran the li x orders join once per union branch
-      val base = tradeBase(s, d)
-      val und = base.select(
+      // symmetrize off ONE grouped (supp, cust) aggregate (r10 — the
+      // tradeEdgesDistinct argument): both branches are distinct by
+      // construction and disjoint by prefix, so their union is the
+      // distinct symmetric edge set — LabelProp skips its own distinct
+      val g = graft.ops.Iterate.materialize(
+        tradeBase(s, d).select(col("l_suppkey"), col("o_custkey")).distinct())
+      val und = g.select(
           concat(lit("S"), col("l_suppkey")).as("src"),
           concat(lit("C"), col("o_custkey")).as("dst"))
-        .union(base.select(
+        .union(g.select(
           concat(lit("C"), col("o_custkey")).as("src"),
           concat(lit("S"), col("l_suppkey")).as("dst")))
       val seeds = Tables.supplier(s, d).select(
         concat(lit("S"), col("s_suppkey")).as("node"),
         concat(lit("L"), pmod(col("s_nationkey"), lit(5))).as("label"))
-      LabelProp.run(und, seeds)
+      LabelProp.run(und, seeds, edgesDistinct = true)
     },
 
     // ---- HITS hubs & authorities over the same trade graph: exact
@@ -229,8 +257,7 @@ object RankQueries {
       "q_hits",
       s"WITH graft_edges AS (\n$edgesDuck\n),\n" + Hits.oracleSql()
     ) { (s, d) =>
-      val fwdrev = tradeEdges(tradeBase(s, d))
-      Hits.run(fwdrev)
+      Hits.run(tradeEdgesDistinct(s, d), edgesDistinct = true)
     }.intendsNestedLoop(
       "broadcast side is the 1-row per-half-step max-normalization frame"),
 
@@ -633,12 +660,12 @@ object RankQueries {
          |),
          |${graft.ops.PpmiEmbed.oracleSql(srcTable = "gw_docs")}""".stripMargin
     ) { (s, d) =>
-      val fwdrev = tradeEdges(tradeBase(s, d))
-      val edges = fwdrev
+      val edges = tradeEdgesDistinct(s, d)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       val seeds = nodes.orderBy(md5(col("node")), col("node")).limit(500)
-      val walks = graft.ops.RandomWalk.run(edges, seeds, steps = 8)
+      val walks = graft.ops.RandomWalk.run(edges, seeds, steps = 8,
+        edgesDistinct = true)
       val docs = walks.groupBy(col("walk_id"))
         .agg(expr("array_join(transform(array_sort(" +
           "collect_list(struct(step, node))), x -> x.node), ' ')")
